@@ -1,0 +1,19 @@
+"""Test configuration: run JAX on a virtual 8-device CPU mesh.
+
+The driver validates multi-chip sharding with
+``xla_force_host_platform_device_count``; tests use the same trick so every
+sharded code path executes (collectives included) without TPU hardware.
+Numerics tests enable x64 so goldens agree with float64 NumPy references;
+dedicated f32 tests cover the TPU dtype policy.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_enable_x64", True)
