@@ -1,0 +1,174 @@
+"""Host-side regrid weight construction.
+
+TPU-first split of the reference's swath→grid regridding
+(reference oisatgmi/interpolator.py:10-37, :100-160): unstructured
+interpolation (qhull/KD trees) cannot run on device, but every
+interpolation mode the reference offers is *linear in the data*, so the
+host builds, once per granule geometry, a sparse weight map
+
+    out[t] = sum_k  w[t, k] * Z[idx[t, k]]      (NaN where masked)
+
+and the device applies it to all fields/levels of the granule as one
+batched gather + weighted sum (:mod:`oisat_tpu.ops.regrid`).
+
+Modes (reference ``interpolator_type``):
+  1 — barycentric linear in Delaunay triangles  (= LinearNDInterpolator)
+  2 — nearest neighbour                         (= NearestNDInterpolator)
+  3 — local thin-plate-spline RBF, 5 neighbours (= RBFInterpolator(neighbors=5))
+  4 — nearest neighbour via KD-tree             (= cKDTree.query gather)
+
+Modes 2 and 4 are the same linear map (NearestNDInterpolator is a cKDTree
+query); they share one builder.  All modes also get the reference's
+"too-far" mask: target points farther than ``far_factor * threshold`` from
+the nearest source pixel are NaN (factor 2 in the main interpolator
+(interpolator.py:16-33), 1 in the SSMIS/GOSAT variants
+(interpolator_ssmis.py:18-28, filler_gosat.py:11-32)).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+from scipy.spatial import Delaunay, cKDTree
+
+__all__ = ["SparsePlan", "build_plan", "fine_grid", "grid_spacing", "diag_threshold"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SparsePlan:
+    """Sparse interpolation weights from Npix source pixels to T targets.
+
+    Leaves are NumPy; move to device once per granule via the apply fns.
+    ``mask``: True -> output NaN (too far / outside convex hull).
+    """
+
+    idx: np.ndarray  # (T, K) int32 into flattened source pixels
+    w: np.ndarray  # (T, K) float64 weights
+    mask: np.ndarray  # (T,) bool
+    out_shape: tuple  # target grid shape (Ny, Nx)
+    npix: int  # number of (flattened) source pixels
+
+    @property
+    def k(self) -> int:
+        return self.idx.shape[1]
+
+
+def grid_spacing(lon2d: np.ndarray, lat2d: np.ndarray):
+    """(dlon, dlat) of a regular 2-D mesh grid (reference interpolator.py:116-118)."""
+    return float(abs(lon2d[0, 0] - lon2d[0, 1])), float(abs(lat2d[0, 0] - lat2d[1, 0]))
+
+
+def diag_threshold(lon2d: np.ndarray, lat2d: np.ndarray) -> float:
+    """Cell-diagonal distance threshold (reference interpolator.py:119)."""
+    dlon, dlat = grid_spacing(lon2d, lat2d)
+    return float(np.sqrt(dlon**2 + dlat**2))
+
+
+def fine_grid(ctm_lon2d: np.ndarray, ctm_lat2d: np.ndarray, grid_size: float):
+    """Fine analysis mesh spanning the CTM domain (reference interpolator.py:131-139).
+
+    Uses the exact ``np.arange(min, max + grid_size, grid_size)`` semantics
+    (float64) so grid point counts match the reference bit-for-bit.
+    """
+    lat_min = float(np.min(ctm_lat2d))
+    lat_max = float(np.max(ctm_lat2d))
+    lon_min = float(np.min(ctm_lon2d))
+    lon_max = float(np.max(ctm_lon2d))
+    lon_grid = np.arange(lon_min, lon_max + grid_size, grid_size)
+    lat_grid = np.arange(lat_min, lat_max + grid_size, grid_size)
+    return np.meshgrid(lon_grid, lat_grid)
+
+
+def _tps_kernel(r: np.ndarray) -> np.ndarray:
+    # thin-plate spline phi(r) = r^2 log r, with phi(0) = 0
+    with np.errstate(divide="ignore", invalid="ignore"):
+        out = r * r * np.log(r)
+    return np.where(r == 0.0, 0.0, out)
+
+
+def _rbf_weights(points: np.ndarray, targets: np.ndarray, neighbors: int = 5):
+    """Local TPS-RBF weights, scipy-RBFInterpolator-style (degree-1 poly).
+
+    For each target: take its ``neighbors`` nearest source points, shift by
+    the neighbourhood mean and scale by the max norm (scipy's domain
+    normalization), solve the (K+3)x(K+3) KKT system for the evaluation
+    weights.  Batched over targets with one vectorized ``np.linalg.solve``.
+    """
+    tree = cKDTree(points)
+    k = min(neighbors, len(points))
+    _, nn = tree.query(targets, k=k)
+    nn = nn.reshape(len(targets), k)
+    p = points[nn]  # (T, K, 2)
+    shift = p.mean(axis=1, keepdims=True)
+    ps = p - shift
+    ts = targets[:, None, :] - shift  # (T, 1, 2)
+    scale = np.maximum(np.abs(ps).max(axis=(1, 2), keepdims=True), 1.0e-30)
+    ps = ps / scale
+    ts = ts / scale
+    # KKT system  [Phi P; P^T 0] [c; d] = [z; 0]; eval = [phi_t, p_t] @ [c; d]
+    # weights lambda solve the transposed system.
+    npoly = 3  # degree-1 monomials: 1, x, y
+    T = len(targets)
+    A = np.zeros((T, k + npoly, k + npoly))
+    r = np.linalg.norm(ps[:, :, None, :] - ps[:, None, :, :], axis=-1)  # (T,K,K)
+    A[:, :k, :k] = _tps_kernel(r)
+    P = np.concatenate([np.ones((T, k, 1)), ps], axis=-1)  # (T, K, 3)
+    A[:, :k, k:] = P
+    A[:, k:, :k] = np.transpose(P, (0, 2, 1))
+    rhs = np.zeros((T, k + npoly))
+    rhs[:, :k] = _tps_kernel(np.linalg.norm(ps - ts, axis=-1))  # (T, K)
+    rhs[:, k] = 1.0
+    rhs[:, k + 1 :] = ts[:, 0, :]
+    lam = np.linalg.solve(np.transpose(A, (0, 2, 1)), rhs[..., None])[..., 0][:, :k]
+    return nn, lam
+
+
+def build_plan(
+    pix_lon: np.ndarray,
+    pix_lat: np.ndarray,
+    tgt_lon2d: np.ndarray,
+    tgt_lat2d: np.ndarray,
+    method: int,
+    threshold: float,
+    far_factor: float = 2.0,
+):
+    """Build a :class:`SparsePlan` for one granule geometry.
+
+    Returns None when a Delaunay triangulation is required but cannot be
+    formed (degenerate swath) — the reference skips such granules
+    (interpolator.py:151-155).
+    """
+    points = np.column_stack([np.asarray(pix_lon, np.float64).ravel(),
+                              np.asarray(pix_lat, np.float64).ravel()])
+    targets = np.column_stack([np.asarray(tgt_lon2d, np.float64).ravel(),
+                               np.asarray(tgt_lat2d, np.float64).ravel()])
+    T = len(targets)
+    tree = cKDTree(points)
+    dists, nn = tree.query(targets)
+    far = dists > far_factor * threshold
+
+    if method in (2, 4):
+        idx = nn.astype(np.int32)[:, None]
+        w = np.ones((T, 1))
+    elif method == 1:
+        try:
+            tri = Delaunay(points)
+        except Exception:
+            return None
+        simplex = tri.find_simplex(targets)
+        inside = simplex >= 0
+        s = np.where(inside, simplex, 0)
+        trans = tri.transform[s]  # (T, 3, 2)
+        r = targets - trans[:, 2, :]
+        b2 = np.einsum("tij,tj->ti", trans[:, :2, :], r)  # (T, 2)
+        w = np.concatenate([b2, 1.0 - b2.sum(axis=1, keepdims=True)], axis=1)
+        idx = tri.simplices[s].astype(np.int32)
+        far = far | ~inside  # outside hull -> NaN (fill_value=nan)
+    elif method == 3:
+        idx, w = _rbf_weights(points, targets)
+        idx = idx.astype(np.int32)
+    else:
+        raise ValueError(f"interpolation method {method} not supported")
+
+    return SparsePlan(idx=idx, w=w, mask=far, out_shape=tuple(tgt_lon2d.shape), npix=len(points))

@@ -1,0 +1,273 @@
+"""Granule regridding: host weight-building + one fused device apply.
+
+Re-implements the reference's swath→grid pipeline (reference
+oisatgmi/interpolator.py:100-291, interpolator_ssmis.py:96-168) TPU-first:
+
+  host   build SparsePlan (pixels → fine grid) per granule geometry,
+         build the static Upscaler (fine grid → CTM grid) once per run,
+  device stack every 2-D field and every level of every 3-D field into one
+         (F, Npix) batch → single gather+weighted-sum → box filter →
+         nearest-map onto the CTM grid.  One jit, no per-field scipy calls.
+
+The reference's separate error path (squared box kernel, interpolate the
+*variance*, sqrt at the end — interpolator.py:44-46, :187-193) is preserved
+by carrying the uncertainty field as variance through a second kernel.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from oisat_tpu.datamodel import satellite_amf, satellite_opt, satellite_ssmis
+from oisat_tpu.ops.regrid import apply_plan, boxfilter_same_symm
+from oisat_tpu.ops.weights import (
+    SparsePlan,
+    build_plan,
+    diag_threshold,
+    fine_grid,
+    grid_spacing,
+)
+
+__all__ = ["Upscaler", "make_upscaler", "regrid_granule", "regrid_ssmis_granule"]
+
+
+@dataclasses.dataclass(frozen=True)
+class Upscaler:
+    """Fine/source grid → coarse target grid mapping (reference ``_upscaler``).
+
+    ``needed=False`` means the source is finer than (or equal to) the target
+    and fields are filtered+mapped; ``needed=True`` means the *model* must be
+    upscaled instead (reference returns inputs unchanged with the
+    ``upscaled_ctm_needed`` flag — interpolator.py:92-97).
+    """
+
+    needed: bool  # True -> pass-through (ctm must be upscaled instead)
+    ky: int
+    kx: int
+    plan: Optional[SparsePlan]
+    out_lon: np.ndarray
+    out_lat: np.ndarray
+
+    def apply(self, z, error: bool = False):
+        """z: (..., H, W) on the source grid -> (..., Ht, Wt) (device op)."""
+        if self.needed:
+            return z
+        zf = boxfilter_same_symm(jnp.asarray(z), self.ky, self.kx, squared=error)
+        flat = zf.reshape(zf.shape[:-2] + (-1,))
+        return apply_plan(self.plan, flat)
+
+
+def make_upscaler(
+    src_lon2d: np.ndarray,
+    src_lat2d: np.ndarray,
+    tgt_lon2d: np.ndarray,
+    tgt_lat2d: np.ndarray,
+    grid_size: float,
+    threshold: float,
+    method: int = 4,
+    far_factor: float = 2.0,
+) -> Upscaler:
+    """Build the reference ``_upscaler`` decision + mapping (interpolator.py:48-97).
+
+    ``grid_size`` is the source-grid pitch, ``threshold`` the distance cutoff.
+    The main pipeline maps with KD-nearest + 2x cutoff; the SSMIS/GOSAT
+    variants use Delaunay-linear + 1x cutoff (method=1, far_factor=1).
+    """
+    tgt_dlon, tgt_dlat = grid_spacing(tgt_lon2d, tgt_lat2d)
+    if (tgt_dlon >= grid_size) or (tgt_dlat >= grid_size):
+        kx = max(int(np.floor(tgt_dlon / grid_size)), 1)
+        ky = max(int(np.floor(tgt_dlat / grid_size)), 1)
+        plan = build_plan(
+            src_lon2d.ravel(), src_lat2d.ravel(), tgt_lon2d, tgt_lat2d,
+            method=method, threshold=threshold, far_factor=far_factor,
+        )
+        return Upscaler(False, ky, kx, plan, tgt_lon2d, tgt_lat2d)
+    return Upscaler(True, 1, 1, None, src_lon2d, src_lat2d)
+
+
+def _quality_mask(quality_flag, flag_thresh: float) -> np.ndarray:
+    """QA mask as the reference builds it: 1.0 where flag > thresh else NaN
+    (interpolator.py:124-127)."""
+    m = (np.asarray(quality_flag) > flag_thresh).astype(np.float64)
+    m[m != 1.0] = np.nan
+    return np.squeeze(m)
+
+
+def _stack(fields):
+    """Stack a list of (...,)-shaped pixel arrays into (F, Npix) float64."""
+    return np.stack([np.asarray(f, np.float64).ravel() for f in fields])
+
+
+def regrid_granule(
+    interpolator_type: int,
+    grid_size: float,
+    sat_data,
+    ctm_lon2d: np.ndarray,
+    ctm_lat2d: np.ndarray,
+    flag_thresh: float = 0.75,
+    dtype=np.float32,
+):
+    """Regrid one granule onto the CTM grid (reference ``interpolator``).
+
+    Returns a gridded ``satellite_amf`` / ``satellite_opt`` (NumPy leaves),
+    or None when the granule can't be triangulated or misses the domain
+    (interpolator.py:151-155, :165-167).
+    """
+    threshold_ctm = diag_threshold(ctm_lon2d, ctm_lat2d)
+    lons_fine, lats_fine = fine_grid(ctm_lon2d, ctm_lat2d, grid_size)
+
+    plan = build_plan(
+        sat_data.longitude_center.ravel(), sat_data.latitude_center.ravel(),
+        lons_fine, lats_fine, method=interpolator_type,
+        threshold=grid_size, far_factor=2.0,
+    )
+    if plan is None:
+        return None
+    upsc = make_upscaler(lons_fine, lats_fine, ctm_lon2d, ctm_lat2d,
+                         grid_size, threshold_ctm, method=4, far_factor=2.0)
+
+    mask = _quality_mask(sat_data.quality_flag, flag_thresh)
+    is_amf = isinstance(sat_data, satellite_amf)
+    is_opt = isinstance(sat_data, satellite_opt)
+
+    # ---- gather every field (value-kernel batch + error field) -----------
+    names = ["vcd"]
+    cols = [np.asarray(sat_data.vcd) * mask]
+    if is_amf:
+        names.append("amf")
+        cols.append(np.asarray(sat_data.amf) * mask)
+    has_trop = np.size(sat_data.tropopause) != 1
+    if has_trop:
+        names.append("tropopause")
+        cols.append(np.asarray(sat_data.tropopause) * mask)
+
+    def add3d(name, arr):
+        a = np.asarray(arr)
+        for z in range(a.shape[0]):
+            names.append(f"{name}:{z}")
+            cols.append(np.squeeze(a[z]) * mask)
+
+    has_sw = is_amf and np.size(sat_data.scattering_weights) != 1
+    if has_sw:
+        add3d("scattering_weights", sat_data.scattering_weights)
+        add3d("pressure_mid", sat_data.pressure_mid)
+    if is_opt:
+        if np.asarray(sat_data.aprior_column).any():
+            names.append("aprior_column")
+            cols.append(np.asarray(sat_data.aprior_column) * mask)
+        if np.asarray(sat_data.surface_pressure).any():
+            names.append("surface_pressure")
+            cols.append(np.asarray(sat_data.surface_pressure) * mask)
+        if np.asarray(sat_data.apriori_surface).any():
+            names.append("apriori_surface")
+            cols.append(np.asarray(sat_data.apriori_surface) * mask)
+        names.append("x_col")
+        cols.append(np.asarray(sat_data.x_col) * mask)
+        add3d("averaging_kernels", sat_data.averaging_kernels)
+        if sat_data.sensor == "GOSAT":
+            add3d("pressure_weight", sat_data.pressure_weight)
+        add3d("pressure_mid", sat_data.pressure_mid)
+        add3d("apriori_profile", sat_data.apriori_profile)
+
+    batch = _stack(cols)  # (F, Npix)
+    fine = apply_plan(plan, jnp.asarray(batch, dtype))  # (F, Hf, Wf)
+    gridded = np.asarray(upsc.apply(fine))  # (F, Ht, Wt)
+    out = {n: gridded[i] for i, n in enumerate(names)}
+
+    # error: interpolate variance, square-kernel filter, sqrt at the end
+    err_fine = apply_plan(plan, jnp.asarray(
+        _stack([np.asarray(sat_data.uncertainty, np.float64) ** 2 * mask]), dtype))
+    uncertainty = np.sqrt(np.asarray(upsc.apply(err_fine, error=True))[0])
+
+    vcd = out["vcd"]
+    if np.isnan(np.nanmean(vcd)):
+        return None  # granule misses the analysis domain
+
+    def collect3d(name, nz):
+        return np.stack([out[f"{name}:{z}"] for z in range(nz)])
+
+    tropopause = out.get("tropopause", np.empty((1,)))
+    lat_c, lon_c = upsc.out_lat, upsc.out_lon
+    hw = vcd.shape
+
+    if is_amf:
+        nz = np.asarray(sat_data.pressure_mid).shape[0] if np.size(sat_data.pressure_mid) > 1 else 0
+        if has_sw:
+            sw = collect3d("scattering_weights", nz)
+            pmid = collect3d("pressure_mid", nz)
+        else:
+            sw = np.empty((1,))
+            pmid = np.zeros((nz,) + hw)
+        return satellite_amf(
+            vcd=vcd, amf=out.get("amf"), time=sat_data.time, tropopause=tropopause,
+            latitude_center=lat_c, longitude_center=lon_c,
+            latitude_corner=[], longitude_corner=[],
+            uncertainty=uncertainty, quality_flag=[], pressure_mid=pmid,
+            scattering_weights=sw, ctm_upscaled_needed=upsc.needed,
+            ctm_vcd=[], ctm_time_at_sat=[], old_amf=[], new_amf=[],
+        )
+    if is_opt:
+        nz = np.asarray(sat_data.pressure_mid).shape[0]
+        nak = np.asarray(sat_data.averaging_kernels).shape[0]
+        aks = collect3d("averaging_kernels", nak)
+        pw = collect3d("pressure_weight", nz) if sat_data.sensor == "GOSAT" else np.empty((1,))
+        return satellite_opt(
+            vcd=vcd, time=sat_data.time, profile=[], tropopause=tropopause,
+            latitude_center=lat_c, longitude_center=lon_c,
+            latitude_corner=[], longitude_corner=[],
+            uncertainty=uncertainty, quality_flag=[],
+            pressure_mid=collect3d("pressure_mid", nz), averaging_kernels=aks,
+            ctm_upscaled_needed=upsc.needed, ctm_vcd=[], ctm_xcol=[],
+            ctm_time_at_sat=[],
+            aprior_column=out.get("aprior_column", np.empty((1,))),
+            apriori_profile=collect3d("apriori_profile", nz),
+            surface_pressure=out.get("surface_pressure", np.empty((1,))),
+            apriori_surface=out.get("apriori_surface", np.empty((1,))),
+            x_col=out["x_col"],
+            pressure_weight=pw, sensor=sat_data.sensor,
+        )
+    raise TypeError(f"unsupported granule type {type(sat_data)!r}")
+
+
+def regrid_ssmis_granule(
+    grid_size: float,
+    sat_data: satellite_ssmis,
+    ctm_lon2d: np.ndarray,
+    ctm_lat2d: np.ndarray,
+    dtype=np.float32,
+):
+    """SSMIS variant (reference interpolator_ssmis.py:96-168).
+
+    Differences from the main pipeline, preserved here: no quality mask, the
+    raw uncertainty (not its square) goes through the squared error kernel
+    with no final sqrt, and both the granule interp and the upscale map use
+    Delaunay-linear with a 1x (not 2x) distance cutoff
+    (interpolator_ssmis.py:18-28, :67-70, :88-89).
+
+    Deliberate deviation: the reference casts the fine-grid coordinates to
+    float16 (interpolator_ssmis.py:141), losing ~0.06 deg of coordinate
+    precision at high longitudes; we keep float64 geometry.
+    """
+    threshold_ctm = diag_threshold(ctm_lon2d, ctm_lat2d)
+    lons_fine, lats_fine = fine_grid(ctm_lon2d, ctm_lat2d, grid_size)
+    plan = build_plan(
+        sat_data.longitude_center.ravel(), sat_data.latitude_center.ravel(),
+        lons_fine, lats_fine, method=1, threshold=grid_size, far_factor=1.0,
+    )
+    if plan is None:
+        return None
+    upsc = make_upscaler(lons_fine, lats_fine, ctm_lon2d, ctm_lat2d,
+                         grid_size, threshold_ctm, method=1, far_factor=1.0)
+    fine = apply_plan(plan, jnp.asarray(_stack([sat_data.vcd]), dtype))
+    vcd = np.asarray(upsc.apply(fine))[0]
+    err_fine = apply_plan(plan, jnp.asarray(_stack([sat_data.uncertainty]), dtype))
+    uncertainty = np.asarray(upsc.apply(err_fine, error=True))[0]
+    return satellite_ssmis(
+        vcd=vcd, uncertainty=uncertainty, time=sat_data.time,
+        latitude_center=upsc.out_lat, longitude_center=upsc.out_lon,
+        ctm_upscaled_needed=upsc.needed, ctm_vcd=[], sensor="SSMIS",
+    )

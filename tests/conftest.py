@@ -9,11 +9,14 @@ dedicated f32 tests cover the TPU dtype policy.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
 import jax  # noqa: E402
 
+# Force CPU: the ambient environment pre-sets JAX_PLATFORMS=axon (the real
+# TPU tunnel) and overrides the env var, so use the config API.  On the TPU,
+# float64 is emulated (~49-bit) and float64 goldens drift by ulps.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)

@@ -1,0 +1,155 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+from scipy.interpolate import LinearNDInterpolator, NearestNDInterpolator, RBFInterpolator
+from scipy.signal import convolve2d
+from scipy.spatial import cKDTree
+
+from oisat_tpu.ops.regrid import apply_plan, boxfilter_same_symm
+from oisat_tpu.ops.weights import build_plan, fine_grid
+from oisat_tpu.regridder import make_upscaler
+
+
+def swath(seed=0, n=400, nan_frac=0.1):
+    rng = np.random.default_rng(seed)
+    lon = rng.uniform(-10, 10, n)
+    lat = rng.uniform(30, 45, n)
+    z = np.sin(lon / 3.0) * np.cos(lat / 5.0) + 0.1 * rng.standard_normal(n)
+    z[rng.random(n) < nan_frac] = np.nan
+    return lon, lat, z
+
+
+def target_grid():
+    lon = np.arange(-12, 12.5, 0.5)
+    lat = np.arange(28, 47.5, 0.5)
+    return np.meshgrid(lon, lat)
+
+
+def test_linear_matches_scipy():
+    lon, lat, z = swath()
+    tlon, tlat = target_grid()
+    pts = np.column_stack([lon, lat])
+    ref = LinearNDInterpolator(pts, z, fill_value=np.nan)((tlon, tlat))
+    tree = cKDTree(pts)
+    dists, _ = tree.query(np.column_stack([tlon.ravel(), tlat.ravel()]))
+    threshold = 0.5
+    ref[dists.reshape(tlon.shape) > 2 * threshold] = np.nan
+    plan = build_plan(lon, lat, tlon, tlat, method=1, threshold=threshold)
+    got = np.asarray(apply_plan(plan, jnp.asarray(z)))
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+
+
+def test_nearest_matches_scipy():
+    lon, lat, z = swath(1)
+    tlon, tlat = target_grid()
+    pts = np.column_stack([lon, lat])
+    ref = NearestNDInterpolator(pts, z)((tlon, tlat))
+    tree = cKDTree(pts)
+    dists, _ = tree.query(np.column_stack([tlon.ravel(), tlat.ravel()]))
+    threshold = 0.5
+    ref[dists.reshape(tlon.shape) > 2 * threshold] = np.nan
+    plan = build_plan(lon, lat, tlon, tlat, method=2, threshold=threshold)
+    got = np.asarray(apply_plan(plan, jnp.asarray(z)))
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+
+def test_rbf_matches_scipy():
+    lon, lat, z = swath(2, nan_frac=0.0)
+    tlon, tlat = target_grid()
+    pts = np.column_stack([lon, lat])
+    ref = RBFInterpolator(pts, z, neighbors=5)(
+        np.column_stack([tlon.ravel(), tlat.ravel()])
+    ).reshape(tlon.shape)
+    plan = build_plan(lon, lat, tlon, tlat, method=3, threshold=1e9)
+    got = np.asarray(apply_plan(plan, jnp.asarray(z)))
+    np.testing.assert_allclose(got, ref, rtol=1e-6, atol=1e-8)
+
+
+def test_batched_apply_multiple_fields():
+    lon, lat, z = swath(3)
+    tlon, tlat = target_grid()
+    plan = build_plan(lon, lat, tlon, tlat, method=1, threshold=0.5)
+    zz = np.stack([z, 2 * z, z**2])
+    got = np.asarray(apply_plan(plan, jnp.asarray(zz)))
+    for i, zi in enumerate(zz):
+        ref = np.asarray(apply_plan(plan, jnp.asarray(zi)))
+        np.testing.assert_allclose(got[i], ref, rtol=0, atol=0)
+
+
+@pytest.mark.parametrize("ky,kx", [(1, 1), (3, 3), (2, 2), (4, 5), (2, 3), (5, 2)])
+def test_boxfilter_matches_convolve2d(ky, kx):
+    rng = np.random.default_rng(4)
+    z = rng.standard_normal((37, 53))
+    kernel = np.ones((ky, kx)) / (ky * kx)
+    ref = convolve2d(z, kernel, boundary="symm", mode="same")
+    got = np.asarray(boxfilter_same_symm(jnp.asarray(z), ky, kx))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-13)
+
+
+def test_boxfilter_error_kernel():
+    rng = np.random.default_rng(5)
+    z = rng.standard_normal((20, 30)) ** 2
+    kernel = np.ones((3, 2)) / (3 * 2) ** 2
+    ref = convolve2d(z, kernel, boundary="symm", mode="same")
+    got = np.asarray(boxfilter_same_symm(jnp.asarray(z), 3, 2, squared=True))
+    np.testing.assert_allclose(got, ref, rtol=1e-12, atol=1e-14)
+
+
+def test_boxfilter_nan_spread():
+    z = np.ones((10, 10))
+    z[5, 5] = np.nan
+    got = np.asarray(boxfilter_same_symm(jnp.asarray(z), 3, 3))
+    ref = convolve2d(z, np.ones((3, 3)) / 9, boundary="symm", mode="same")
+    np.testing.assert_array_equal(np.isnan(got), np.isnan(ref))
+
+
+def upscaler_numpy(src_lon, src_lat, z, ctm_lon, ctm_lat, grid_size, threshold, error=False):
+    """NumPy replica of the reference _upscaler (interpolator.py:48-97)."""
+    dlon = abs(ctm_lon[0, 0] - ctm_lon[0, 1])
+    dlat = abs(ctm_lat[0, 0] - ctm_lat[1, 0])
+    if not (dlon >= grid_size or dlat >= grid_size):
+        return z, True
+    kx = max(int(np.floor(dlon / grid_size)), 1)
+    ky = max(int(np.floor(dlat / grid_size)), 1)
+    denom = (ky * kx) ** 2 if error else ky * kx
+    zf = convolve2d(z, np.ones((ky, kx)) / denom, boundary="symm", mode="same")
+    pts = np.column_stack([src_lon.ravel(), src_lat.ravel()])
+    tree = cKDTree(pts)
+    dists, idx = tree.query(np.column_stack([ctm_lon.ravel(), ctm_lat.ravel()]))
+    out = zf.ravel()[idx].reshape(ctm_lon.shape)
+    out[dists.reshape(ctm_lon.shape) > 2 * threshold] = np.nan
+    return out, False
+
+
+def test_upscaler_matches_reference_semantics():
+    ctm_lon, ctm_lat = np.meshgrid(np.arange(-10, 11, 1.25), np.arange(30, 46, 1.0))
+    grid_size = 0.25
+    flon, flat_ = fine_grid(ctm_lon, ctm_lat, grid_size)
+    rng = np.random.default_rng(6)
+    z = rng.standard_normal(flon.shape)
+    z[rng.random(flon.shape) < 0.05] = np.nan
+    threshold = np.hypot(1.25, 1.0)
+    ref, needed_ref = upscaler_numpy(flon, flat_, z, ctm_lon, ctm_lat, grid_size, threshold)
+    up = make_upscaler(flon, flat_, ctm_lon, ctm_lat, grid_size, threshold)
+    assert up.needed == needed_ref is False
+    got = np.asarray(up.apply(jnp.asarray(z)))
+    np.testing.assert_allclose(got, ref, rtol=1e-9, atol=1e-12)
+    # error kernel path
+    ref_e, _ = upscaler_numpy(flon, flat_, z**2, ctm_lon, ctm_lat, grid_size, threshold, error=True)
+    got_e = np.asarray(up.apply(jnp.asarray(z**2), error=True))
+    np.testing.assert_allclose(got_e, ref_e, rtol=1e-9, atol=1e-12)
+
+
+def test_upscaler_passthrough_when_model_finer():
+    ctm_lon, ctm_lat = np.meshgrid(np.arange(-10, 10, 0.1), np.arange(30, 45, 0.1))
+    up = make_upscaler(ctm_lon, ctm_lat, ctm_lon, ctm_lat, grid_size=1.0, threshold=1.0)
+    assert up.needed is True
+    z = np.ones((5, 5))
+    np.testing.assert_array_equal(np.asarray(up.apply(z)), z)
+
+
+def test_degenerate_swath_returns_none():
+    lon = np.full(10, 5.0)  # collinear points, no hull
+    lat = np.full(10, 5.0)
+    tlon, tlat = target_grid()
+    assert build_plan(lon, lat, tlon, tlat, method=1, threshold=0.5) is None

@@ -1,0 +1,103 @@
+import numpy as np
+import pytest
+
+from oisat_tpu.datamodel import satellite_amf, satellite_opt
+from oisat_tpu.regridder import regrid_granule
+
+
+def synthetic_amf_granule(seed=0, ny=60, nx=40, nz=5):
+    rng = np.random.default_rng(seed)
+    # a tilted swath of pixel centers
+    lat = np.linspace(31, 44, ny)[:, None] + 0.05 * rng.standard_normal((ny, nx))
+    lon = np.linspace(-8, 8, nx)[None, :] + 0.2 * np.linspace(0, 1, ny)[:, None]
+    vcd = np.abs(rng.normal(3, 1, (ny, nx)))
+    # mostly-good QA with one bad cluster: the box-filter NaN spreading in
+    # the upscale stage (a reference semantic) wipes any window touching a
+    # bad pixel, so a random mask would blank the whole domain.
+    qa = np.ones((ny, nx))
+    qa[10:13, 5:8] = 0.0
+    return satellite_amf(
+        vcd=vcd,
+        amf=np.abs(rng.normal(2, 0.3, (ny, nx))),
+        time=None,
+        tropopause=np.abs(rng.normal(150, 20, (ny, nx))),
+        latitude_center=lat,
+        longitude_center=lon + 0 * lat,
+        latitude_corner=[],
+        longitude_corner=[],
+        uncertainty=np.abs(rng.normal(1, 0.2, (ny, nx))),
+        quality_flag=qa,
+        pressure_mid=np.linspace(1000, 100, nz)[:, None, None] * np.ones((nz, ny, nx)),
+        scattering_weights=np.abs(rng.normal(1, 0.2, (nz, ny, nx))),
+    )
+
+
+def ctm_grid():
+    return np.meshgrid(np.arange(-10, 11, 1.25), np.arange(30, 46, 1.0))
+
+
+@pytest.mark.parametrize("method", [1, 2, 4])
+def test_regrid_amf_granule_shapes(method):
+    g = synthetic_amf_granule()
+    clon, clat = ctm_grid()
+    out = regrid_granule(method, 0.25, g, clon, clat, flag_thresh=0.5)
+    assert out is not None
+    assert out.vcd.shape == clon.shape
+    assert out.amf.shape == clon.shape
+    assert out.uncertainty.shape == clon.shape
+    assert out.scattering_weights.shape == (5,) + clon.shape
+    assert out.pressure_mid.shape == (5,) + clon.shape
+    assert out.ctm_upscaled_needed is False
+    # interior cells covered, far corners NaN-masked
+    assert np.isfinite(out.vcd).sum() > 50
+    assert np.isnan(out.vcd[0, 0])  # (30N, -10E) has no swath nearby? swath starts at 31N
+    # errors are positive where defined
+    assert np.nanmin(out.uncertainty) >= 0
+
+
+def test_regrid_granule_misses_domain():
+    g = synthetic_amf_granule()
+    clon, clat = np.meshgrid(np.arange(100, 120, 1.0), np.arange(-40, -20, 1.0))
+    assert regrid_granule(1, 0.25, g, clon, clat) is None
+
+
+def test_regrid_no_ak_branch():
+    g = synthetic_amf_granule()
+    g.scattering_weights = np.empty((1,))
+    clon, clat = ctm_grid()
+    out = regrid_granule(1, 0.25, g, clon, clat)
+    assert np.size(out.scattering_weights) == 1
+    assert out.pressure_mid.shape == (5,) + clon.shape
+    assert np.all(out.pressure_mid == 0)
+
+
+def test_regrid_opt_granule():
+    rng = np.random.default_rng(1)
+    ny, nx, nz = 50, 30, 4
+    lat = np.linspace(31, 44, ny)[:, None] * np.ones((ny, nx))
+    lon = np.ones((ny, 1)) * np.linspace(-8, 8, nx)[None, :]
+    g = satellite_opt(
+        vcd=np.abs(rng.normal(2, 0.5, (ny, nx))),
+        time=None,
+        tropopause=np.empty((1,)),
+        latitude_center=lat,
+        longitude_center=lon,
+        uncertainty=np.abs(rng.normal(0.5, 0.1, (ny, nx))),
+        quality_flag=np.ones((ny, nx)),
+        pressure_mid=np.linspace(900, 100, nz)[:, None, None] * np.ones((nz, ny, nx)),
+        averaging_kernels=rng.uniform(0, 1, (nz + 1, ny, nx)),  # MOPITT: surface row
+        aprior_column=np.abs(rng.normal(2, 0.2, (ny, nx))),
+        apriori_profile=np.abs(rng.normal(100, 10, (nz, ny, nx))),
+        surface_pressure=np.full((ny, nx), 1000.0),
+        apriori_surface=np.abs(rng.normal(100, 5, (ny, nx))),
+        x_col=np.abs(rng.normal(0.1, 0.02, (ny, nx))),
+        pressure_weight=np.empty((1,)),
+        sensor="MOPITT",
+    )
+    clon, clat = ctm_grid()
+    out = regrid_granule(1, 1.0, g, clon, clat, flag_thresh=0.0)
+    assert out is not None
+    assert out.averaging_kernels.shape == (nz + 1,) + clon.shape
+    assert out.apriori_profile.shape == (nz,) + clon.shape
+    assert out.x_col.shape == clon.shape
+    assert out.sensor == "MOPITT"
