@@ -1,0 +1,166 @@
+"""The ``oisatgmi`` session API — drop-in equivalent of the reference driver
+(reference oisatgmi/driver.py:17-227): ``read_data → recal_amf/conv_ak/
+cal_pwv → average → bias_correct → oi → reporting/write_to_nc/savedaily``.
+
+State attribute names match the reference so downstream tooling
+(``tools/readjust_OI.py`` etc.) works unchanged; the numerics underneath
+run on TPU through :mod:`oisat_tpu.ops`.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+
+import jax.numpy as jnp
+import numpy as np
+
+from oisat_tpu.obs_operators import ak_conv_gosat, ak_conv_mopitt, amf_recal, pwv_calculator
+from oisat_tpu.ops.averaging import averaging
+from oisat_tpu.ops.oi import oi as oi_op
+from oisat_tpu.ncwriter import write_diag_nc
+
+__all__ = ["oisatgmi", "BIAS_CORRECTIONS"]
+
+
+# (sensor, gas) -> (offset, slope): corrected = (vcd - offset) / slope.
+# Regression coefficients from the validation studies cited in the reference
+# (reference driver.py:68-99).
+BIAS_CORRECTIONS = {
+    ("TROPOMI", "NO2"): (0.32, 0.66),
+    ("TROPOMI", "HCHO"): (0.90, 0.59),
+    ("OMI", "NO2"): (0.32, 0.63),
+    ("OMI", "HCHO"): (0.821, 0.79),
+}
+
+
+class oisatgmi:
+    """One analysis session (one sensor, one gas, one month)."""
+
+    def __init__(self) -> None:
+        pass
+
+    # -- ingestion (reference driver.py:22-34) ------------------------------
+    def read_data(self, ctm_type: str, ctm_path: Path, ctm_gas_name: str,
+                  ctm_frequency: str, sat_type: str, sat_path: Path, YYYYMM: str,
+                  averaging=False, read_ak=True, trop=False, num_job=1,
+                  mcip_dir=None, tempo_hour=None, control_free="control_free.yml"):
+        from oisat_tpu.readers import readers
+
+        reader_obj = readers()
+        reader_obj.add_ctm_data(ctm_type, Path(ctm_path), mcip_dir=mcip_dir)
+        reader_obj.read_ctm_data(YYYYMM, ctm_gas_name, frequency_opt=ctm_frequency,
+                                 averaging=averaging, num_job=num_job,
+                                 control_free=control_free)
+        reader_obj.add_satellite_data(sat_type, Path(sat_path))
+        reader_obj.read_satellite_data(YYYYMM, read_ak=read_ak, trop=trop,
+                                       num_job=num_job, tempo_hour=tempo_hour)
+        self.reader_obj = reader_obj
+        self.gasname = ctm_gas_name[0]
+
+    # -- observation operators (reference driver.py:36-51) ------------------
+    def recal_amf(self):
+        self.reader_obj.sat_data = amf_recal(self.reader_obj.ctm_data, self.reader_obj.sat_data)
+
+    def cal_pwv(self):
+        self.reader_obj.sat_data = pwv_calculator(self.reader_obj.ctm_data, self.reader_obj.sat_data)
+
+    def conv_ak(self, sensor: str):
+        if sensor == "MOPITT":
+            self.reader_obj.sat_data = ak_conv_mopitt(self.reader_obj.ctm_data, self.reader_obj.sat_data)
+        if sensor == "GOSAT":
+            self.reader_obj.sat_data = ak_conv_gosat(self.reader_obj.ctm_data, self.reader_obj.sat_data)
+
+    # -- analysis (reference driver.py:53-114) -------------------------------
+    def average(self, startdate: str, enddate: str, gasname=None):
+        (self.sat_averaged_vcd, self.sat_averaged_error, self.ctm_averaged_vcd,
+         self.aux1, self.aux2, self.avg_time) = averaging(startdate, enddate, self.reader_obj)
+        if gasname == "O3":
+            # CTM O3 column to DU (reference driver.py:62-63)
+            self.ctm_averaged_vcd = self.ctm_averaged_vcd / (2.69e16 * 1e-15)
+
+    def bias_correct(self, sat_type, gasname):
+        key = (sat_type, gasname)
+        if key in BIAS_CORRECTIONS:
+            print(f"applying the bias correction for {sat_type} {gasname}")
+            offset, slope = BIAS_CORRECTIONS[key]
+            self.sat_averaged_vcd = (self.sat_averaged_vcd - offset) / slope
+        else:
+            print("NOT applying the bias correction for satellite VCDs")
+
+    def oi(self, sensor: str, error_ctm=50.0):
+        if sensor != "GOSAT":
+            xa, y = self.ctm_averaged_vcd, self.sat_averaged_vcd
+        else:
+            # GOSAT assimilates the xcol pair instead of VCD (reference driver.py:112-114)
+            xa, y = self.aux2, self.aux1
+        sa = (np.asarray(xa) * error_ctm / 100.0) ** 2
+        so = np.asarray(self.sat_averaged_error) ** 2
+        res = oi_op(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so),
+                    regularization_on=True)
+        print("The regularization factor is " + str(float(res.reg_factor)))
+        self.ctm_averaged_vcd_corrected = np.asarray(res.xb)
+        self.ak_OI = np.asarray(res.averaging_kernel)
+        self.increment_OI = np.asarray(res.increment)
+        self.error_OI = np.asarray(res.error)
+
+    # -- outputs (reference driver.py:115-227) --------------------------------
+    def _first_valid(self):
+        return next(i for i, s in enumerate(self.reader_obj.sat_data) if s is not None)
+
+    def reporting(self, fname: str, gasname, folder="report"):
+        from oisat_tpu.report import report
+
+        idx = self._first_valid()
+        sat = self.reader_obj.sat_data[idx]
+        ctm = self.reader_obj.ctm_data[0]
+        # plot on the coarser of the two grids (reference driver.py:119-129)
+        if np.size(ctm.latitude) * np.size(ctm.longitude) < \
+           np.size(sat.latitude_center) * np.size(sat.longitude_center):
+            lat, lon = sat.latitude_center, sat.longitude_center
+        else:
+            lat, lon = ctm.latitude, ctm.longitude
+        report(lon, lat, self.ctm_averaged_vcd, self.ctm_averaged_vcd_corrected,
+               self.sat_averaged_vcd, self.sat_averaged_error, self.increment_OI,
+               self.ak_OI, self.error_OI, self.aux1, self.aux2, fname, folder, gasname)
+
+    def savedaily(self, folder, gasname, date):
+        from scipy.io import savemat
+
+        os.makedirs(folder, exist_ok=True)
+        idx = self._first_valid()
+        latitude = self.reader_obj.ctm_data[idx].latitude
+        longitude = self.reader_obj.ctm_data[idx].longitude
+        for counter, sat in enumerate(self.reader_obj.sat_data):
+            if sat is None:
+                continue
+            t = (10000.0 * sat.time.year + 100.0 * sat.time.month + sat.time.day
+                 + sat.time.hour / 24.0)
+            savemat(os.path.join(folder, f"sat_data_{gasname}_{t}{counter}.mat"),
+                    {"vcd_sat": sat.vcd, "vcd_ctm": sat.ctm_vcd, "vcd_err": sat.uncertainty,
+                     "time_sat": t, "lat": latitude, "lon": longitude})
+
+    def write_to_nc(self, output_file, output_folder="diag"):
+        os.makedirs(output_folder, exist_ok=True)
+        idx = self._first_valid()
+        sat = self.reader_obj.sat_data[idx]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            scaling_factor = self.ctm_averaged_vcd_corrected / self.ctm_averaged_vcd
+        scaling_factor = np.where(
+            np.isnan(scaling_factor) | np.isinf(scaling_factor) | (scaling_factor == 0.0),
+            1.0, scaling_factor)  # reference driver.py:204-209
+        fields = {
+            "sat_averaged_vcd": self.sat_averaged_vcd,
+            "ctm_averaged_vcd_prior": self.ctm_averaged_vcd,
+            "ctm_averaged_vcd_posterior": self.ctm_averaged_vcd_corrected,
+            "sat_averaged_error": self.sat_averaged_error,
+            "ak_OI": self.ak_OI,
+            "error_OI": self.error_OI,
+            "scaling_factor": scaling_factor,
+            "lon": sat.longitude_center,
+            "lat": sat.latitude_center,
+            "aux1": self.aux1,
+            "aux2": self.aux2,
+        }
+        write_diag_nc(os.path.join(output_folder, output_file + ".nc"), fields,
+                      self.avg_time.strftime("%Y-%m-%d %H:%M:%S"))

@@ -1,0 +1,52 @@
+"""Diagnostic netCDF output via h5py (netCDF4-python is unavailable here).
+
+Writes netCDF-4-compatible HDF5: dimension-scale datasets attached to each
+variable, so downstream netCDF tooling (including the reference's
+``tools/`` post-processors) reads the file as a normal ``.nc``.  Schema
+matches the reference's 12-variable diag file (reference
+oisatgmi/driver.py:156-227) byte-for-name.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import h5py
+
+__all__ = ["write_diag_nc", "read_diag_nc"]
+
+
+def write_diag_nc(path, fields: dict, time_string: str):
+    """Write the diag file.  ``fields``: name -> 2-D float array (x, y)."""
+    first = next(iter(fields.values()))
+    nx, ny = np.shape(first)
+    with h5py.File(path, "w") as f:
+        # dimension scales
+        dx = f.create_dataset("x", data=np.arange(nx, dtype=np.float64))
+        dx.make_scale("x")
+        dy = f.create_dataset("y", data=np.arange(ny, dtype=np.float64))
+        dy.make_scale("y")
+        tchars = np.array(list(time_string), dtype="S1")
+        dt = f.create_dataset("t", data=np.arange(len(tchars), dtype=np.float64),
+                              maxshape=(None,))
+        dt.make_scale("t")
+        tv = f.create_dataset("time", data=tchars, maxshape=(None,))
+        tv.dims[0].attach_scale(dt)
+        for name, arr in fields.items():
+            ds = f.create_dataset(name, data=np.asarray(arr, np.float32))
+            ds.dims[0].attach_scale(dx)
+            ds.dims[1].attach_scale(dy)
+
+
+def read_diag_nc(path):
+    """Read a diag file back -> (fields dict, time string)."""
+    out = {}
+    with h5py.File(path, "r") as f:
+        for k in f:
+            if k in ("x", "y", "t"):
+                continue
+            if k == "time":
+                time_string = b"".join(np.asarray(f[k]).tolist()).decode()
+                continue
+            out[k] = np.asarray(f[k])
+    return out, time_string

@@ -55,3 +55,89 @@ def error_average_numpy(err2_stack):
         warnings.simplefilter("ignore", RuntimeWarning)
         out = np.where(n > 0, s / n.astype(np.float64) ** 2, np.nan)
     return np.sqrt(out)
+
+
+def _interp1d(xp, fp, xq, extrapolate):
+    from scipy import interpolate as _si
+
+    if extrapolate:
+        f = _si.interp1d(xp, fp, fill_value="extrapolate")
+    else:
+        f = _si.interp1d(xp, fp, fill_value=np.nan, bounds_error=False)
+    return f(xq)
+
+
+def amf_recal_pixelwise(sat_pmid, sat_sw, ctm_pmid, ctm_pc, tropopause, vcd, amf_old):
+    """Per-pixel AMF recalculation loop (reference amf_recal.py:93-119, :173-183)."""
+    H, W = vcd.shape
+    new_amf = np.full((H, W), np.nan)
+    model_vcd = np.full((H, W), np.nan)
+    pc_work = np.array(ctm_pc, copy=True)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        for i in range(H):
+            for j in range(W):
+                if np.isnan(vcd[i, j]):
+                    continue
+                pc = pc_work[:, i, j]
+                pm = ctm_pmid[:, i, j]
+                sw = _interp1d(np.log(sat_pmid[:, i, j]), sat_sw[:, i, j], np.log(pm), True)
+                sw[np.isinf(sw)] = 0.0
+                if tropopause is not None:
+                    m = pm < tropopause[i, j]
+                    sw[m] = np.nan
+                    pc = np.where(m, np.nan, pc)
+                scd = np.nansum(sw * pc)
+                model_vcd[i, j] = np.nansum(pc)
+                new_amf[i, j] = scd / model_vcd[i, j] if model_vcd[i, j] != 0 else np.nan
+        new_amf[np.isnan(vcd)] = np.nan
+        vcd_corr = amf_old * vcd / new_amf
+        model_vcd[np.isnan(vcd_corr)] = np.nan
+        model_vcd[np.isinf(vcd_corr)] = np.nan
+    return new_amf, vcd_corr, model_vcd
+
+
+def ak_conv_mopitt_pixelwise(ctm_pmid, ctm_profile, ctm_airpc, sat_pmid, aks,
+                             aprior_col, apriori_profile, apriori_surface, vcd):
+    """Per-pixel MOPITT AK convolution (reference ak_conv_mopitt.py:118-146)."""
+    H, W = vcd.shape
+    model_vcd = np.full((H, W), np.nan)
+    model_xcol = np.full((H, W), np.nan)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        for i in range(H):
+            for j in range(W):
+                if np.isnan(vcd[i, j]):
+                    continue
+                prof_i = _interp1d(np.log(ctm_pmid[:, i, j]), ctm_profile[:, i, j],
+                                   np.log(sat_pmid[:, i, j]), False)
+                pcomp = aprior_col[i, j] + np.nansum(
+                    aks[1:, i, j] * (np.log10(prof_i) - np.log10(apriori_profile[:, i, j])))
+                scomp = aks[0, i, j] * (np.log10(ctm_profile[0, i, j]) - np.log10(apriori_surface[i, j]))
+                model_vcd[i, j] = pcomp + scomp
+                model_xcol[i, j] = 1e6 * model_vcd[i, j] / np.nansum(ctm_airpc[:, i, j])
+        model_vcd[np.isnan(vcd)] = np.nan
+        model_vcd[np.isinf(vcd)] = np.nan
+    return model_vcd, model_xcol
+
+
+def ak_conv_gosat_pixelwise(ctm_pmid, ctm_profile, sat_pmid, aks, apriori_profile,
+                            pressure_weight, x_col):
+    """Per-pixel GOSAT AK convolution (reference ak_conv_gosat.py:118-141)."""
+    H, W = x_col.shape
+    model_xcol = np.full((H, W), np.nan)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        for i in range(H):
+            for j in range(W):
+                if np.isnan(x_col[i, j]):
+                    continue
+                prof_i = _interp1d(np.log(ctm_pmid[:, i, j]), ctm_profile[:, i, j],
+                                   np.log(sat_pmid[:, i, j]), True)
+                tmp = apriori_profile[:, i, j] + (prof_i - apriori_profile[:, i, j]) * aks[:, i, j]
+                tmp = tmp * pressure_weight[:, i, j]
+                tmp[tmp <= 0] = np.nan
+                model_xcol[i, j] = np.nansum(tmp)
+        model_xcol[np.isinf(x_col)] = np.nan
+        model_xcol[np.isnan(x_col)] = np.nan
+    return model_xcol
