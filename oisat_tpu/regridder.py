@@ -223,10 +223,10 @@ def regrid_granule(
             pressure_mid=collect3d("pressure_mid", nz), averaging_kernels=aks,
             ctm_upscaled_needed=upsc.needed, ctm_vcd=[], ctm_xcol=[],
             ctm_time_at_sat=[],
-            aprior_column=out.get("aprior_column", np.empty((1,))),
+            aprior_column=out.get("aprior_column", np.zeros((1,))),
             apriori_profile=collect3d("apriori_profile", nz),
-            surface_pressure=out.get("surface_pressure", np.empty((1,))),
-            apriori_surface=out.get("apriori_surface", np.empty((1,))),
+            surface_pressure=out.get("surface_pressure", np.zeros((1,))),
+            apriori_surface=out.get("apriori_surface", np.zeros((1,))),
             x_col=out["x_col"],
             pressure_weight=pw, sensor=sat_data.sensor,
         )

@@ -1,0 +1,250 @@
+"""End-to-end sensor-reader tests on synthetic product files.
+
+The reference has no test data and no tests; here each product gets a tiny
+HDF5 file with the real group/variable layout, written with h5py, and the
+fleet reader runs decode -> regrid end-to-end (SURVEY.md §4: generalize the
+FREE pattern to fake satellite data)."""
+
+import datetime
+
+import numpy as np
+import pytest
+
+import h5py
+
+from oisat_tpu.readers.sensors import (
+    gosat_reader,
+    mopitt_reader,
+    omi_reader,
+    omps_reader,
+    ssmis_reader,
+    tempo_reader,
+    tropomi_reader,
+)
+
+CLON, CLAT = np.meshgrid(np.arange(-10, 11, 1.25), np.arange(30, 46, 1.0))
+NY, NX = 60, 40
+
+
+def swath_geo(ny=NY, nx=NX, lat0=30.5, lat1=45.2, lon0=-9.8, lon1=9.9):
+    lat = np.linspace(lat0, lat1, ny)[:, None] * np.ones((ny, nx))
+    lon = np.ones((ny, 1)) * np.linspace(lon0, lon1, nx)[None, :]
+    return lat.astype("f4"), lon.astype("f4")
+
+
+def write_omi_no2(path):
+    lat, lon = swath_geo()
+    with h5py.File(path, "w") as f:
+        g = f.create_group("GEOLOCATION_DATA")
+        # 2004-10-01-ish in TAI93 seconds
+        g["Time"] = np.full(NY, (datetime.datetime(2019, 7, 10) - datetime.datetime(1993, 1, 1)).total_seconds())
+        g["Latitude"] = lat
+        g["Longitude"] = lon
+        g["ScatteringWeightPressure"] = np.linspace(1000, 10, 35).astype("f4")
+        s = f.create_group("SCIENCE_DATA")
+        s["ColumnAmountNO2Trop"] = np.full((NY, NX), 3.0e15)
+        s["AmfTrop"] = np.full((NY, NX), 2.0)
+        s["ColumnAmountNO2TropStd"] = np.full((NY, NX), 1.0e15)
+        s["VcdQualityFlags"] = np.zeros((NY, NX))
+        s["ScatteringWeight"] = np.ones((NY, NX, 35))
+        a = f.create_group("ANCILLARY_DATA")
+        a["CloudFraction"] = np.full((NY, NX), 0.1)
+        a["TerrainReflectivity"] = np.full((NY, NX), 0.05)
+        a["TropopausePressure"] = np.full((NY, NX), 150.0)
+
+
+def test_omi_no2(tmp_path):
+    write_omi_no2(tmp_path / "OMI-Aura_L2-OMNO2_2019m0710.nc")
+    out = omi_reader(str(tmp_path), "OMI_NO2", CLON, CLAT, "201907", trop=True, num_job=1)
+    assert len(out) == 1
+    g = out[0]
+    assert g is not None
+    assert g.time == datetime.datetime(2019, 7, 10)
+    assert g.vcd.shape == CLON.shape
+    v = g.vcd[np.isfinite(g.vcd)]
+    assert v.size > 50
+    np.testing.assert_allclose(v, 3.0, rtol=1e-5)  # 3e15 * 1e-15
+    np.testing.assert_allclose(g.scattering_weights[0][np.isfinite(g.scattering_weights[0])], 1.0, rtol=1e-5)
+    assert g.tropopause[np.isfinite(g.tropopause)].size > 0
+
+
+def write_tempo_no2(path):
+    ny, nx = 150, 120
+    lat, lon = swath_geo(ny, nx, 34.0, 38.0, -5.0, -1.0)  # ~0.03-deg pixels
+    lat = np.array(lat); lat[0, 0] = 9.96921e36  # edge-pixel garbage
+    with h5py.File(path, "w") as f:
+        g = f.create_group("geolocation")
+        g["time"] = np.full(ny, (datetime.datetime(2023, 9, 5, 18) - datetime.datetime(1980, 1, 6)).total_seconds())
+        g["latitude"] = lat
+        g["longitude"] = lon
+        p = f.create_group("product")
+        p["vertical_column_troposphere"] = np.full((ny, nx), 4.0e15)
+        p["vertical_column_troposphere_uncertainty"] = np.full((ny, nx), 1.0e15)
+        p["main_data_quality_flag"] = np.zeros((ny, nx))
+        s = f.create_group("support_data")
+        s["amf_troposphere"] = np.full((ny, nx), 1.8)
+        s["eff_cloud_fraction"] = np.full((ny, nx), 0.05)
+        ps = s.create_dataset("surface_pressure", data=np.full((ny, nx), 1000.0))
+        ps.attrs["Eta_A"] = np.linspace(0, 1, 73)
+        ps.attrs["Eta_B"] = np.linspace(1, 0, 73)
+        s["scattering_weights"] = np.ones((72, ny, nx))
+        s["tropopause_pressure"] = np.full((ny, nx), 140.0)
+
+
+def test_tempo_no2(tmp_path):
+    write_tempo_no2(tmp_path / "TEMPO_NO2_L2_20230905T180000.nc")
+    out = tempo_reader(str(tmp_path), 18, "TEMPO_NO2", CLON, CLAT, "202309", trop=True, num_job=1)
+    assert len(out) == 1 and out[0] is not None
+    g = out[0]
+    assert g.time.hour == 18
+    v = g.vcd[np.isfinite(g.vcd)]
+    np.testing.assert_allclose(v, 4.0, rtol=1e-5)
+    assert g.pressure_mid.shape[0] == 72
+
+
+def write_tropomi_no2(path):
+    ny, nx = 180, 120
+    lat, lon = swath_geo(ny, nx, 31.0, 44.0, -9.0, 9.0)  # ~0.07-0.15-deg pixels
+    with h5py.File(path, "w") as f:
+        p = f.create_group("PRODUCT")
+        p["time"] = np.array([(datetime.datetime(2019, 7, 12) - datetime.datetime(2010, 1, 1)).total_seconds()])
+        p["delta_time"] = np.full(ny, 3_600_000.0)  # ms
+        p["latitude"] = lat
+        p["longitude"] = lon
+        p["air_mass_factor_total"] = np.full((ny, nx), 2.2)
+        p["nitrogendioxide_tropospheric_column"] = np.full((ny, nx), 8e-5)  # mol/m2
+        p["air_mass_factor_troposphere"] = np.full((ny, nx), 1.9)
+        p["nitrogendioxide_tropospheric_column_precision"] = np.full((ny, nx), 2e-5)
+        p["qa_value"] = np.full((ny, nx), 0.9)
+        p["tm5_constant_a"] = np.column_stack([np.linspace(0, 1, 34), np.linspace(1, 2, 34)])
+        p["tm5_constant_b"] = np.column_stack([np.linspace(1, 0, 34), np.linspace(0.9, 0, 34)])
+        p["averaging_kernel"] = np.ones((ny, nx, 34))
+        p["tm5_tropopause_layer_index"] = np.full((ny, nx), 20)
+        sd = p.create_group("SUPPORT_DATA")
+        sd.create_group("INPUT_DATA")["surface_pressure"] = np.full((ny, nx), 101325.0)
+        sd.create_group("DETAILED_RESULTS")
+
+
+def test_tropomi_no2(tmp_path):
+    write_tropomi_no2(tmp_path / "S5P_OFFL_L2__NO2____20190712.nc")
+    out = tropomi_reader(str(tmp_path), "TROPOMI_NO2", CLON, CLAT, "201907", trop=True, num_job=1)
+    assert len(out) == 1 and out[0] is not None
+    g = out[0]
+    assert g.time.date() == datetime.date(2019, 7, 12)
+    v = g.vcd[np.isfinite(g.vcd)]
+    np.testing.assert_allclose(v, 8e-5 * 6.02214e19 * 1e-15, rtol=1e-5)
+    # SW = AK * amf_total = 2.2 everywhere
+    sw = g.scattering_weights[0][np.isfinite(g.scattering_weights[0])]
+    np.testing.assert_allclose(sw, 2.2, rtol=1e-5)
+    assert np.isfinite(g.tropopause).sum() > 0
+
+
+def write_omps(path):
+    lat, lon = swath_geo()
+    with h5py.File(path, "w") as f:
+        g = f.create_group("geolocation")
+        g["time"] = np.full(NY, (datetime.datetime(2019, 7, 3) - datetime.datetime(1993, 1, 1)).total_seconds())
+        g["latitude"] = lat
+        g["longitude"] = lon
+        k = f.create_group("key_science_data")
+        k["column_amount"] = np.full((NY, NX), 6.0e15)
+        k["column_uncertainty"] = np.full((NY, NX), 2.0e15)
+        k["main_data_quality_flag"] = np.zeros((NY, NX))
+        s = f.create_group("support_data")
+        s["amf"] = np.full((NY, NX), 1.5)
+        s["cloud_fraction"] = np.full((NY, NX), 0.1)
+        s["scattering_weights"] = np.ones((47, NY, NX))
+
+
+def test_omps_hcho(tmp_path):
+    write_omps(tmp_path / "OMPS_NPP_HCHO_2019m0703.nc")
+    out = omps_reader(str(tmp_path), "OMPS_HCHO", CLON, CLAT, "201907", trop=False, num_job=1)
+    assert len(out) == 1 and out[0] is not None
+    g = out[0]
+    v = g.vcd[np.isfinite(g.vcd)]
+    np.testing.assert_allclose(v, 6.0, rtol=1e-5)
+    assert g.pressure_mid.shape[0] == 47
+
+
+def write_mopitt(path):
+    nlon, nlat = 40, 30
+    with h5py.File(path, "w") as f:
+        fa = f.create_group("HDFEOS").create_group("ADDITIONAL").create_group("FILE_ATTRIBUTES")
+        t0 = (datetime.datetime(2019, 7, 1) - datetime.datetime(1993, 1, 1)).total_seconds()
+        fa.attrs["StartTime"] = t0
+        fa.attrs["StopTime"] = t0 + 30 * 86400.0
+        d = f["HDFEOS"].create_group("GRIDS").create_group("MOP03").create_group("Data Fields")
+        d["Latitude"] = np.linspace(30.5, 45.5, nlat).astype("f4")
+        d["Longitude"] = np.linspace(-9.5, 9.5, nlon).astype("f4")
+        d["RetrievedCOTotalColumnDay"] = np.full((nlon, nlat), 2.0e18)
+        d["DryAirColumnDay"] = np.full((nlon, nlat), 2.0e25)
+        d["APrioriCOMixingRatioProfileDay"] = np.full((nlon, nlat, 9), 80.0)
+        d["APrioriCOSurfaceMixingRatioDay"] = np.full((nlon, nlat), 90.0)
+        d["SurfacePressureDay"] = np.full((nlon, nlat), 1000.0)
+        d["APrioriCOTotalColumnDay"] = np.full((nlon, nlat), 1.8e18)
+        d["RetrievedCOTotalColumnMeanUncertaintyDay"] = np.full((nlon, nlat), 2.0e17)
+        d["Pressure"] = np.array([900., 800., 700., 600., 500., 400., 300., 200., 100.])
+        d["TotalColumnAveragingKernelDay"] = np.full((nlon, nlat, 10), 5.0e13)
+
+
+def test_mopitt_co(tmp_path):
+    write_mopitt(tmp_path / "MOP03JM-201907.he5")
+    out = mopitt_reader(str(tmp_path), CLON, CLAT, "201907", num_job=1)
+    assert len(out) == 1 and out[0] is not None
+    g = out[0]
+    assert g.sensor == "MOPITT"
+    v = g.vcd[np.isfinite(g.vcd)]
+    np.testing.assert_allclose(v, 2.0e3, rtol=1e-4)  # 2e18 * 1e-15
+    assert g.averaging_kernels.shape[0] == 10
+    x = g.x_col[np.isfinite(g.x_col)]
+    np.testing.assert_allclose(x, 1e6 * 2.0e3 / (2.0e25 * 1e-15), rtol=1e-4)
+
+
+def write_gosat(path):
+    n = 5000
+    rng = np.random.default_rng(0)
+    with h5py.File(path, "w") as f:
+        f["time"] = np.full(n, (datetime.datetime(2010, 6, 15) - datetime.datetime(1970, 1, 1)).total_seconds())
+        f["latitude"] = rng.uniform(10, 60, n).astype("f4")
+        f["longitude"] = rng.uniform(-30, 30, n).astype("f4")
+        f["xch4"] = np.full(n, 1.8)
+        f["xch4_quality_flag"] = np.zeros(n)
+        f["xch4_uncertainty"] = np.full(n, 0.01)
+        f["pressure_levels"] = np.tile(np.linspace(1000, 50, 20), (n, 1))
+        f["ch4_profile_apriori"] = np.full((n, 20), 1700.0)
+        f["xch4_averaging_kernel"] = np.full((n, 20), 0.9)
+        f["pressure_weight"] = np.full((n, 20), 0.05)
+
+
+def test_gosat(tmp_path):
+    (tmp_path / "2010").mkdir()
+    write_gosat(tmp_path / "2010" / "ESACCI-GHG-20100615.nc")
+    out = gosat_reader(str(tmp_path), CLON, CLAT, "201006", num_job=1)
+    assert len(out) == 1 and out[0] is not None
+    g = out[0]
+    assert g.sensor == "GOSAT"
+    v = g.x_col[np.isfinite(g.x_col)]
+    assert v.size > 10
+    np.testing.assert_allclose(v, 1.8, rtol=1e-3)
+    assert g.pressure_weight.shape[0] == 20
+
+
+def write_ssmis(path):
+    nlat, nlon = 60, 80
+    with h5py.File(path, "w") as f:
+        f["latitude"] = np.linspace(25, 50, nlat).astype("f4")
+        f["longitude"] = np.linspace(335, 370, nlon).astype("f4")  # wraps past 360
+        f["atmosphere_water_vapor_content"] = np.full((nlat, nlon), 100.0)  # *0.3 -> 30mm
+
+
+def test_ssmis(tmp_path):
+    write_ssmis(tmp_path / "f16_201001v7.nc")
+    out = ssmis_reader(str(tmp_path), CLON, CLAT, "201001", num_job=1)
+    assert len(out) == 1 and out[0] is not None
+    g = out[0]
+    assert g.time == datetime.datetime(2010, 1, 1)
+    v = g.vcd[np.isfinite(g.vcd)]
+    assert v.size > 10
+    np.testing.assert_allclose(v, 30.0, rtol=1e-5)
+    e = g.uncertainty[np.isfinite(g.uncertainty)]
+    assert e.size > 0
