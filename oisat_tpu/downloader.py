@@ -1,0 +1,243 @@
+"""Data acquisition: region+date-windowed fetchers for every input product.
+
+Same class API as the reference downloader (reference
+oisatgmi/downloader.py:40-601): ``downloader(latll, latur, lonll, lonur,
+datestart, dateend)`` with per-archive methods.  Cleanups vs the reference:
+one shared GES-DISC JSON-WSP subset workflow instead of three copies, one
+netrc helper, resumable downloads through ``requests`` streaming with Range
+headers (the reference shells out to ``wget --continue``), and a
+``dry_run`` mode that returns the URL list without fetching (also how the
+tests exercise this module in a no-egress environment).
+
+earthaccess (TEMPO) is optional; its methods raise a clear error when the
+library is absent.
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+from pathlib import Path
+from time import sleep
+
+import numpy as np  # noqa: F401  (kept for API parity in signatures)
+
+__all__ = ["downloader"]
+
+GESDISC_SUBSET_URL = "https://disc.gsfc.nasa.gov/service/subset/jsonwsp"
+GESDISC_RESULTS_URL = "https://disc.gsfc.nasa.gov/api/jobs/results/"
+
+
+def _daterange(start_date, end_date):
+    for n in range(int((end_date - start_date).days)):
+        yield start_date + datetime.timedelta(n)
+
+
+def _setup_netrc(username, password):
+    """Earthdata login via ~/.netrc (reference downloader.py:146-156)."""
+    if username is None or password is None:
+        return
+    netrc = os.path.expanduser("~/.netrc")
+    line = f"machine urs.earthdata.nasa.gov login {username} password {password}\n"
+    with open(netrc, "a") as f:
+        f.write(line)
+    os.chmod(netrc, 0o600)
+    open(os.path.expanduser("~/.urs_cookies"), "a").close()
+
+
+def _fetch(url, output_fld: Path, session=None, timeout=600):
+    """Resumable streamed download (the wget --continue role)."""
+    import requests
+
+    session = session or requests.Session()
+    output_fld = Path(output_fld)
+    output_fld.mkdir(parents=True, exist_ok=True)
+    fname = url.rstrip("/").split("/")[-1].split("?")[0]
+    dest = output_fld / fname
+    headers = {}
+    mode = "wb"
+    if dest.exists():
+        headers["Range"] = f"bytes={dest.stat().st_size}-"
+        mode = "ab"
+    r = session.get(url, headers=headers, stream=True, timeout=timeout)
+    if r.status_code == 416:  # already complete
+        return dest
+    if r.status_code == 200 and mode == "ab":
+        mode = "wb"  # server ignored Range; restart
+    r.raise_for_status()
+    with open(dest, mode) as f:
+        for chunk in r.iter_content(1 << 20):
+            f.write(chunk)
+    return dest
+
+
+class downloader:
+    """Region + date-window data fetchers (reference downloader.py:40-57)."""
+
+    def __init__(self, latll, latur, lonll, lonur, datestart: str, dateend: str):
+        self.latll = latll
+        self.latur = latur
+        self.lonll = lonll
+        self.lonur = lonur
+        self.datestart = datestart
+        self.dateend = dateend
+
+    # -- shared GES-DISC subset workflow ------------------------------------
+    def _gesdisc_subset(self, dataset_id: str, output_fld: Path, dry_run=False,
+                        poll_seconds=5):
+        """Submit a JSON-WSP subset job, poll, fetch the result URLs
+        (reference downloader.py:157-219, :318-404, :528-587)."""
+        import requests
+
+        request = {
+            "methodname": "subset",
+            "type": "jsonwsp/request",
+            "version": "1.0",
+            "args": {"role": "subset",
+                     "start": self.datestart + "T00:00:00.000Z",
+                     "end": self.dateend + "T23:59:59.999Z",
+                     "box": [self.lonll, self.latll, self.lonur, self.latur],
+                     "data": [{"datasetId": dataset_id}]},
+        }
+        hdrs = {"Content-Type": "application/json", "Accept": "application/json"}
+        resp = requests.post(GESDISC_SUBSET_URL, data=json.dumps(request), headers=hdrs).json()
+        job_id = resp["result"]["jobId"]
+        status_request = {"methodname": "GetStatus", "version": "1.0",
+                          "type": "jsonwsp/request", "args": {"jobId": job_id}}
+        while resp["result"]["Status"] in ("Accepted", "Running"):
+            sleep(poll_seconds)
+            resp = requests.post(GESDISC_SUBSET_URL, data=json.dumps(status_request),
+                                 headers=hdrs).json()
+            print("Job status: %s (%d%% complete)" %
+                  (resp["result"]["Status"], resp["result"].get("PercentCompleted", 0)))
+        if resp["result"]["Status"] != "Succeeded":
+            raise RuntimeError(f"GES-DISC job failed: {resp['result']}")
+        urls = [u.strip() for u in requests.get(GESDISC_RESULTS_URL + job_id).text.split("\n") if u.strip()]
+        if dry_run:
+            return urls
+        for url in urls:
+            _fetch(url, output_fld)
+        return urls
+
+    # -- per-product methods --------------------------------------------------
+    def download_tropomi_l2(self, product_tag: str, output_fld: Path,
+                            product_name=None, username=None, password=None,
+                            dry_run=False):
+        """TROPOMI L2 via GES-DISC (reference downloader.py:133-219)."""
+        _setup_netrc(username, password)
+        product = {"NO2": "S5P_L2__NO2____HiR_2", "HCHO": "S5P_L2__HCHO___HiR_2"}.get(product_tag)
+        if product_name is not None:
+            product = product_name
+        if product is None:
+            raise ValueError(f"unsupported TROPOMI product {product_tag}")
+        return self._gesdisc_subset(product, output_fld, dry_run=dry_run)
+
+    def download_omi_l2(self, product_tag: str, output_fld: Path, product_name=None,
+                        username=None, password=None, dry_run=False):
+        """OMI L2 via GES-DISC (reference downloader.py:318-404)."""
+        _setup_netrc(username, password)
+        product = {"NO2": "OMNO2_003", "O3": "OMTO3_003"}.get(product_tag)
+        if product_name is not None:
+            product = product_name
+        if product is None:
+            raise ValueError(f"unsupported OMI product {product_tag}")
+        return self._gesdisc_subset(product, output_fld, dry_run=dry_run)
+
+    def download_ssmis(self, product_tag: str, output_fld: Path, product_name=None,
+                       username=None, password=None, dry_run=False):
+        """SSMIS monthly WV via GES-DISC (reference downloader.py:505-587)."""
+        _setup_netrc(username, password)
+        return self._gesdisc_subset(product_name or "rssmif16m", output_fld, dry_run=dry_run)
+
+    def _tempo_earthaccess(self, short_name: str, output_fld: Path,
+                           username=None, password=None, version="V03"):
+        """TEMPO via earthaccess (reference downloader.py:219-316)."""
+        try:
+            import earthaccess
+        except ImportError as e:
+            raise RuntimeError(
+                "earthaccess is not installed; TEMPO downloads need it "
+                "(pip install earthaccess)") from e
+        _setup_netrc(username, password)
+        earthaccess.login()
+        results = earthaccess.search_data(
+            short_name=short_name, version=version,
+            temporal=(self.datestart + " 00:00:00", self.dateend + " 23:59:59"),
+            bounding_box=(self.lonll, self.latll, self.lonur, self.latur))
+        for r in results:
+            print(r.data_links()[0].split("/")[-1])
+            earthaccess.download(r, local_path=str(output_fld))
+        return results
+
+    def download_tempo_L2(self, product_tag: str, output_fld: Path, product_name=None,
+                          username=None, password=None):
+        short = product_name or {"NO2": "TEMPO_NO2_L2", "HCHO": "TEMPO_HCHO_L2"}[product_tag]
+        return self._tempo_earthaccess(short, output_fld, username, password)
+
+    def download_tempo_L3(self, product_tag: str, output_fld: Path, product_name=None,
+                          username=None, password=None):
+        short = product_name or {"NO2": "TEMPO_NO2_L3", "HCHO": "TEMPO_HCHO_L3"}[product_tag]
+        return self._tempo_earthaccess(short, output_fld, username, password)
+
+    def download_mopitt_l2(self, output_fld: Path, dry_run=False):
+        """MOPITT L3 via the LaRC OPeNDAP directory listing
+        (reference downloader.py:406-435)."""
+        import requests
+        from bs4 import BeautifulSoup
+
+        start = datetime.date.fromisoformat(self.datestart)
+        end = datetime.date.fromisoformat(self.dateend)
+        urls = []
+        for day in _daterange(start, end):
+            base = (f"https://opendap.larc.nasa.gov/opendap/MOPITT/MOP03J.009/"
+                    f"{day.year}.{day.month:02}.{day.day:02}/")
+            soup = BeautifulSoup(requests.get(base).text, "html.parser")
+            for link in soup.find_all("a"):
+                href = link.get("href") or ""
+                if href.startswith("MOP03J") and href.endswith("he5"):
+                    urls.append(base + href)
+        urls = sorted(set(urls))
+        if not dry_run:
+            for url in urls:
+                _fetch(url, output_fld)
+        return urls
+
+    def merra2_gmi(self, output_fld: Path, dry_run=False):
+        """MERRA2-GMI day files from the NCCS datashare portal
+        (reference downloader.py:437-474)."""
+        start = datetime.date.fromisoformat(self.datestart)
+        end = datetime.date.fromisoformat(self.dateend)
+        urls = []
+        for day in _daterange(start, end):
+            for coll in ("tavg3_3d_tac_Nv", "tavg3_3d_met_Nv"):
+                urls.append(
+                    "https://portal.nccs.nasa.gov/datashare/merra2_gmi/"
+                    f"Y{day.year}/M{day.month:02}/MERRA2_GMI.{coll}."
+                    f"{day.year}{day.month:02}{day.day:02}.nc4")
+        if not dry_run:
+            for url in urls:
+                _fetch(url, output_fld)
+        return urls
+
+    def omi_hcho_cfa(self, output_fld: Path, dry_run=False):
+        """OMI-HCHO from the SAO archive directory listing
+        (reference downloader.py:476-503)."""
+        import requests
+        from bs4 import BeautifulSoup
+
+        start = datetime.date.fromisoformat(self.datestart)
+        end = datetime.date.fromisoformat(self.dateend)
+        urls = []
+        for day in _daterange(start, end):
+            base = ("https://waps.cfa.harvard.edu/sao_atmos/data/omi_hcho/OMI-HCHO-L2/"
+                    f"{day.year}/{day.month:02}/{day.day:02}/")
+            soup = BeautifulSoup(requests.get(base).text, "html.parser")
+            for link in soup.find_all("a"):
+                href = link.get("href") or ""
+                if href.endswith(".nc") or href.endswith(".he5"):
+                    urls.append(base + href)
+        if not dry_run:
+            for url in urls:
+                _fetch(url, output_fld)
+        return urls

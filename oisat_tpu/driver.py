@@ -47,6 +47,11 @@ class oisatgmi:
                   mcip_dir=None, tempo_hour=None, control_free="control_free.yml"):
         from oisat_tpu.readers import readers
 
+        # the reference job runner passes read_AK as the *string* "False"
+        # for FREE runs (reference run/job.py:21-23) and compares with
+        # `== True` downstream; normalize to a real bool here.
+        if isinstance(read_ak, str):
+            read_ak = read_ak.lower() == "true"
         reader_obj = readers()
         reader_obj.add_ctm_data(ctm_type, Path(ctm_path), mcip_dir=mcip_dir)
         reader_obj.read_ctm_data(YYYYMM, ctm_gas_name, frequency_opt=ctm_frequency,

@@ -13,7 +13,38 @@ import numpy as np
 
 import h5py
 
-__all__ = ["write_diag_nc", "read_diag_nc"]
+__all__ = ["write_diag_nc", "read_diag_nc", "write_nc"]
+
+
+def write_nc(path, dims: dict, variables: dict, global_attrs: dict | None = None):
+    """Generic netCDF4-compatible writer.
+
+    ``dims``: name -> 1-D coordinate values (or int size for a bare dim).
+    ``variables``: name -> (dim_names tuple, data array, attrs dict).
+    Used for ExtData-style outputs (scaling factors, OH fields, emissions)
+    consumed by GMI runs (reference tools/convert2EXT.py:45-124 etc.).
+    """
+    with h5py.File(path, "w") as f:
+        scales = {}
+        for name, vals in dims.items():
+            if np.isscalar(vals):
+                data = np.arange(int(vals), dtype=np.float64)
+            else:
+                data = np.asarray(vals)
+            d = f.create_dataset(name, data=data)
+            d.make_scale(name)
+            scales[name] = d
+        for name, (dnames, data, attrs) in variables.items():
+            if name in scales:
+                ds = scales[name]
+            else:
+                ds = f.create_dataset(name, data=np.asarray(data))
+                for i, dn in enumerate(dnames):
+                    ds.dims[i].attach_scale(scales[dn])
+            for k, v in (attrs or {}).items():
+                ds.attrs[k] = v
+        for k, v in (global_attrs or {}).items():
+            f.attrs[k] = v
 
 
 def write_diag_nc(path, fields: dict, time_string: str):

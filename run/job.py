@@ -1,0 +1,84 @@
+"""Month-job runner: ``python job.py <year> <month>`` with control.yml in cwd.
+
+Behavioral equivalent of the reference job runner (reference run/job.py:1-86):
+sensor-specific pipeline dispatch (TEMPO loops 24 UTC hours with per-hour
+fault tolerance; MOPITT/GOSAT use AK convolution; SSMIS computes PWV; the
+rest recalculate AMFs), month-end date arithmetic included.
+"""
+
+import sys
+from pathlib import Path
+
+import yaml
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from oisat_tpu import oisatgmi  # noqa: E402
+
+
+def load_control(path="./control.yml"):
+    with open(path, "r") as stream:
+        return yaml.safe_load(stream)
+
+
+def month_window(year: int, month: int):
+    start = f"{year}-{month:02}-01"
+    if month != 12:
+        end = f"{year}-{month + 1:02}-01"
+    else:
+        end = f"{year + 1}-01-01"
+    return start, end
+
+
+def run_month(ctrl, year: int, month: int):
+    ctm_name = ctrl["ctm_name"]
+    read_ak = "False" if ctm_name == "FREE" else ctrl["read_AK"]
+    gas = ctrl["gas"]
+    sensor = ctrl["sensor"]
+    start, end = month_window(year, month)
+    common = dict(
+        averaging=ctrl["ctm_avg"], read_ak=read_ak, trop=ctrl["troposphere_only"],
+        num_job=int(ctrl["num_job"]), mcip_dir=Path(ctrl.get("mcip_dir") or "."),
+    )
+
+    if sensor == "TEMPO":
+        for hour in range(0, 24):
+            try:
+                obj = oisatgmi()
+                obj.read_data(ctm_name, Path(ctrl["ctm_dir"]), gas, ctrl["ctm_freq"],
+                              sensor + "_" + gas, Path(ctrl["sat_dir"]),
+                              f"{year}{month:02}", tempo_hour=hour, **common)
+                if ctrl.get("save_daily"):
+                    obj.savedaily("./diag_mat/", gas, f"{year}{month:02}_{hour}UTC")
+                obj.average(start, end, gasname=gas)
+                obj.bias_correct(sensor, gas)
+                obj.oi(sensor, error_ctm=ctrl["ctm_error"])
+                tag = f"{gas}_{year}{month:02}_{hour}UTC"
+                obj.reporting(tag, gas, ctrl["output_pdf_dir"])
+                obj.write_to_nc(tag, ctrl["output_nc_dir"])
+            except Exception as e:
+                print(f"Error processing hour {hour}: {e}")
+        return
+
+    obj = oisatgmi()
+    obj.read_data(ctm_name, Path(ctrl["ctm_dir"]), gas, ctrl["ctm_freq"],
+                  sensor + "_" + gas, Path(ctrl["sat_dir"]), f"{year}{month:02}", **common)
+    if sensor in ("MOPITT", "GOSAT"):
+        obj.conv_ak(sensor)
+    elif sensor == "SSMIS":
+        obj.cal_pwv()
+    else:
+        obj.recal_amf()
+    if ctrl.get("save_daily"):
+        obj.savedaily(ctrl["output_nc_dir"], gas, f"{year}_{month:02}")
+    obj.average(start, end, gasname=gas)
+    obj.bias_correct(sensor, gas)
+    obj.oi(sensor, error_ctm=ctrl["ctm_error"])
+    tag = f"{gas}_{year}{month:02}"
+    obj.reporting(tag, gas, ctrl["output_pdf_dir"])
+    obj.write_to_nc(tag, ctrl["output_nc_dir"])
+
+
+if __name__ == "__main__":
+    ctrl = load_control()
+    run_month(ctrl, int(sys.argv[1]), int(sys.argv[2]))

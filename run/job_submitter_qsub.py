@@ -1,0 +1,5 @@
+"""PBS submitter (reference run/job_submitter_qsub.py): drop-in name."""
+from job_submitter import submit
+
+if __name__ == "__main__":
+    submit(scheduler="qsub")

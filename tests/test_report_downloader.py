@@ -1,0 +1,59 @@
+import os
+
+import numpy as np
+import pytest
+
+from oisat_tpu.downloader import downloader, _setup_netrc
+from oisat_tpu.report import report
+
+
+def test_report_pdf(tmp_path):
+    H, W = 16, 24
+    rng = np.random.default_rng(0)
+    lon, lat = np.meshgrid(np.linspace(-10, 10, W), np.linspace(30, 45, H))
+    f = lambda: np.abs(rng.normal(3, 1, (H, W)))
+    path = report(lon, lat, f(), f(), f(), f(), f() - 3, np.clip(f() / 4, 0, 1), f(),
+                  f(), f(), "NO2_201907", str(tmp_path), "NO2")
+    assert os.path.exists(path)
+    assert os.path.getsize(path) > 10000  # title page + 9 maps
+    with open(path, "rb") as fh:
+        assert fh.read(5) == b"%PDF-"
+
+
+def test_report_xcol_branch(tmp_path):
+    H, W = 8, 10
+    lon, lat = np.meshgrid(np.linspace(-10, 10, W), np.linspace(30, 45, H))
+    z = np.ones((H, W))
+    path = report(lon, lat, z * 2000, z * 2000, z * 1800, z * 10, z * 0, z * 0.5,
+                  z * 10, z * 1800, z * 1820, "CH4_201006", str(tmp_path), "CH4")
+    assert os.path.exists(path)
+
+
+def test_report_unknown_gas(tmp_path):
+    with pytest.raises(ValueError):
+        report(np.zeros((2, 2)), np.zeros((2, 2)), *([np.zeros((2, 2))] * 9),
+               "X_1", str(tmp_path), "XYZ")
+
+
+def test_merra2_urls():
+    d = downloader(20, 60, -135, -55, "2019-07-01", "2019-07-03")
+    urls = d.merra2_gmi("/nonexistent", dry_run=True)
+    assert len(urls) == 4  # 2 days x (tac, met)
+    assert urls[0] == ("https://portal.nccs.nasa.gov/datashare/merra2_gmi/Y2019/M07/"
+                       "MERRA2_GMI.tavg3_3d_tac_Nv.20190701.nc4")
+    assert "met_Nv.20190702" in urls[3]
+
+
+def test_netrc_setup(tmp_path, monkeypatch):
+    monkeypatch.setenv("HOME", str(tmp_path))
+    _setup_netrc("alice", "secret")
+    body = open(tmp_path / ".netrc").read()
+    assert "machine urs.earthdata.nasa.gov login alice password secret" in body
+    assert oct(os.stat(tmp_path / ".netrc").st_mode & 0o777) == "0o600"
+    assert (tmp_path / ".urs_cookies").exists()
+
+
+def test_tempo_requires_earthaccess(tmp_path):
+    d = downloader(20, 60, -135, -55, "2023-09-01", "2023-09-02")
+    with pytest.raises(RuntimeError, match="earthaccess"):
+        d.download_tempo_L2("NO2", tmp_path)

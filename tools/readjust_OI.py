@@ -1,0 +1,58 @@
+"""Re-run the OI stage from saved diagnostic files — no L2 re-read needed.
+
+Equivalent of reference tools/readjust_OI.py:1-110, which demonstrates the
+stage-boundary resume pattern (diag netCDF -> new OI -> new diag).  Two
+reference defects fixed, both documented: its OI call is syntactically
+broken (missing comma, readjust_OI.py:45-46) and it reads ``old_amf``/
+``new_amf`` variables the diag writer never emits (driver.py writes
+``aux1``/``aux2``) — we read the aux pair and pass it through.
+
+Usage: python readjust_OI.py <diag_folder> <out_folder> [error_ctm_percent]
+"""
+
+import glob
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax.numpy as jnp  # noqa: E402
+
+from oisat_tpu.ncwriter import read_diag_nc, write_diag_nc  # noqa: E402
+from oisat_tpu.ops.oi import oi  # noqa: E402
+
+
+def readjust(diag_folder, out_folder, error_ctm=50.0):
+    os.makedirs(out_folder, exist_ok=True)
+    outputs = []
+    for fname in sorted(glob.glob(os.path.join(str(diag_folder), "*.nc"))):
+        print("Now processing " + fname)
+        fields, tstr = read_diag_nc(fname)
+        xa = np.asarray(fields["ctm_averaged_vcd_prior"], np.float64)
+        y = np.asarray(fields["sat_averaged_vcd"], np.float64)
+        so = np.asarray(fields["sat_averaged_error"], np.float64) ** 2
+        sa = (xa * error_ctm / 100.0) ** 2
+        res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so))
+        xb = np.asarray(res.xb)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sf = xb / xa
+        sf = np.where(np.isnan(sf) | np.isinf(sf) | (sf == 0.0), 1.0, sf)
+        out = dict(fields)
+        out.update({
+            "ctm_averaged_vcd_posterior": xb,
+            "ak_OI": np.asarray(res.averaging_kernel),
+            "error_OI": np.asarray(res.error),
+            "scaling_factor": sf,
+        })
+        path = os.path.join(str(out_folder), os.path.basename(fname))
+        write_diag_nc(path, out, tstr)
+        outputs.append(path)
+    return outputs
+
+
+if __name__ == "__main__":
+    err = float(sys.argv[3]) if len(sys.argv) > 3 else 50.0
+    readjust(sys.argv[1], sys.argv[2], err)
