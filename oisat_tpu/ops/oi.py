@@ -105,11 +105,15 @@ def oi(
     sa: jax.Array,
     so: jax.Array,
     regularization_on: bool = True,
+    curve_impl: str = "auto",
 ) -> OIResult:
     """OI update. ``xa``: prior, ``y``: obs, ``sa``/``so``: error variances.
 
     All inputs share one shape; NaN marks missing cells and propagates.
-    ``regularization_on`` is static (two trace variants).
+    ``regularization_on`` is static (two trace variants).  ``curve_impl``
+    selects the regularization-curve engine: "xla" (lax.scan), "pallas"
+    (fused VMEM-resident kernel, ~3x faster on TPU), or "auto" (pallas on
+    the TPU backend for float32 grids above 2^16 cells).
     """
     dtype = jnp.result_type(xa, y, sa, so)
     xa = xa.astype(dtype)
@@ -126,7 +130,20 @@ def oi(
         regs_np = np.array([1.0])
     regs = jnp.asarray(regs_np, dtype=dtype)
 
-    curve = ak_curve(sa, so, regs)
+    if curve_impl == "auto":
+        use_pallas = (
+            jax.default_backend() == "tpu"
+            and dtype == jnp.float32
+            and int(np.prod(xa.shape)) >= 1 << 16
+        )
+    else:
+        use_pallas = curve_impl == "pallas"
+    if use_pallas:
+        from oisat_tpu.ops.kernels.oi_scan import ak_curve_pallas
+
+        curve = ak_curve_pallas(sa, so, regs).astype(dtype)
+    else:
+        curve = ak_curve(sa, so, regs)
     if regularization_on:
         reg_index = kneedle_index(jnp.asarray(regs_np, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32), curve, fallback=0)
     else:

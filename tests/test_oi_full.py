@@ -1,0 +1,102 @@
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from oisat_tpu.ops.kernels.covariance import build_covariance, build_covariance_reference
+from oisat_tpu.ops.kernels.oi_scan import ak_curve_pallas
+from oisat_tpu.ops.oi import ak_curve, oi, regularization_grid
+from oisat_tpu.ops.oi_full import oi_full
+
+
+def test_covariance_matches_reference():
+    rng = np.random.default_rng(0)
+    n = 256
+    lat = rng.uniform(20, 60, n)
+    lon = rng.uniform(-130, -60, n)
+    sig = np.abs(rng.normal(1.5, 0.3, n))
+    ref = build_covariance_reference(lat, lon, sig, 300.0)
+    got = np.asarray(build_covariance(lat, lon, sig, 300.0, tile=128))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=1e-6)
+    # symmetric with sigma^2 on the diagonal
+    np.testing.assert_allclose(got, got.T, rtol=0, atol=1e-6)
+    np.testing.assert_allclose(np.diag(got), sig**2, rtol=2e-6)
+
+
+def test_pallas_curve_matches_xla():
+    rng = np.random.default_rng(1)
+    n = 40_000
+    sa = np.abs(rng.normal(2, 1, n))
+    so = np.abs(rng.normal(1, 0.5, n))
+    sa[rng.random(n) < 0.2] = np.nan
+    sa[rng.random(n) < 0.03] = 0.0
+    regs = regularization_grid().astype(np.float32)
+    ref = np.asarray(ak_curve(jnp.asarray(sa, jnp.float32), jnp.asarray(so, jnp.float32),
+                              jnp.asarray(regs)))
+    got = np.asarray(ak_curve_pallas(sa, so, regs))
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_oi_curve_impl_equivalence():
+    rng = np.random.default_rng(2)
+    shape = (64, 128)
+    xa = np.abs(rng.normal(3, 1, shape)).astype(np.float32)
+    y = (xa * 1.2).astype(np.float32)
+    sa = ((xa * 0.5) ** 2).astype(np.float32)
+    so = np.full(shape, 0.2, np.float32)
+    r1 = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so), curve_impl="xla")
+    r2 = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so), curve_impl="pallas")
+    assert int(r1.reg_index) == int(r2.reg_index)
+    np.testing.assert_allclose(np.asarray(r1.xb), np.asarray(r2.xb), rtol=1e-6)
+
+
+def test_oi_full_zero_length_matches_diagonal():
+    """L -> 0 turns B diagonal: the full solve must agree with the scalar
+    per-cell update at the same (unit) regularization."""
+    rng = np.random.default_rng(3)
+    H, W = 12, 16
+    xa = np.abs(rng.normal(3, 1, (H, W)))
+    y = np.abs(rng.normal(3, 1, (H, W)))
+    sigb = np.abs(rng.normal(1.0, 0.2, (H, W)))
+    sigo = np.abs(rng.normal(0.6, 0.1, (H, W)))
+    xa[0, 0] = np.nan  # a missing cell
+    lon, lat = np.meshgrid(np.linspace(-10, 10, W), np.linspace(30, 45, H))
+    res = oi_full(xa, y, sigb, sigo, lat, lon, length_scale_km=1e-3)
+    ref = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sigb**2), jnp.asarray(sigo**2),
+             regularization_on=False)
+    m = np.isfinite(np.asarray(ref.xb)) & np.isfinite(res.xb)
+    assert m.sum() > 100
+    np.testing.assert_allclose(res.xb[m], np.asarray(ref.xb)[m], rtol=2e-4, atol=1e-4)
+    np.testing.assert_allclose(res.averaging_kernel[m], np.asarray(ref.averaging_kernel)[m],
+                               rtol=2e-3, atol=2e-4)
+    assert np.isnan(res.xb[0, 0])
+
+
+def test_oi_full_spreads_information():
+    """With a long correlation length, a single observation must update
+    neighbouring cells (the defining upgrade over the diagonal OI)."""
+    H, W = 8, 16
+    lon, lat = np.meshgrid(np.linspace(0, 15, W), np.linspace(40, 47, H))
+    xa = np.full((H, W), 2.0)
+    y = np.full((H, W), np.nan)
+    y[4, 8] = 4.0  # one observation
+    sigb = np.full((H, W), 1.0)
+    sigo = np.full((H, W), 0.1)
+    # only the observed cell is "valid": NaN y elsewhere is compacted out,
+    # so build a variant where y is observed everywhere but informative in
+    # one cell (tight obs error there, huge elsewhere)
+    y2 = np.full((H, W), 2.0)
+    y2[4, 8] = 4.0
+    sigo2 = np.full((H, W), 1e3)
+    sigo2[4, 8] = 0.1
+    res = oi_full(xa, y2, sigb, sigo2, lat, lon, length_scale_km=200.0)
+    assert res.xb[4, 8] > 3.5  # strong local update
+    assert res.xb[4, 9] > 2.2  # neighbour pulled up through B
+    assert abs(res.xb[0, 0] - 2.0) < 0.2  # far cells barely move
+    res0 = oi_full(xa, y2, sigb, sigo2, lat, lon, length_scale_km=1e-3)
+    assert abs(res0.xb[4, 9] - 2.0) < 1e-3  # diagonal B: no spread
+
+
+def test_oi_full_all_nan():
+    nanf = np.full((4, 8), np.nan)
+    res = oi_full(nanf, nanf, nanf, nanf, nanf, nanf, 100.0)
+    assert np.isnan(res.xb).all()
