@@ -19,6 +19,7 @@ from oisat_tpu.obs_operators import ak_conv_gosat, ak_conv_mopitt, amf_recal, pw
 from oisat_tpu.ops.averaging import averaging
 from oisat_tpu.ops.oi import oi as oi_op
 from oisat_tpu.ncwriter import write_diag_nc
+from oisat_tpu.utils.profiling import stage
 
 __all__ = ["oisatgmi", "BIAS_CORRECTIONS"]
 
@@ -54,21 +55,25 @@ class oisatgmi:
             read_ak = read_ak.lower() == "true"
         reader_obj = readers()
         reader_obj.add_ctm_data(ctm_type, Path(ctm_path), mcip_dir=mcip_dir)
-        reader_obj.read_ctm_data(YYYYMM, ctm_gas_name, frequency_opt=ctm_frequency,
-                                 averaging=averaging, num_job=num_job,
-                                 control_free=control_free)
+        with stage("read_ctm"):
+            reader_obj.read_ctm_data(YYYYMM, ctm_gas_name, frequency_opt=ctm_frequency,
+                                     averaging=averaging, num_job=num_job,
+                                     control_free=control_free)
         reader_obj.add_satellite_data(sat_type, Path(sat_path))
-        reader_obj.read_satellite_data(YYYYMM, read_ak=read_ak, trop=trop,
-                                       num_job=num_job, tempo_hour=tempo_hour)
+        with stage("read_satellite"):
+            reader_obj.read_satellite_data(YYYYMM, read_ak=read_ak, trop=trop,
+                                           num_job=num_job, tempo_hour=tempo_hour)
         self.reader_obj = reader_obj
         self.gasname = ctm_gas_name[0]
 
     # -- observation operators (reference driver.py:36-51) ------------------
     def recal_amf(self):
-        self.reader_obj.sat_data = amf_recal(self.reader_obj.ctm_data, self.reader_obj.sat_data)
+        with stage("amf_recal"):
+            self.reader_obj.sat_data = amf_recal(self.reader_obj.ctm_data, self.reader_obj.sat_data)
 
     def cal_pwv(self):
-        self.reader_obj.sat_data = pwv_calculator(self.reader_obj.ctm_data, self.reader_obj.sat_data)
+        with stage("pwv"):
+            self.reader_obj.sat_data = pwv_calculator(self.reader_obj.ctm_data, self.reader_obj.sat_data)
 
     def conv_ak(self, sensor: str):
         if sensor == "MOPITT":
@@ -78,6 +83,10 @@ class oisatgmi:
 
     # -- analysis (reference driver.py:53-114) -------------------------------
     def average(self, startdate: str, enddate: str, gasname=None):
+        with stage("average"):
+            self._average_impl(startdate, enddate, gasname)
+
+    def _average_impl(self, startdate, enddate, gasname):
         (self.sat_averaged_vcd, self.sat_averaged_error, self.ctm_averaged_vcd,
          self.aux1, self.aux2, self.avg_time) = averaging(startdate, enddate, self.reader_obj)
         if gasname == "O3":
@@ -94,6 +103,10 @@ class oisatgmi:
             print("NOT applying the bias correction for satellite VCDs")
 
     def oi(self, sensor: str, error_ctm=50.0):
+        with stage("oi"):
+            self._oi_impl(sensor, error_ctm)
+
+    def _oi_impl(self, sensor, error_ctm):
         if sensor != "GOSAT":
             xa, y = self.ctm_averaged_vcd, self.sat_averaged_vcd
         else:
@@ -108,6 +121,26 @@ class oisatgmi:
         self.ak_OI = np.asarray(res.averaging_kernel)
         self.increment_OI = np.asarray(res.increment)
         self.error_OI = np.asarray(res.error)
+
+    # -- stage-boundary checkpointing (extension; SURVEY.md §5) --------------
+    def save_state(self, path):
+        """Persist the processed granule list; ``average → oi →
+        write_to_nc`` can later resume from it without re-reading L2."""
+        from oisat_tpu.utils.granule_store import save_granules
+
+        save_granules(path, self.reader_obj.sat_data)
+
+    def load_state(self, path, ctm_data=None):
+        """Resume from a granule checkpoint (inverse of save_state)."""
+        from types import SimpleNamespace
+
+        from oisat_tpu.utils.granule_store import load_granules
+
+        sat = load_granules(path)
+        if getattr(self, "reader_obj", None) is None:
+            self.reader_obj = SimpleNamespace(ctm_data=ctm_data or [], sat_data=sat)
+        else:
+            self.reader_obj.sat_data = sat
 
     # -- outputs (reference driver.py:115-227) --------------------------------
     def _first_valid(self):

@@ -1,0 +1,77 @@
+import json
+import time
+
+import numpy as np
+
+from oisat_tpu.datamodel import satellite_amf, satellite_ssmis
+from oisat_tpu.utils.granule_store import load_granules, save_granules
+from oisat_tpu.utils.profiling import report, reset, stage
+
+
+def test_stage_timing():
+    reset()
+    with stage("alpha"):
+        time.sleep(0.01)
+    with stage("alpha"):
+        pass
+    rep = json.loads(report())
+    assert rep["alpha"]["count"] == 2
+    assert rep["alpha"]["total_s"] >= 0.01
+
+
+def test_granule_store_roundtrip(tmp_path):
+    import datetime
+
+    g1 = satellite_amf(
+        vcd=np.ones((4, 5)), amf=np.full((4, 5), 2.0),
+        time=datetime.datetime(2019, 7, 4, 13, 30),
+        tropopause=np.empty((1,)), latitude_center=np.zeros((4, 5)),
+        longitude_center=np.zeros((4, 5)), latitude_corner=[], longitude_corner=[],
+        uncertainty=np.ones((4, 5)), quality_flag=[], pressure_mid=np.ones((3, 4, 5)),
+        scattering_weights=np.ones((3, 4, 5)), ctm_upscaled_needed=True,
+        ctm_vcd=np.ones((4, 5)), ctm_time_at_sat=[], old_amf=[], new_amf=np.ones((4, 5)))
+    g2 = satellite_ssmis(vcd=np.ones((2, 2)), uncertainty=np.ones((2, 2)),
+                         time=datetime.datetime(2010, 1, 1),
+                         latitude_center=np.zeros((2, 2)), longitude_center=np.zeros((2, 2)),
+                         ctm_upscaled_needed=False, ctm_vcd=[], sensor="SSMI")
+    path = tmp_path / "store.h5"
+    save_granules(path, [g1, None, g2])
+    back = load_granules(path)
+    assert back[1] is None
+    assert isinstance(back[0], satellite_amf)
+    assert back[0].time == g1.time
+    assert back[0].ctm_upscaled_needed is True
+    np.testing.assert_array_equal(back[0].pressure_mid, g1.pressure_mid)
+    assert back[2].sensor == "SSMI"
+    assert back[0].old_amf == []
+
+
+def test_driver_state_roundtrip(tmp_path):
+    """average→oi from a checkpoint, no reader involved."""
+    import datetime
+
+    from oisat_tpu.driver import oisatgmi
+
+    rng = np.random.default_rng(0)
+    H, W = 10, 12
+    gran = satellite_amf(
+        vcd=np.abs(rng.normal(3, 1, (H, W))), amf=np.full((H, W), 2.0),
+        time=datetime.datetime(2019, 7, 5), tropopause=np.empty((1,)),
+        latitude_center=np.zeros((H, W)), longitude_center=np.zeros((H, W)),
+        latitude_corner=[], longitude_corner=[],
+        uncertainty=np.abs(rng.normal(1, .2, (H, W))), quality_flag=[],
+        pressure_mid=np.ones((3, H, W)), scattering_weights=np.ones((3, H, W)),
+        ctm_vcd=np.abs(rng.normal(3, 1, (H, W))), ctm_time_at_sat=[],
+        old_amf=np.full((H, W), 2.0), new_amf=np.full((H, W), 2.1))
+    obj = oisatgmi()
+    from types import SimpleNamespace
+
+    obj.reader_obj = SimpleNamespace(ctm_data=[], sat_data=[gran])
+    obj.save_state(tmp_path / "ckpt.h5")
+
+    obj2 = oisatgmi()
+    obj2.load_state(tmp_path / "ckpt.h5")
+    obj2.average("2019-07-01", "2019-08-01")
+    obj2.bias_correct("OMI", "NO2")
+    obj2.oi("OMI")
+    assert np.isfinite(obj2.ctm_averaged_vcd_corrected).sum() > 50
