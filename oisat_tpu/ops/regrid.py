@@ -22,25 +22,55 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ["apply_plan", "boxfilter_same_symm", "apply_plan_arrays"]
+__all__ = ["apply_plan", "boxfilter_same_symm", "apply_plan_arrays", "pad_to_bucket"]
 
 
+def pad_to_bucket(n: int, min_size: int = 1024) -> int:
+    """Next power-of-two bucket for a ragged pixel count.
+
+    Granule sizes vary per file; padding the gather source to power-of-two
+    buckets bounds XLA recompiles to O(log) distinct shapes
+    (SURVEY.md §7 "hard parts" #2)."""
+    b = min_size
+    while b < n:
+        b *= 2
+    return b
+
+
+@jax.jit
 def apply_plan_arrays(z, idx, w, mask):
     """Apply sparse weights: ``out[..., t] = sum_k w[t,k] * z[..., idx[t,k]]``.
 
     ``z``: (..., Npix) source pixel values (NaN = bad — propagates exactly as
     the scipy interpolators do).  ``mask``: True -> NaN (too far / out of
-    hull).  Returns (..., T).
+    hull).  Returns (..., T).  Jitted: one dispatch per call (eager op-by-op
+    dispatch is expensive through the remote-device tunnel).
     """
     vals = jnp.take(z, idx, axis=-1)  # (..., T, K)
     out = jnp.sum(vals * w.astype(z.dtype), axis=-1)
     return jnp.where(mask, jnp.nan, out)
 
 
-def apply_plan(plan, z):
-    """Apply a host-built SparsePlan to ``z`` (..., Npix) -> (..., Ny, Nx)."""
+def apply_plan(plan, z, bucket: bool = True):
+    """Apply a host-built SparsePlan to ``z`` (..., Npix) -> (..., Ny, Nx).
+
+    ``bucket=True`` NaN-pads the pixel axis to a power-of-two bucket so
+    varying granule sizes reuse compiled programs.  Padding happens on host
+    (NumPy): an eager device pad would itself compile one program per
+    distinct shape — exactly what bucketing is here to avoid.
+    """
+    import numpy as _np
+
+    if bucket and not isinstance(z, jax.Array):
+        z = _np.asarray(z)
+        n = z.shape[-1]
+        b = pad_to_bucket(n)
+        if b != n:
+            pads = [(0, 0)] * (z.ndim - 1) + [(0, b - n)]
+            z = _np.pad(z, pads, constant_values=_np.nan)
+    z = jnp.asarray(z)
     out = apply_plan_arrays(
-        jnp.asarray(z), jnp.asarray(plan.idx), jnp.asarray(plan.w), jnp.asarray(plan.mask)
+        z, jnp.asarray(plan.idx), jnp.asarray(plan.w), jnp.asarray(plan.mask)
     )
     return out.reshape(z.shape[:-1] + plan.out_shape)
 

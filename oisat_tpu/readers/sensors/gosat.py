@@ -44,10 +44,10 @@ def filler_gosatxch4(grid_size: float, sat_data: satellite_opt, flag_thresh=0.75
                       lons, lats, method=2, threshold=grid_size, far_factor=1.0)
 
     def lin_apply(z):
-        return np.asarray(apply_plan(lin, jnp.asarray(np.asarray(z, np.float64))))
+        return np.asarray(apply_plan(lin, np.asarray(z, np.float64)))
 
     xch4 = lin_apply(np.asarray(sat_data.x_col) * mask)
-    quality_flag = np.asarray(apply_plan(near, jnp.asarray(mask)))
+    quality_flag = np.asarray(apply_plan(near, mask))
     uncertainty = np.sqrt(lin_apply(np.asarray(sat_data.uncertainty) ** 2 * mask))
     L = np.asarray(sat_data.pressure_mid).shape[0]
     aks = lin_apply(np.asarray(sat_data.averaging_kernels) * mask[None])

@@ -174,13 +174,13 @@ def regrid_granule(
         add3d("apriori_profile", sat_data.apriori_profile)
 
     batch = _stack(cols)  # (F, Npix)
-    fine = apply_plan(plan, jnp.asarray(batch, dtype))  # (F, Hf, Wf)
+    fine = apply_plan(plan, batch.astype(dtype))  # (F, Hf, Wf)
     gridded = np.asarray(upsc.apply(fine))  # (F, Ht, Wt)
     out = {n: gridded[i] for i, n in enumerate(names)}
 
     # error: interpolate variance, square-kernel filter, sqrt at the end
-    err_fine = apply_plan(plan, jnp.asarray(
-        _stack([np.asarray(sat_data.uncertainty, np.float64) ** 2 * mask]), dtype))
+    err_fine = apply_plan(
+        plan, _stack([np.asarray(sat_data.uncertainty, np.float64) ** 2 * mask]).astype(dtype))
     uncertainty = np.sqrt(np.asarray(upsc.apply(err_fine, error=True))[0])
 
     vcd = out["vcd"]
@@ -262,9 +262,9 @@ def regrid_ssmis_granule(
         return None
     upsc = make_upscaler(lons_fine, lats_fine, ctm_lon2d, ctm_lat2d,
                          grid_size, threshold_ctm, method=1, far_factor=1.0)
-    fine = apply_plan(plan, jnp.asarray(_stack([sat_data.vcd]), dtype))
+    fine = apply_plan(plan, _stack([sat_data.vcd]).astype(dtype))
     vcd = np.asarray(upsc.apply(fine))[0]
-    err_fine = apply_plan(plan, jnp.asarray(_stack([sat_data.uncertainty]), dtype))
+    err_fine = apply_plan(plan, _stack([sat_data.uncertainty]).astype(dtype))
     uncertainty = np.asarray(upsc.apply(err_fine, error=True))[0]
     return satellite_ssmis(
         vcd=vcd, uncertainty=uncertainty, time=sat_data.time,
