@@ -102,16 +102,37 @@ class oisatgmi:
         else:
             print("NOT applying the bias correction for satellite VCDs")
 
-    def oi(self, sensor: str, error_ctm=50.0):
-        with stage("oi"):
-            self._oi_impl(sensor, error_ctm)
+    def oi(self, sensor: str, error_ctm=50.0, method="scalar", length_scale_km=300.0):
+        """The analysis update.
 
-    def _oi_impl(self, sensor, error_ctm):
+        ``method="scalar"`` (default) is the reference's per-cell diagonal
+        update with the 99-factor regularization scan; ``method="full"``
+        uses the distance-decay background covariance and the blocked-
+        Cholesky Kalman solve (:mod:`oisat_tpu.ops.oi_full`) so one
+        observation updates its spatial neighbourhood.
+        """
+        with stage("oi"):
+            self._oi_impl(sensor, error_ctm, method, length_scale_km)
+
+    def _oi_impl(self, sensor, error_ctm, method="scalar", length_scale_km=300.0):
         if sensor != "GOSAT":
             xa, y = self.ctm_averaged_vcd, self.sat_averaged_vcd
         else:
             # GOSAT assimilates the xcol pair instead of VCD (reference driver.py:112-114)
             xa, y = self.aux2, self.aux1
+        if method == "full":
+            from oisat_tpu.ops.oi_full import oi_full
+
+            idx = self._first_valid()
+            sat = self.reader_obj.sat_data[idx]
+            res = oi_full(xa, y, np.asarray(xa) * error_ctm / 100.0,
+                          self.sat_averaged_error, sat.latitude_center,
+                          sat.longitude_center, length_scale_km)
+            self.ctm_averaged_vcd_corrected = res.xb
+            self.ak_OI = res.averaging_kernel
+            self.increment_OI = res.increment
+            self.error_OI = res.error
+            return
         sa = (np.asarray(xa) * error_ctm / 100.0) ** 2
         so = np.asarray(self.sat_averaged_error) ** 2
         res = oi_op(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so),

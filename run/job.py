@@ -48,6 +48,7 @@ def run_month(ctrl, year: int, month: int):
                 obj.read_data(ctm_name, Path(ctrl["ctm_dir"]), gas, ctrl["ctm_freq"],
                               sensor + "_" + gas, Path(ctrl["sat_dir"]),
                               f"{year}{month:02}", tempo_hour=hour, **common)
+                obj.recal_amf()
                 if ctrl.get("save_daily"):
                     obj.savedaily("./diag_mat/", gas, f"{year}{month:02}_{hour}UTC")
                 obj.average(start, end, gasname=gas)

@@ -141,3 +141,82 @@ def ak_conv_gosat_pixelwise(ctm_pmid, ctm_profile, sat_pmid, aks, apriori_profil
         model_xcol[np.isinf(x_col)] = np.nan
         model_xcol[np.isnan(x_col)] = np.nan
     return model_xcol
+
+
+def upscaler_scipy(X, Y, Z, ctm_lon, ctm_lat, grid_size, threshold, error=False):
+    """Reference _upscaler (interpolator.py:48-97) composed from scipy."""
+    from scipy.signal import convolve2d
+    from scipy.spatial import cKDTree
+
+    dlon = abs(ctm_lon[0, 0] - ctm_lon[0, 1])
+    dlat = abs(ctm_lat[0, 0] - ctm_lat[1, 0])
+    if not (dlon >= grid_size or dlat >= grid_size):
+        return X, Y, Z, True
+    kx = max(int(np.floor(dlon / grid_size)), 1)
+    ky = max(int(np.floor(dlat / grid_size)), 1)
+    denom = (ky * kx) ** 2 if error else ky * kx
+    Zf = convolve2d(Z, np.ones((ky, kx)) / denom, boundary="symm", mode="same")
+    pts = np.column_stack([X.ravel(), Y.ravel()])
+    tree = cKDTree(pts)
+    dists, idx = tree.query(np.column_stack([ctm_lon.ravel(), ctm_lat.ravel()]))
+    out = Zf.ravel()[idx].reshape(ctm_lon.shape).astype(np.float64).copy()
+    out[dists.reshape(ctm_lon.shape) > 2 * threshold] = np.nan
+    return ctm_lon, ctm_lat, out, False
+
+
+def interpolator_amf_scipy(interp_type, grid_size, sat, ctm_lon, ctm_lat, flag_thresh):
+    """Reference interpolator() for satellite_amf granules (interpolator.py:100-291),
+    composed directly from scipy primitives in float64."""
+    from scipy.interpolate import LinearNDInterpolator, NearestNDInterpolator
+    from scipy.spatial import Delaunay, cKDTree
+
+    threshold_ctm = np.hypot(abs(ctm_lon[0, 0] - ctm_lon[0, 1]),
+                             abs(ctm_lat[0, 0] - ctm_lat[1, 0]))
+    mask = (np.asarray(sat.quality_flag) > flag_thresh) * 1.0
+    mask[mask != 1.0] = np.nan
+    lon_g = np.arange(ctm_lon.min(), ctm_lon.max() + grid_size, grid_size)
+    lat_g = np.arange(ctm_lat.min(), ctm_lat.max() + grid_size, grid_size)
+    lons, lats = np.meshgrid(lon_g, lat_g)
+    pts = np.column_stack([np.asarray(sat.longitude_center, np.float64).ravel(),
+                           np.asarray(sat.latitude_center, np.float64).ravel()])
+    tree = cKDTree(pts)
+    dists, _ = tree.query(np.column_stack([lons.ravel(), lats.ravel()]))
+    dists = dists.reshape(lons.shape)
+    tri = Delaunay(pts) if interp_type < 3 else None
+
+    def interp(Z):
+        Zr = np.asarray(Z, np.float64).ravel()
+        if interp_type == 1:
+            out = LinearNDInterpolator(tri, Zr, fill_value=np.nan)((lons, lats))
+        elif interp_type == 2:
+            out = NearestNDInterpolator(pts, Zr)((lons, lats))
+        elif interp_type == 4:
+            _, idx = tree.query(np.column_stack([lons.ravel(), lats.ravel()]))
+            out = Zr[idx].reshape(lons.shape)
+        out = np.asarray(out, np.float64)
+        out[dists > 2 * grid_size] = np.nan
+        return out
+
+    def up(Z, error=False):
+        return upscaler_scipy(lons, lats, Z, ctm_lon, ctm_lat, grid_size,
+                              threshold_ctm, error=error)
+
+    _, _, vcd, upneeded = up(interp(sat.vcd * mask))
+    if np.isnan(np.nanmean(vcd)):
+        return None
+    _, _, amf, _ = up(interp(sat.amf * mask))
+    if np.size(sat.tropopause) != 1:
+        _, _, trop, _ = up(interp(sat.tropopause * mask))
+    else:
+        trop = np.empty((1,))
+    _, _, unc, _ = up(interp(np.asarray(sat.uncertainty, np.float64) ** 2 * mask), error=True)
+    unc = np.sqrt(unc)
+    if np.size(sat.scattering_weights) != 1:
+        nz = np.asarray(sat.pressure_mid).shape[0]
+        sws = np.stack([up(interp(sat.scattering_weights[z] * mask))[2] for z in range(nz)])
+        pmid = np.stack([up(interp(sat.pressure_mid[z] * mask))[2] for z in range(nz)])
+    else:
+        sws = np.empty((1,))
+        pmid = None
+    return dict(vcd=vcd, amf=amf, tropopause=trop, uncertainty=unc,
+                scattering_weights=sws, pressure_mid=pmid, upneeded=upneeded)

@@ -80,3 +80,35 @@ def test_submitter_scripts(tmp_path, monkeypatch):
     assert "./job.py 2019 5" in body
     scripts = sub.submit(scheduler="qsub", dry_run=True)
     assert "#PBS" in open(scripts[0]).read()
+
+
+def test_run_month_tempo_hour_loop(tmp_path, monkeypatch):
+    """TEMPO runs 24 per-hour pipelines with per-hour fault tolerance
+    (reference run/job.py:36-59): only hour 18 has data here, the other 23
+    hours fail internally and the job must still complete."""
+    import importlib.util
+
+    from tests.test_sensors import write_tempo_no2
+
+    sat_dir = tmp_path / "tempo"
+    sat_dir.mkdir()
+    write_tempo_no2(sat_dir / "TEMPO_NO2_L2_20230905T180000.nc")
+    ctrl = {
+        "python_bin": "python3", "debug": False, "save_daily": False, "num_job": 1,
+        "ctm_name": "FREE", "ctm_dir": str(tmp_path), "mcip_dir": str(tmp_path),
+        "ctm_freq": "hourly", "ctm_avg": False, "ctm_error": 50.0,
+        "gas": "NO2", "sensor": "TEMPO", "read_AK": False, "troposphere_only": True,
+        "sat_dir": str(sat_dir), "start_date": "2023-09", "end_date": "2023-09",
+        "output_pdf_dir": str(tmp_path / "report"), "output_nc_dir": str(tmp_path / "diag"),
+    }
+    with open(tmp_path / "control_free.yml", "w") as f:
+        f.write("lonll: -6.0\nlonur: 0.0\nlatll: 33.0\nlatur: 39.0\ngridsize: 0.5\n")
+    monkeypatch.chdir(tmp_path)
+    spec = importlib.util.spec_from_file_location(
+        "run_job", os.path.join(os.path.dirname(__file__), "..", "run", "job.py"))
+    run_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_job)
+    run_job.run_month(ctrl, 2023, 9)
+    assert (tmp_path / "diag" / "NO2_202309_18UTC.nc").exists()
+    # no diags for empty hours
+    assert not (tmp_path / "diag" / "NO2_202309_17UTC.nc").exists()

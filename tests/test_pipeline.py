@@ -138,3 +138,21 @@ def test_free_ctm(tmp_path):
     assert data[0].averaged is True
     assert data[0].latitude.shape == (31, 61)
     assert np.isnan(data[0].gas_profile).all()
+
+
+def test_driver_full_covariance_oi():
+    clon, clat = ctm_grid()
+    ctm = synthetic_ctm()
+    granules = [regrid_granule(1, 0.25, synthetic_granule(s, 4 + s), clon, clat,
+                               flag_thresh=0.5) for s in range(2)]
+    obj = oisatgmi()
+    obj.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=granules)
+    obj.recal_amf()
+    obj.average("2019-07-01", "2019-08-01")
+    obj.oi("OMI", error_ctm=50.0, method="full", length_scale_km=250.0)
+    m = np.isfinite(obj.ctm_averaged_vcd_corrected)
+    assert m.sum() > 50
+    assert np.nanmax(obj.ak_OI) <= 1.0 + 1e-6
+    # and the scalar method still works on the same state
+    obj.oi("OMI", error_ctm=50.0)
+    assert np.isfinite(obj.ctm_averaged_vcd_corrected).sum() > 50
