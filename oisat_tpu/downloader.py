@@ -85,7 +85,7 @@ class downloader:
 
     # -- shared GES-DISC subset workflow ------------------------------------
     def _gesdisc_subset(self, dataset_id: str, output_fld: Path, dry_run=False,
-                        poll_seconds=5):
+                        poll_seconds=0.05):
         """Submit a JSON-WSP subset job, poll, fetch the result URLs
         (reference downloader.py:157-219, :318-404, :528-587)."""
         import requests

@@ -57,3 +57,53 @@ def test_tempo_requires_earthaccess(tmp_path):
     d = downloader(20, 60, -135, -55, "2023-09-01", "2023-09-02")
     with pytest.raises(RuntimeError, match="earthaccess"):
         d.download_tempo_L2("NO2", tmp_path)
+
+
+def test_gesdisc_subset_flow(monkeypatch, tmp_path):
+    """Mock the GES-DISC JSON-WSP endpoints and check the full submit/poll/
+    results workflow plus request contents."""
+    import json as _json
+
+    posts = []
+
+    class Resp:
+        def __init__(self, payload, text=""):
+            self._p = payload
+            self.text = text
+
+        def json(self):
+            return self._p
+
+        def raise_for_status(self):
+            pass
+
+    state = {"polls": 0}
+
+    def fake_post(url, data=None, headers=None):
+        req = _json.loads(data)
+        posts.append(req)
+        if req["methodname"] == "subset":
+            return Resp({"result": {"jobId": "J123", "Status": "Accepted"}})
+        state["polls"] += 1
+        status = "Succeeded" if state["polls"] >= 2 else "Running"
+        return Resp({"result": {"Status": status, "PercentCompleted": 50 * state["polls"],
+                                "jobId": "J123"}})
+
+    def fake_get(url, **kw):
+        assert url.endswith("J123")
+        return Resp(None, text="https://host/a.nc\nhttps://host/b.nc\n")
+
+    import requests
+
+    monkeypatch.setattr(requests, "post", fake_post)
+    monkeypatch.setattr(requests, "get", fake_get)
+    from oisat_tpu.downloader import downloader
+
+    d = downloader(20, 60, -135, -55, "2019-07-01", "2019-07-31")
+    urls = d.download_tropomi_l2("NO2", tmp_path, dry_run=True)
+    assert urls == ["https://host/a.nc", "https://host/b.nc"]
+    sub = posts[0]
+    assert sub["args"]["data"][0]["datasetId"] == "S5P_L2__NO2____HiR_2"
+    assert sub["args"]["box"] == [-135, 20, -55, 60]
+    assert sub["args"]["start"].startswith("2019-07-01T00:00:00")
+    assert posts[1]["methodname"] == "GetStatus"
