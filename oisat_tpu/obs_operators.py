@@ -13,6 +13,7 @@ a cached :class:`~oisat_tpu.regridder.Upscaler`.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from oisat_tpu.ops.vertical import (
@@ -123,20 +124,39 @@ def _maybe_upscale(ctm_data, granule, fields):
 # public operators
 # --------------------------------------------------------------------------
 
+def _amf_one(ctm_data, granule, time_ctm, time_hour):
+    """Prepare one granule's matched CTM fields; returns a work item."""
+    closest, day, hour = _match_amf(granule.time, ctm_data, time_ctm, time_hour)
+    pmid, profile, dp = _amf_ctm_slice(ctm_data, day, hour)
+    pc = np.asarray(partial_column(jnp.asarray(dp), jnp.asarray(profile)))
+    if granule.ctm_upscaled_needed:
+        pmid, pc = _maybe_upscale(ctm_data, granule, [pmid, pc])
+    has_trop = np.size(granule.tropopause) != 1
+    trop = np.asarray(granule.tropopause) if has_trop else np.zeros_like(granule.vcd)
+    return closest, np.asarray(pmid), pc, trop, has_trop
+
+
+_amf_recal_batched = jax.jit(
+    jax.vmap(amf_recal_fields, in_axes=(0, 0, 0, 0, 0, 0, 0, None)),
+    static_argnums=(7,),
+)
+
+
 def amf_recal(ctm_data: list, sat_data: list):
-    """Recalculate AMFs / model VCDs for every granule (reference amf_recal.py:121-185)."""
+    """Recalculate AMFs / model VCDs for every granule (reference amf_recal.py:121-185).
+
+    TPU shape: granules sharing a (shape, tropopause) signature are stacked
+    and run through one vmapped device call — a month of orbits is a couple
+    of dispatches instead of hundreds (remote-dispatch latency dominates
+    per-granule calls).
+    """
     print("AMF Recal begins...")
     time_ctm, time_hour = _ctm_times(ctm_data)
-    for granule in sat_data:
+    groups = {}
+    for gi, granule in enumerate(sat_data):
         if granule is None:
             continue
-        closest, day, hour = _match_amf(granule.time, ctm_data, time_ctm, time_hour)
-        pmid, profile, dp = _amf_ctm_slice(ctm_data, day, hour)
-        pc = np.asarray(partial_column(jnp.asarray(dp), jnp.asarray(profile)))
-        if granule.ctm_upscaled_needed:
-            pmid, pc = _maybe_upscale(ctm_data, granule, [pmid, pc])
-        has_trop = np.size(granule.tropopause) != 1
-        trop = np.asarray(granule.tropopause) if has_trop else np.zeros_like(granule.vcd)
+        closest, pmid, pc, trop, has_trop = _amf_one(ctm_data, granule, time_ctm, time_hour)
         if np.size(granule.scattering_weights) == 1:
             print("No scattering weights found, recalculation is not possible..just grabbing VCDs")
             model_vcd = np.asarray(amf_recal_noak_fields(
@@ -147,15 +167,32 @@ def amf_recal(ctm_data: list, sat_data: list):
             granule.old_amf = np.empty((1,))
             granule.new_amf = np.empty((1,))
             continue
-        new_amf, vcd_corr, model_vcd = amf_recal_fields(
-            jnp.asarray(granule.pressure_mid), jnp.asarray(granule.scattering_weights),
-            jnp.asarray(pmid), jnp.asarray(pc), jnp.asarray(trop),
-            jnp.asarray(granule.vcd), jnp.asarray(granule.amf), has_trop)
-        granule.old_amf = granule.amf
-        granule.new_amf = np.asarray(new_amf)
-        granule.vcd = np.asarray(vcd_corr)
-        granule.ctm_vcd = np.asarray(model_vcd)
-        granule.ctm_time_at_sat = time_ctm[closest]
+        key = (np.shape(granule.vcd), np.shape(granule.pressure_mid), pmid.shape, has_trop)
+        groups.setdefault(key, []).append((gi, closest, pmid, pc, trop))
+
+    for (vshape, sshape, cshape, has_trop), items in groups.items():
+        gis = [it[0] for it in items]
+        stack = lambda f: jnp.asarray(np.stack(f))
+        new_amf, vcd_corr, model_vcd = _amf_recal_batched(
+            stack([np.asarray(sat_data[i].pressure_mid) for i in gis]),
+            stack([np.asarray(sat_data[i].scattering_weights) for i in gis]),
+            stack([it[2] for it in items]),
+            stack([it[3] for it in items]),
+            stack([it[4] for it in items]),
+            stack([np.asarray(sat_data[i].vcd) for i in gis]),
+            stack([np.asarray(sat_data[i].amf) for i in gis]),
+            has_trop,
+        )
+        new_amf = np.asarray(new_amf)
+        vcd_corr = np.asarray(vcd_corr)
+        model_vcd = np.asarray(model_vcd)
+        for k, (gi, closest, *_rest) in enumerate(items):
+            g = sat_data[gi]
+            g.old_amf = g.amf
+            g.new_amf = new_amf[k]
+            g.vcd = vcd_corr[k]
+            g.ctm_vcd = model_vcd[k]
+            g.ctm_time_at_sat = time_ctm[closest]
     return sat_data
 
 

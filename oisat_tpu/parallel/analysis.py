@@ -60,7 +60,9 @@ def analysis_step(inputs: AnalysisInputs, bias_offset: float = 0.0,
         xa, y = stats.ctm_vcd, sat_vcd
     sa = (xa * error_ctm / 100.0) ** 2
     so = stats.sat_error**2
-    res = oi(xa, y, sa, so, regularization_on=True)
+    # XLA curve engine here: this function runs under jit with sharded
+    # inputs, and a Pallas call would not be SPMD-partitioned by XLA.
+    res = oi(xa, y, sa, so, regularization_on=True, curve_impl="xla")
     sf = res.xb / xa
     sf = jnp.where(jnp.isnan(sf) | jnp.isinf(sf) | (sf == 0.0), 1.0, sf)
     return AnalysisOutputs(sat_vcd=sat_vcd, sat_error=stats.sat_error,

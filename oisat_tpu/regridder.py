@@ -17,13 +17,15 @@ by carrying the uncertainty field as variance through a second kernel.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from oisat_tpu.datamodel import satellite_amf, satellite_opt, satellite_ssmis
-from oisat_tpu.ops.regrid import apply_plan, boxfilter_same_symm
+from oisat_tpu.ops.regrid import apply_plan, apply_plan_arrays, boxfilter_same_symm, pad_to_bucket
 from oisat_tpu.ops.weights import (
     SparsePlan,
     build_plan,
@@ -102,6 +104,49 @@ def _stack(fields):
     return np.stack([np.asarray(f, np.float64).ravel() for f in fields])
 
 
+@partial(jax.jit, static_argnames=("fine_shape", "ky", "kx", "passthrough"))
+def _regrid_device(batch, err, idx, w, mask, up_idx, up_w, up_mask,
+                   fine_shape, ky: int, kx: int, passthrough: bool):
+    """The whole per-granule device pipeline as ONE program: interp to the
+    fine grid (value batch + error-variance field), box filter, map onto
+    the CTM grid.  One remote dispatch per granule instead of ~6 (dispatch
+    latency through the device tunnel dominates per-op execution)."""
+    fine = apply_plan_arrays(batch, idx, w, mask).reshape(batch.shape[:-1] + fine_shape)
+    fine_err = apply_plan_arrays(err, idx, w, mask).reshape(err.shape[:-1] + fine_shape)
+    if passthrough:
+        return fine, fine_err
+    zf = boxfilter_same_symm(fine, ky, kx)
+    zef = boxfilter_same_symm(fine_err, ky, kx, squared=True)
+    out = apply_plan_arrays(zf.reshape(zf.shape[:-2] + (-1,)), up_idx, up_w, up_mask)
+    out_err = apply_plan_arrays(zef.reshape(zef.shape[:-2] + (-1,)), up_idx, up_w, up_mask)
+    return out, out_err
+
+
+def _regrid_fused(plan, upsc, batch, err_batch, dtype):
+    """Host wrapper: bucket-pad, run the fused program, return numpy."""
+    n = batch.shape[-1]
+    b = pad_to_bucket(n)
+    if b != n:
+        batch = np.pad(batch, [(0, 0)] * (batch.ndim - 1) + [(0, b - n)],
+                       constant_values=np.nan)
+        err_batch = np.pad(err_batch, [(0, 0)] * (err_batch.ndim - 1) + [(0, b - n)],
+                           constant_values=np.nan)
+    if upsc.needed:
+        up_idx = np.zeros((1, 1), np.int32)
+        up_w = np.zeros((1, 1))
+        up_mask = np.zeros((1,), bool)
+    else:
+        up_idx, up_w, up_mask = upsc.plan.idx, upsc.plan.w, upsc.plan.mask
+    out, out_err = _regrid_device(
+        jnp.asarray(batch.astype(dtype)), jnp.asarray(err_batch.astype(dtype)),
+        jnp.asarray(plan.idx), jnp.asarray(plan.w), jnp.asarray(plan.mask),
+        jnp.asarray(up_idx), jnp.asarray(up_w), jnp.asarray(up_mask),
+        plan.out_shape, upsc.ky, upsc.kx, upsc.needed)
+    hw = plan.out_shape if upsc.needed else upsc.out_lat.shape
+    return (np.asarray(out).reshape(out.shape[:-1] + hw) if not upsc.needed else np.asarray(out),
+            np.asarray(out_err).reshape(out_err.shape[:-1] + hw) if not upsc.needed else np.asarray(out_err))
+
+
 def regrid_granule(
     interpolator_type: int,
     grid_size: float,
@@ -174,14 +219,11 @@ def regrid_granule(
         add3d("apriori_profile", sat_data.apriori_profile)
 
     batch = _stack(cols)  # (F, Npix)
-    fine = apply_plan(plan, batch.astype(dtype))  # (F, Hf, Wf)
-    gridded = np.asarray(upsc.apply(fine))  # (F, Ht, Wt)
+    err_batch = _stack([np.asarray(sat_data.uncertainty, np.float64) ** 2 * mask])
+    gridded, err_gridded = _regrid_fused(plan, upsc, batch, err_batch, dtype)
     out = {n: gridded[i] for i, n in enumerate(names)}
-
-    # error: interpolate variance, square-kernel filter, sqrt at the end
-    err_fine = apply_plan(
-        plan, _stack([np.asarray(sat_data.uncertainty, np.float64) ** 2 * mask]).astype(dtype))
-    uncertainty = np.sqrt(np.asarray(upsc.apply(err_fine, error=True))[0])
+    # error path: variance in, squared kernel, sqrt at the end
+    uncertainty = np.sqrt(err_gridded[0])
 
     vcd = out["vcd"]
     if np.isnan(np.nanmean(vcd)):
@@ -262,10 +304,10 @@ def regrid_ssmis_granule(
         return None
     upsc = make_upscaler(lons_fine, lats_fine, ctm_lon2d, ctm_lat2d,
                          grid_size, threshold_ctm, method=1, far_factor=1.0)
-    fine = apply_plan(plan, _stack([sat_data.vcd]).astype(dtype))
-    vcd = np.asarray(upsc.apply(fine))[0]
-    err_fine = apply_plan(plan, _stack([sat_data.uncertainty]).astype(dtype))
-    uncertainty = np.asarray(upsc.apply(err_fine, error=True))[0]
+    gridded, err_gridded = _regrid_fused(
+        plan, upsc, _stack([sat_data.vcd]), _stack([sat_data.uncertainty]), dtype)
+    vcd = gridded[0]
+    uncertainty = err_gridded[0]  # raw value through the squared kernel, no sqrt
     return satellite_ssmis(
         vcd=vcd, uncertainty=uncertainty, time=sat_data.time,
         latitude_center=upsc.out_lat, longitude_center=upsc.out_lon,
