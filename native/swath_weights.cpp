@@ -1,0 +1,183 @@
+// Structured-swath interpolation weights.
+//
+// Satellite L2 swaths are logically structured (scanline x ground-pixel)
+// grids; the reference triangulates them with qhull as if they were
+// scattered points (reference oisatgmi/interpolator.py:151).  This native
+// builder exploits the known connectivity: each quad of adjacent pixels is
+// split into two triangles, targets are located through a uniform spatial
+// hash of quad bounding boxes, and barycentric weights are emitted in the
+// same sparse (idx[3], w[3]) format as the Delaunay path.  It also returns
+// the nearest-pixel distance needed for the reference's "too far" mask.
+//
+// Built as a plain C ABI shared object (ctypes loads it; no pybind11 in
+// this environment).  Compile: g++ -O3 -march=native -shared -fPIC.
+
+#include <algorithm>
+#include <cmath>
+#include <cstdint>
+#include <vector>
+
+namespace {
+
+struct Hash {
+  double x0, y0, inv_cx, inv_cy;
+  int nbx, nby;
+  std::vector<int32_t> start;  // CSR over bins
+  std::vector<int32_t> items;  // quad ids
+};
+
+inline int clampi(int v, int lo, int hi) {
+  return v < lo ? lo : (v > hi ? hi : v);
+}
+
+}  // namespace
+
+extern "C" {
+
+// lon/lat: (ny, nx) pixel centers (row-major).  tx/ty: (nt,) targets.
+// Outputs: idx (nt,3) int32 flat pixel ids; w (nt,3); dist (nt,) nearest
+// pixel distance (Euclidean in degrees, matching the reference's cKDTree
+// query metric); ok (nt,) 1 if inside some swath triangle.
+// Returns 0 on success.
+int build_structured_weights(const double* lon, const double* lat, int ny,
+                             int nx, const double* tx, const double* ty,
+                             int nt, int32_t* idx, double* w, double* dist,
+                             uint8_t* ok) {
+  if (ny < 2 || nx < 2 || nt <= 0) return 1;
+  const int nquad_y = ny - 1, nquad_x = nx - 1;
+  const int64_t nquads = int64_t(nquad_y) * nquad_x;
+
+  // ---- swath bounds + typical quad size for the bin pitch ----------------
+  double xmin = 1e300, xmax = -1e300, ymin = 1e300, ymax = -1e300;
+  for (int64_t i = 0; i < int64_t(ny) * nx; ++i) {
+    const double X = lon[i], Y = lat[i];
+    if (!std::isfinite(X) || !std::isfinite(Y)) return 2;
+    xmin = std::min(xmin, X); xmax = std::max(xmax, X);
+    ymin = std::min(ymin, Y); ymax = std::max(ymax, Y);
+  }
+  const double span_x = std::max(xmax - xmin, 1e-12);
+  const double span_y = std::max(ymax - ymin, 1e-12);
+  // aim for ~1 quad per bin on average, capped for memory
+  int nbx = clampi(int(std::sqrt(double(nquads) * span_x / span_y)) + 1, 1, 4096);
+  int nby = clampi(int(double(nquads) / std::max(nbx, 1)) + 1, 1, 4096);
+
+  Hash h;
+  h.x0 = xmin; h.y0 = ymin;
+  h.nbx = nbx; h.nby = nby;
+  h.inv_cx = nbx / span_x;
+  h.inv_cy = nby / span_y;
+
+  auto bin_of = [&](double X, double Y) {
+    int bx = clampi(int((X - h.x0) * h.inv_cx), 0, nbx - 1);
+    int by = clampi(int((Y - h.y0) * h.inv_cy), 0, nby - 1);
+    return by * nbx + bx;
+  };
+
+  // ---- count pass: each quad registers in every bin its bbox overlaps ----
+  const int nbins = nbx * nby;
+  std::vector<int32_t> counts(nbins + 1, 0);
+  auto quad_bins = [&](int64_t q, auto&& fn) {
+    const int qy = int(q / nquad_x), qx = int(q % nquad_x);
+    const int64_t p00 = int64_t(qy) * nx + qx;
+    const int64_t p01 = p00 + 1, p10 = p00 + nx, p11 = p10 + 1;
+    const double qxmin = std::min(std::min(lon[p00], lon[p01]), std::min(lon[p10], lon[p11]));
+    const double qxmax = std::max(std::max(lon[p00], lon[p01]), std::max(lon[p10], lon[p11]));
+    const double qymin = std::min(std::min(lat[p00], lat[p01]), std::min(lat[p10], lat[p11]));
+    const double qymax = std::max(std::max(lat[p00], lat[p01]), std::max(lat[p10], lat[p11]));
+    const int bx0 = clampi(int((qxmin - h.x0) * h.inv_cx), 0, nbx - 1);
+    const int bx1 = clampi(int((qxmax - h.x0) * h.inv_cx), 0, nbx - 1);
+    const int by0 = clampi(int((qymin - h.y0) * h.inv_cy), 0, nby - 1);
+    const int by1 = clampi(int((qymax - h.y0) * h.inv_cy), 0, nby - 1);
+    for (int by = by0; by <= by1; ++by)
+      for (int bx = bx0; bx <= bx1; ++bx) fn(by * nbx + bx);
+  };
+  for (int64_t q = 0; q < nquads; ++q)
+    quad_bins(q, [&](int b) { counts[b + 1]++; });
+  for (int b = 0; b < nbins; ++b) counts[b + 1] += counts[b];
+  std::vector<int32_t> items(counts[nbins]);
+  std::vector<int32_t> cursor(counts.begin(), counts.end() - 1);
+  for (int64_t q = 0; q < nquads; ++q)
+    quad_bins(q, [&](int b) { items[cursor[b]++] = int32_t(q); });
+
+  // ---- per-target: point-in-triangle over hashed quads -------------------
+  const double eps = 1e-12;
+  for (int t = 0; t < nt; ++t) {
+    const double X = tx[t], Y = ty[t];
+    ok[t] = 0;
+    idx[3 * t] = idx[3 * t + 1] = idx[3 * t + 2] = 0;
+    w[3 * t] = w[3 * t + 1] = w[3 * t + 2] = 0.0;
+    dist[t] = 1e300;
+    if (!(X >= xmin - span_x && X <= xmax + span_x)) { /* fall through to dist scan */ }
+    const int b = bin_of(X, Y);
+    const int bx = b % nbx, by = b / nbx;
+    for (int dby = -1; dby <= 1 && !ok[t]; ++dby) {
+      for (int dbx = -1; dbx <= 1 && !ok[t]; ++dbx) {
+        const int nbx_i = bx + dbx, nby_i = by + dby;
+        if (nbx_i < 0 || nbx_i >= nbx || nby_i < 0 || nby_i >= nby) continue;
+        const int bb = nby_i * nbx + nbx_i;
+        for (int32_t k = counts[bb]; k < counts[bb + 1] && !ok[t]; ++k) {
+          const int32_t q = items[k];
+          const int qy = q / nquad_x, qx = q % nquad_x;
+          const int64_t p00 = int64_t(qy) * nx + qx;
+          const int64_t p01 = p00 + 1, p10 = p00 + nx, p11 = p10 + 1;
+          // two triangles: (p00, p10, p11) and (p00, p11, p01)
+          const int64_t tris[2][3] = {{p00, p10, p11}, {p00, p11, p01}};
+          for (int tr = 0; tr < 2; ++tr) {
+            const double x1 = lon[tris[tr][0]], y1 = lat[tris[tr][0]];
+            const double x2 = lon[tris[tr][1]], y2 = lat[tris[tr][1]];
+            const double x3 = lon[tris[tr][2]], y3 = lat[tris[tr][2]];
+            const double det = (y2 - y3) * (x1 - x3) + (x3 - x2) * (y1 - y3);
+            if (std::fabs(det) < 1e-300) continue;  // degenerate
+            const double l1 = ((y2 - y3) * (X - x3) + (x3 - x2) * (Y - y3)) / det;
+            const double l2 = ((y3 - y1) * (X - x3) + (x1 - x3) * (Y - y3)) / det;
+            const double l3 = 1.0 - l1 - l2;
+            if (l1 >= -eps && l2 >= -eps && l3 >= -eps) {
+              idx[3 * t] = int32_t(tris[tr][0]);
+              idx[3 * t + 1] = int32_t(tris[tr][1]);
+              idx[3 * t + 2] = int32_t(tris[tr][2]);
+              w[3 * t] = l1; w[3 * t + 1] = l2; w[3 * t + 2] = l3;
+              ok[t] = 1;
+              break;
+            }
+          }
+        }
+      }
+    }
+    // nearest-pixel distance: expanding ring scan over pixel bins
+    // (pixels hashed implicitly via quads' p00 corner is insufficient at
+    // edges, so scan pixels of quads in expanding bin rings)
+    double best = 1e300;
+    int hit_ring = -1;
+    const int max_ring = nbx + nby;
+    for (int ring = 0; ring <= max_ring; ++ring) {
+      // stop two rings past the first hit (bin pitch ~ quad size, so the
+      // true nearest cannot be farther than that margin)
+      if (hit_ring >= 0 && ring > hit_ring + 2) break;
+      const int bx0 = bx - ring, bx1 = bx + ring, by0 = by - ring, by1 = by + ring;
+      for (int iby = by0; iby <= by1; ++iby) {
+        if (iby < 0 || iby >= nby) continue;
+        for (int ibx = bx0; ibx <= bx1; ++ibx) {
+          if (ibx < 0 || ibx >= nbx) continue;
+          // ring shell only
+          if (ring > 0 && ibx != bx0 && ibx != bx1 && iby != by0 && iby != by1) continue;
+          const int bb = iby * nbx + ibx;
+          for (int32_t k = counts[bb]; k < counts[bb + 1]; ++k) {
+            const int32_t q = items[k];
+            const int qy = q / nquad_x, qx = q % nquad_x;
+            const int64_t corners[4] = {int64_t(qy) * nx + qx, int64_t(qy) * nx + qx + 1,
+                                        int64_t(qy + 1) * nx + qx, int64_t(qy + 1) * nx + qx + 1};
+            for (int c = 0; c < 4; ++c) {
+              const double dx = lon[corners[c]] - X, dy = lat[corners[c]] - Y;
+              const double d2 = dx * dx + dy * dy;
+              if (d2 < best) { best = d2; if (hit_ring < 0) hit_ring = ring; }
+            }
+          }
+        }
+      }
+    }
+    dist[t] = std::sqrt(best);
+  }
+  return 0;
+}
+
+}  // extern "C"

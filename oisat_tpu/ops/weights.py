@@ -32,7 +32,8 @@ import dataclasses
 import numpy as np
 from scipy.spatial import Delaunay, cKDTree
 
-__all__ = ["SparsePlan", "build_plan", "fine_grid", "grid_spacing", "diag_threshold"]
+__all__ = ["SparsePlan", "build_plan", "build_plan_structured", "fine_grid",
+           "grid_spacing", "diag_threshold"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -172,3 +173,38 @@ def build_plan(
         raise ValueError(f"interpolation method {method} not supported")
 
     return SparsePlan(idx=idx, w=w, mask=far, out_shape=tuple(tgt_lon2d.shape), npix=len(points))
+
+
+def build_plan_structured(
+    pix_lon2d: np.ndarray,
+    pix_lat2d: np.ndarray,
+    tgt_lon2d: np.ndarray,
+    tgt_lat2d: np.ndarray,
+    threshold: float,
+    far_factor: float = 2.0,
+):
+    """Fast-path linear weights via the native structured-swath builder.
+
+    Semantically a linear-in-triangle interpolation like ``method=1`` but
+    on the swath's natural quad triangulation instead of qhull's Delaunay
+    triangulation — ~an order of magnitude faster to build, identical for
+    constant/linear fields, and differing only in the diagonal-split choice
+    within quads for curved fields.  An opt-in performance mode, not a
+    bitwise-parity mode.  Returns None when the native library is missing
+    or the pixels are not a 2-D grid (callers fall back to
+    :func:`build_plan`).
+    """
+    from oisat_tpu import native
+
+    pix_lon2d = np.asarray(pix_lon2d)
+    if pix_lon2d.ndim != 2:
+        return None
+    out = native.structured_weights(pix_lon2d, pix_lat2d,
+                                    np.asarray(tgt_lon2d, np.float64).ravel(),
+                                    np.asarray(tgt_lat2d, np.float64).ravel())
+    if out is None:
+        return None
+    idx, w, dist, ok = out
+    far = (dist > far_factor * threshold) | ~ok
+    return SparsePlan(idx=idx, w=w, mask=far, out_shape=tuple(np.shape(tgt_lon2d)),
+                      npix=int(pix_lon2d.size))

@@ -1,0 +1,99 @@
+import time
+
+import numpy as np
+import pytest
+
+from oisat_tpu import native
+from oisat_tpu.ops.regrid import apply_plan
+from oisat_tpu.ops.weights import build_plan, build_plan_structured
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native swath_weights not built")
+
+
+def swath(ny=120, nx=60, seed=0):
+    rng = np.random.default_rng(seed)
+    lat = np.linspace(30, 45, ny)[:, None] + 0.01 * rng.standard_normal((ny, nx))
+    lon = np.linspace(-10, 10, nx)[None, :] + 1.5 * np.sin(np.linspace(0, 3, ny))[:, None]
+    return (lon + 0 * lat), (lat + 0 * lon)
+
+
+def targets():
+    return np.meshgrid(np.arange(-12, 12, 0.2), np.arange(28, 47, 0.2))
+
+
+def test_constant_and_linear_fields_exact():
+    lon, lat = swath()
+    tlon, tlat = targets()
+    plan = build_plan_structured(lon, lat, tlon, tlat, threshold=0.3)
+    assert plan is not None
+    const = np.full(lon.size, 5.0)
+    out = np.asarray(apply_plan(plan, const))
+    np.testing.assert_allclose(out[np.isfinite(out)], 5.0, rtol=1e-12)
+    # linear field reproduced exactly inside the swath
+    lin = (2.0 * lon + 3.0 * lat).ravel()
+    out = np.asarray(apply_plan(plan, lin))
+    m = np.isfinite(out)
+    np.testing.assert_allclose(out[m], (2.0 * tlon + 3.0 * tlat)[m], rtol=1e-9)
+
+
+def test_matches_delaunay_on_smooth_field():
+    lon, lat = swath()
+    tlon, tlat = targets()
+    sp = build_plan_structured(lon, lat, tlon, tlat, threshold=0.3)
+    dp = build_plan(lon.ravel(), lat.ravel(), tlon, tlat, method=1, threshold=0.3)
+    z = np.sin(lon / 3) * np.cos(lat / 5)
+    a = np.asarray(apply_plan(sp, z.ravel()))
+    b = np.asarray(apply_plan(dp, z.ravel()))
+    both = np.isfinite(a) & np.isfinite(b)
+    assert both.sum() > 1000
+    # different triangulations -> tiny differences on curved fields only
+    np.testing.assert_allclose(a[both], b[both], atol=5e-3)
+    # Delaunay also fills the convex hull across swath concavities, which
+    # the structured path (correctly) does not extrapolate into
+    assert (np.isfinite(a) & ~np.isfinite(b)).mean() < 0.005
+    assert (np.isfinite(b) & ~np.isfinite(a)).mean() < 0.05
+
+
+def test_distance_mask_close_to_kdtree():
+    from scipy.spatial import cKDTree
+
+    lon, lat = swath()
+    tlon, tlat = targets()
+    tree = cKDTree(np.column_stack([lon.ravel(), lat.ravel()]))
+    dists, _ = tree.query(np.column_stack([tlon.ravel(), tlat.ravel()]))
+    idx, w, dist, ok = native.structured_weights(lon, lat, tlon.ravel(), tlat.ravel())
+    # the native nearest-pixel distance matches the KD-tree exactly
+    np.testing.assert_allclose(dist, dists, rtol=0, atol=1e-12)
+
+
+def test_speedup_over_delaunay():
+    lon, lat = swath(400, 60, seed=1)
+    tlon, tlat = targets()
+    t0 = time.perf_counter()
+    sp = build_plan_structured(lon, lat, tlon, tlat, threshold=0.3)
+    t_native = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    dp = build_plan(lon.ravel(), lat.ravel(), tlon, tlat, method=1, threshold=0.3)
+    t_scipy = time.perf_counter() - t0
+    print(f"native {t_native*1e3:.1f} ms vs scipy {t_scipy*1e3:.1f} ms")
+    assert sp is not None and dp is not None
+    assert t_native < t_scipy  # typically 5-20x faster
+
+
+def test_regrid_granule_fast_swath():
+    from tests.test_pipeline import ctm_grid, synthetic_granule
+    from oisat_tpu.regridder import regrid_granule
+
+    def smooth(seed=0):
+        g = synthetic_granule(seed, 4)
+        g.vcd = np.sin(g.longitude_center / 3.0) * np.cos(g.latitude_center / 5.0) + 2.0
+        return g
+
+    clon, clat = ctm_grid()
+    slow = regrid_granule(1, 0.25, smooth(), clon, clat, flag_thresh=0.5, fast_swath=False)
+    fast = regrid_granule(1, 0.25, smooth(), clon, clat, flag_thresh=0.5, fast_swath=True)
+    assert fast is not None
+    m = np.isfinite(slow.vcd) & np.isfinite(fast.vcd)
+    assert m.sum() > 50
+    np.testing.assert_allclose(fast.vcd[m], slow.vcd[m], atol=1e-3, rtol=1e-3)
