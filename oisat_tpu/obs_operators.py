@@ -113,11 +113,14 @@ def _ctm_to_sat_upscaler(ctm_data, granule, cache={}):
 
 
 def _maybe_upscale(ctm_data, granule, fields):
-    """Upscale each (L, H, W) field onto the sat grid when flagged."""
+    """Upscale (L, H, W) fields onto the sat grid when flagged — all fields
+    stacked through one device call."""
     if not granule.ctm_upscaled_needed:
         return fields
     up = _ctm_to_sat_upscaler(ctm_data, granule)
-    return [np.asarray(up.apply(jnp.asarray(f))) for f in fields]
+    stacked = np.stack([np.asarray(f, np.float64) for f in fields])
+    out = np.asarray(up.apply(jnp.asarray(stacked)))
+    return [out[i] for i in range(len(fields))]
 
 
 # --------------------------------------------------------------------------
@@ -196,11 +199,17 @@ def amf_recal(ctm_data: list, sat_data: list):
     return sat_data
 
 
+_ak_mopitt_batched = jax.jit(jax.vmap(ak_conv_mopitt_fields))
+
+
 def ak_conv_mopitt(ctm_data: list, sat_data: list):
-    """MOPITT CO averaging-kernel convolution (reference ak_conv_mopitt.py:8-149)."""
+    """MOPITT CO averaging-kernel convolution (reference ak_conv_mopitt.py:8-149).
+
+    Granules with a common shape signature run through one vmapped call."""
     print("Averaging Kernel Conv begins...")
     time_ctm, _ = _ctm_times(ctm_data)
-    for granule in sat_data:
+    groups = {}
+    for gi, granule in enumerate(sat_data):
         if granule is None:
             continue
         closest, day = _match_daily(granule.time, ctm_data, time_ctm)
@@ -209,39 +218,66 @@ def ak_conv_mopitt(ctm_data: list, sat_data: list):
         airpc = np.asarray(air_partial_column(jnp.asarray(dp)))
         if granule.ctm_upscaled_needed:
             pmid, profile, pc, airpc = _maybe_upscale(ctm_data, granule, [pmid, profile, pc, airpc])
-        model_vcd, model_xcol = ak_conv_mopitt_fields(
-            jnp.asarray(pmid), jnp.asarray(profile), jnp.asarray(airpc),
-            jnp.asarray(granule.pressure_mid), jnp.asarray(granule.averaging_kernels),
-            jnp.asarray(granule.aprior_column), jnp.asarray(granule.apriori_profile),
-            jnp.asarray(granule.apriori_surface), jnp.asarray(granule.vcd))
-        granule.ctm_vcd = np.asarray(model_vcd)
-        granule.ctm_xcol = np.asarray(model_xcol)
-        granule.ctm_time_at_sat = time_ctm[closest]
+        key = (np.shape(granule.vcd), np.shape(granule.pressure_mid), np.shape(pmid))
+        groups.setdefault(key, []).append((gi, closest, np.asarray(pmid), np.asarray(profile), airpc))
+    for items in groups.values():
+        gis = [it[0] for it in items]
+        stack = lambda f: jnp.asarray(np.stack(f))
+        model_vcd, model_xcol = _ak_mopitt_batched(
+            stack([it[2] for it in items]),
+            stack([it[3] for it in items]),
+            stack([it[4] for it in items]),
+            stack([np.asarray(sat_data[i].pressure_mid) for i in gis]),
+            stack([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
+            stack([np.asarray(sat_data[i].aprior_column) for i in gis]),
+            stack([np.asarray(sat_data[i].apriori_profile) for i in gis]),
+            stack([np.asarray(sat_data[i].apriori_surface) for i in gis]),
+            stack([np.asarray(sat_data[i].vcd) for i in gis]))
+        model_vcd = np.asarray(model_vcd)
+        model_xcol = np.asarray(model_xcol)
+        for k, (gi, closest, *_r) in enumerate(items):
+            sat_data[gi].ctm_vcd = model_vcd[k]
+            sat_data[gi].ctm_xcol = model_xcol[k]
+            sat_data[gi].ctm_time_at_sat = time_ctm[closest]
     return sat_data
 
 
+_ak_gosat_batched = jax.jit(jax.vmap(ak_conv_gosat_fields))
+
+
 def ak_conv_gosat(ctm_data: list, sat_data: list):
-    """GOSAT XCH4 averaging-kernel convolution (reference ak_conv_gosat.py:8-146)."""
+    """GOSAT XCH4 averaging-kernel convolution (reference ak_conv_gosat.py:8-146).
+
+    Granules with a common shape signature run through one vmapped call."""
     print("Averaging Kernel Conv begins...")
     time_ctm, _ = _ctm_times(ctm_data)
-    for granule in sat_data:
+    groups = {}
+    for gi, granule in enumerate(sat_data):
         if granule is None:
             continue
         closest, day = _match_daily(granule.time, ctm_data, time_ctm)
         pmid, profile, dp = _daily_ctm_slice(ctm_data, day)
-        pc = np.asarray(partial_column(jnp.asarray(dp), jnp.asarray(profile)))
-        airpc = np.asarray(air_partial_column(jnp.asarray(dp)))
         if granule.ctm_upscaled_needed:
-            pmid, profile, pc, airpc = _maybe_upscale(ctm_data, granule, [pmid, profile, pc, airpc])
-        model_xcol = ak_conv_gosat_fields(
-            jnp.asarray(pmid), jnp.asarray(profile),
-            jnp.asarray(granule.pressure_mid), jnp.asarray(granule.averaging_kernels),
-            jnp.asarray(granule.apriori_profile), jnp.asarray(granule.pressure_weight),
-            jnp.asarray(granule.x_col))
-        # XCH4-only: model VCD intentionally left NaN (reference ak_conv_gosat.py:138)
-        granule.ctm_vcd = np.full_like(np.asarray(granule.vcd), np.nan)
-        granule.ctm_xcol = np.asarray(model_xcol)
-        granule.ctm_time_at_sat = time_ctm[closest]
+            pmid, profile = _maybe_upscale(ctm_data, granule, [pmid, profile])
+        key = (np.shape(granule.x_col), np.shape(granule.pressure_mid), np.shape(pmid))
+        groups.setdefault(key, []).append((gi, closest, np.asarray(pmid), np.asarray(profile)))
+    for items in groups.values():
+        gis = [it[0] for it in items]
+        stack = lambda f: jnp.asarray(np.stack(f))
+        model_xcol = _ak_gosat_batched(
+            stack([it[2] for it in items]),
+            stack([it[3] for it in items]),
+            stack([np.asarray(sat_data[i].pressure_mid) for i in gis]),
+            stack([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
+            stack([np.asarray(sat_data[i].apriori_profile) for i in gis]),
+            stack([np.asarray(sat_data[i].pressure_weight) for i in gis]),
+            stack([np.asarray(sat_data[i].x_col) for i in gis]))
+        model_xcol = np.asarray(model_xcol)
+        for k, (gi, closest, *_r) in enumerate(items):
+            # XCH4-only: model VCD intentionally NaN (reference ak_conv_gosat.py:138)
+            sat_data[gi].ctm_vcd = np.full_like(np.asarray(sat_data[gi].vcd), np.nan)
+            sat_data[gi].ctm_xcol = model_xcol[k]
+            sat_data[gi].ctm_time_at_sat = time_ctm[closest]
     return sat_data
 
 

@@ -71,3 +71,101 @@ def test_amf_recal_upscale_branch():
                               np.asarray(g.amf, np.float64))
     np.testing.assert_allclose(np.asarray(out.new_amf), ref[0], rtol=2e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(out.ctm_vcd), ref[2], rtol=2e-5, atol=1e-7)
+
+
+def _eccoh_like_ctm(H, W, nz=20, seed=8):
+    import datetime
+
+    from oisat_tpu.datamodel import ctm_model
+
+    rng = np.random.default_rng(seed)
+    pmid = np.sort(rng.uniform(60, 1000, (nz, H, W)), axis=0)[::-1].copy().astype("float32")
+    return ctm_model(np.zeros((H, W)), np.zeros((H, W)),
+                     [datetime.datetime(2019, 7, 1)],
+                     np.abs(rng.normal(80, 20, (nz, H, W))).astype("float32"),
+                     pmid, [], rng.uniform(10, 40, (nz, H, W)).astype("float32"),
+                     "ECCOH", False)
+
+
+def test_ak_conv_mopitt_batched_orchestration():
+    import datetime
+
+    from oisat_tpu.datamodel import satellite_opt
+    from oisat_tpu.obs_operators import ak_conv_mopitt
+    from oisat_tpu.ops.vertical import air_partial_column, partial_column
+    from tests.reference_impl import ak_conv_mopitt_pixelwise
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(3)
+    H, W, Ls = 12, 14, 9
+    ctm = _eccoh_like_ctm(H, W)
+
+    def gran(seed, day):
+        r = np.random.default_rng(seed)
+        vcd = np.abs(r.normal(2, 0.5, (H, W)))
+        vcd[r.random((H, W)) < 0.2] = np.nan
+        return satellite_opt(
+            vcd=vcd, time=datetime.datetime(2019, 7, day), tropopause=np.empty((1,)),
+            latitude_center=np.zeros((H, W)), longitude_center=np.zeros((H, W)),
+            uncertainty=np.ones((H, W)), quality_flag=[],
+            pressure_mid=np.sort(r.uniform(100, 900, (Ls, H, W)), axis=0)[::-1].copy(),
+            averaging_kernels=r.uniform(0, 0.5, (Ls + 1, H, W)),
+            aprior_column=np.abs(r.normal(2, 0.3, (H, W))),
+            apriori_profile=np.abs(r.normal(80, 15, (Ls, H, W))),
+            surface_pressure=np.full((H, W), 1000.0),
+            apriori_surface=np.abs(r.normal(90, 10, (H, W))),
+            x_col=np.abs(r.normal(0.1, 0.02, (H, W))),
+            pressure_weight=[], sensor="MOPITT", ctm_upscaled_needed=False)
+
+    granules = [gran(s, 2 + s) for s in range(3)] + [None]
+    out = ak_conv_mopitt([ctm], [g for g in granules])
+    pc = np.asarray(partial_column(jnp.asarray(ctm.delta_p), jnp.asarray(ctm.gas_profile)))
+    airpc = np.asarray(air_partial_column(jnp.asarray(ctm.delta_p)))
+    for g in out[:3]:
+        ref_vcd, ref_xcol = ak_conv_mopitt_pixelwise(
+            np.asarray(ctm.pressure_mid, np.float64), np.asarray(ctm.gas_profile, np.float64),
+            airpc, np.asarray(g.pressure_mid, np.float64),
+            np.asarray(g.averaging_kernels, np.float64),
+            np.asarray(g.aprior_column, np.float64), np.asarray(g.apriori_profile, np.float64),
+            np.asarray(g.apriori_surface, np.float64), np.asarray(g.vcd, np.float64))
+        np.testing.assert_allclose(g.ctm_vcd, ref_vcd, rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(g.ctm_xcol, ref_xcol, rtol=1e-5, atol=1e-7)
+    assert out[3] is None
+
+
+def test_ak_conv_gosat_batched_orchestration():
+    import datetime
+
+    from oisat_tpu.datamodel import satellite_opt
+    from oisat_tpu.obs_operators import ak_conv_gosat
+    from tests.reference_impl import ak_conv_gosat_pixelwise
+
+    H, W, Ls = 10, 11, 20
+    ctm = _eccoh_like_ctm(H, W, nz=30, seed=9)
+
+    def gran(seed, day):
+        r = np.random.default_rng(seed)
+        x_col = np.abs(r.normal(1.8, 0.1, (H, W)))
+        x_col[r.random((H, W)) < 0.2] = np.nan
+        return satellite_opt(
+            vcd=x_col.copy(), time=datetime.datetime(2019, 7, day), tropopause=np.empty((1,)),
+            latitude_center=np.zeros((H, W)), longitude_center=np.zeros((H, W)),
+            uncertainty=np.ones((H, W)), quality_flag=[],
+            pressure_mid=np.sort(r.uniform(50, 990, (Ls, H, W)), axis=0)[::-1].copy(),
+            averaging_kernels=r.uniform(0, 1.2, (Ls, H, W)),
+            aprior_column=np.zeros((1,)),
+            apriori_profile=np.abs(r.normal(1800, 80, (Ls, H, W))),
+            surface_pressure=np.zeros((1,)), apriori_surface=np.zeros((1,)),
+            x_col=x_col, pressure_weight=r.uniform(0, 0.1, (Ls, H, W)),
+            sensor="GOSAT", ctm_upscaled_needed=False)
+
+    granules = [gran(s, 3 + s) for s in range(2)]
+    out = ak_conv_gosat([ctm], granules)
+    for g in out:
+        ref = ak_conv_gosat_pixelwise(
+            np.asarray(ctm.pressure_mid, np.float64), np.asarray(ctm.gas_profile, np.float64),
+            np.asarray(g.pressure_mid, np.float64), np.asarray(g.averaging_kernels, np.float64),
+            np.asarray(g.apriori_profile, np.float64), np.asarray(g.pressure_weight, np.float64),
+            np.asarray(g.x_col, np.float64))
+        np.testing.assert_allclose(g.ctm_xcol, ref, rtol=5e-5, atol=1e-7)
+        assert np.isnan(g.ctm_vcd).all()
