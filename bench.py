@@ -95,10 +95,11 @@ def main():
         np.asarray(o.xb)
         return time.perf_counter() - t0
 
-    n_steps = 20
+    # enough steps that total device time dominates tunnel-latency noise
+    n_steps = 300
     t1 = min(run(1) for _ in range(3))
     tn = min(run(1 + n_steps) for _ in range(3))
-    t_tpu = max((tn - t1) / n_steps, 1e-9)
+    t_tpu = max((tn - t1) / n_steps, 1e-6)
 
     # sanity: same knee, fields agree where finite
     xb_t = np.asarray(out.xb, np.float64)
