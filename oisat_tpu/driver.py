@@ -127,7 +127,8 @@ class oisatgmi:
             sat = self.reader_obj.sat_data[idx]
             res = oi_full(xa, y, np.asarray(xa) * error_ctm / 100.0,
                           self.sat_averaged_error, sat.latitude_center,
-                          sat.longitude_center, length_scale_km)
+                          sat.longitude_center, length_scale_km,
+                          regularization_on=True)
             self.ctm_averaged_vcd_corrected = res.xb
             self.ak_OI = res.averaging_kernel
             self.increment_OI = res.increment

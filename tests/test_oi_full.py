@@ -100,3 +100,39 @@ def test_oi_full_all_nan():
     nanf = np.full((4, 8), np.nan)
     res = oi_full(nanf, nanf, nanf, nanf, nanf, nanf, 100.0)
     assert np.isnan(res.xb).all()
+
+
+def test_oi_full_scan_diagonal_limit_matches_scalar():
+    """L -> 0 with the regularization scan must reproduce the scalar OI's
+    curve, knee choice and fields."""
+    rng = np.random.default_rng(11)
+    H, W = 10, 13
+    xa = np.abs(rng.normal(3, 1, (H, W)))
+    y = np.abs(rng.normal(3, 1, (H, W)))
+    sigb = np.abs(rng.normal(1.0, 0.2, (H, W)))
+    sigo = np.abs(rng.normal(0.6, 0.1, (H, W)))
+    res = oi_full(xa, y, sigb, sigo, np.zeros((H, W)) + np.linspace(30, 45, H)[:, None],
+                  np.zeros((H, W)) + np.linspace(-10, 10, W)[None, :],
+                  length_scale_km=1e-3, regularization_on=True)
+    ref = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sigb**2), jnp.asarray(sigo**2),
+             regularization_on=True)
+    m = np.isfinite(res.xb) & np.isfinite(np.asarray(ref.xb))
+    assert m.sum() > 100
+    np.testing.assert_allclose(res.xb[m], np.asarray(ref.xb)[m], rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(res.averaging_kernel[m], np.asarray(ref.averaging_kernel)[m],
+                               rtol=5e-3, atol=5e-3)
+
+
+def test_oi_full_scan_spreads_and_regularizes():
+    H, W = 8, 16
+    lon, lat = np.meshgrid(np.linspace(0, 15, W), np.linspace(40, 47, H))
+    xa = np.full((H, W), 2.0)
+    y2 = np.full((H, W), 2.0)
+    y2[4, 8] = 4.0
+    sigb = np.full((H, W), 1.0)
+    sigo2 = np.full((H, W), 1e3)
+    sigo2[4, 8] = 0.1
+    res = oi_full(xa, y2, sigb, sigo2, lat, lon, length_scale_km=200.0,
+                  regularization_on=True)
+    assert res.xb[4, 8] > 3.0
+    assert res.xb[4, 9] > 2.1  # neighbour updated through B
