@@ -112,3 +112,183 @@ def test_run_month_tempo_hour_loop(tmp_path, monkeypatch):
     assert (tmp_path / "diag" / "NO2_202309_18UTC.nc").exists()
     # no diags for empty hours
     assert not (tmp_path / "diag" / "NO2_202309_17UTC.nc").exists()
+
+
+def _run_job_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_job", os.path.join(os.path.dirname(__file__), "..", "run", "job.py"))
+    run_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_job)
+    return run_job
+
+
+def _base_ctrl(tmp_path, **over):
+    ctrl = {
+        "python_bin": "python3", "debug": False, "save_daily": False, "num_job": 1,
+        "ctm_name": "FREE", "ctm_dir": str(tmp_path / "ctm"), "mcip_dir": str(tmp_path),
+        "ctm_freq": "3-hourly", "ctm_avg": False, "ctm_error": 50.0,
+        "gas": "NO2", "sensor": "OMI", "read_AK": True, "troposphere_only": False,
+        "sat_dir": str(tmp_path / "sat"),
+        "start_date": "2019-07", "end_date": "2019-07",
+        "output_pdf_dir": str(tmp_path / "report"),
+        "output_nc_dir": str(tmp_path / "diag"),
+    }
+    ctrl.update(over)
+    (tmp_path / "ctm").mkdir(exist_ok=True)
+    (tmp_path / "sat").mkdir(exist_ok=True)
+    return ctrl
+
+
+def test_run_month_omi_no2_vs_gmi(tmp_path, monkeypatch):
+    """BASELINE config 1: OMI NO2 vs (averaged) GMI with AMF recalculation."""
+    from tests.test_ctm_readers import write_gmi_pair
+    from tests.test_sensors import write_omi_no2
+
+    ctrl = _base_ctrl(tmp_path, ctm_name="GMI", ctm_avg=True, troposphere_only=True)
+    write_gmi_pair(tmp_path / "ctm" / "MERRA2_GMI.tavg3_3d_met_Nv.20190710.nc4",
+                   tmp_path / "ctm" / "MERRA2_GMI.tavg3_3d_tac_Nv.20190710.nc4", 10,
+                   nlat=16, nlon=17)
+    write_omi_no2(tmp_path / "sat" / "OMI-Aura_L2-OMNO2_2019m0710.nc")
+    monkeypatch.chdir(tmp_path)
+    _run_job_module().run_month(ctrl, 2019, 7)
+    from oisat_tpu.ncwriter import read_diag_nc
+
+    fields, _ = read_diag_nc(tmp_path / "diag" / "NO2_201907.nc")
+    assert np.isfinite(fields["ctm_averaged_vcd_prior"]).sum() > 10
+    assert np.isfinite(fields["aux1"]).sum() > 10  # new AMF was computed
+
+
+def _write_eccoh(path, gas, value_molmol, nz=6, nlat=16, nlon=17):
+    import h5py
+
+    with h5py.File(path, "w") as f:
+        f["lon"] = np.linspace(-10, 10, nlon)
+        f["lat"] = np.linspace(30, 45, nlat)
+        t = f.create_dataset("time", data=np.array([0.0]))
+        t.attrs["begin_date"] = np.int32(20190701)
+        f["DELP"] = np.full((nz, nlat, nlon), 3000.0)
+        f["PL"] = np.linspace(10000, 95000, nz)[::-1, None, None] * np.ones((nz, nlat, nlon))
+        f[gas] = np.full((nz, nlat, nlon), value_molmol)
+        if gas != "QV":
+            f["QV"] = np.full((nz, nlat, nlon), 0.005)
+
+
+def test_run_month_mopitt_co_vs_eccoh(tmp_path, monkeypatch):
+    """BASELINE config 4: MOPITT CO with AK convolution against ECCOH."""
+    from tests.test_sensors import write_mopitt
+
+    ctrl = _base_ctrl(tmp_path, ctm_name="ECCOH", gas="CO", sensor="MOPITT")
+    _write_eccoh(tmp_path / "ctm" / "run.eccoh_Nv.201907.nc4", "CO", 9e-8)
+    write_mopitt(tmp_path / "sat" / "MOP03JM-201907.he5")
+    monkeypatch.chdir(tmp_path)
+    _run_job_module().run_month(ctrl, 2019, 7)
+    from oisat_tpu.ncwriter import read_diag_nc
+
+    fields, _ = read_diag_nc(tmp_path / "diag" / "CO_201907.nc")
+    # MOPITT assimilates VCD; ctm_vcd comes from the AK convolution
+    assert np.isfinite(fields["ctm_averaged_vcd_prior"]).sum() > 10
+    assert np.isfinite(fields["aux1"]).sum() > 10  # x_col
+    assert np.isfinite(fields["aux2"]).sum() > 10  # ctm_xcol
+
+
+def test_run_month_gosat_ch4_vs_eccoh(tmp_path, monkeypatch):
+    """BASELINE config 5: GOSAT XCH4 with gap filler + AK conv; the OI runs
+    on the xcol pair (reference driver.py:112-114)."""
+    from tests.test_sensors import write_gosat
+
+    ctrl = _base_ctrl(tmp_path, ctm_name="ECCOH", gas="CH4", sensor="GOSAT",
+                      start_date="2010-06", end_date="2010-06")
+    _write_eccoh(tmp_path / "ctm" / "run.eccoh_Nv.201006.nc4", "CH4", 1.8e-6)
+    # rewrite begin_date for June 2010
+    import h5py
+
+    with h5py.File(tmp_path / "ctm" / "run.eccoh_Nv.201006.nc4", "a") as f:
+        f["time"].attrs["begin_date"] = np.int32(20100601)
+    (tmp_path / "sat" / "2010").mkdir(parents=True)
+    write_gosat(tmp_path / "sat" / "2010" / "ESACCI-GHG-20100615.nc")
+    monkeypatch.chdir(tmp_path)
+    _run_job_module().run_month(ctrl, 2010, 6)
+    from oisat_tpu.ncwriter import read_diag_nc
+
+    fields, _ = read_diag_nc(tmp_path / "diag" / "CH4_201006.nc")
+    assert np.isfinite(fields["aux1"]).sum() > 5  # sat xch4
+    assert np.isfinite(fields["aux2"]).sum() > 5  # model xch4
+    assert np.isfinite(fields["ctm_averaged_vcd_posterior"]).sum() > 5
+
+
+def _write_omi_hcho(path, ny=60, nx=40):
+    import datetime
+
+    import h5py
+
+    from tests.test_sensors import swath_geo
+
+    lat, lon = swath_geo()
+    with h5py.File(path, "w") as f:
+        g = f.create_group("geolocation")
+        g["time"] = np.full(ny, (datetime.datetime(2019, 7, 10) - datetime.datetime(1993, 1, 1)).total_seconds())
+        g["latitude"] = lat
+        g["longitude"] = lon
+        k = f.create_group("key_science_data")
+        k["column_amount"] = np.full((ny, nx), 8.0e15)
+        k["column_uncertainty"] = np.full((ny, nx), 3.0e15)
+        k["main_data_quality_flag"] = np.zeros((ny, nx))
+        s = f.create_group("support_data")
+        s["amf"] = np.full((ny, nx), 1.4)
+        s["cloud_fraction"] = np.full((ny, nx), 0.1)
+        s["surface_pressure"] = np.full((ny, nx), 1000.0)
+        s["scattering_weights"] = np.ones((47, ny, nx))
+
+
+def test_run_month_omi_hcho(tmp_path, monkeypatch):
+    """BASELINE config 2: OMI HCHO (error averaging + bias-correction path)."""
+    ctrl = _base_ctrl(tmp_path, gas="HCHO")
+    _write_omi_hcho(tmp_path / "sat" / "OMI-Aura_L2-OMHCHO_2019m0710.nc")
+    with open(tmp_path / "control_free.yml", "w") as f:
+        f.write("lonll: -10.0\nlonur: 10.0\nlatll: 30.0\nlatur: 45.0\ngridsize: 1.0\n")
+    monkeypatch.chdir(tmp_path)
+    _run_job_module().run_month(ctrl, 2019, 7)
+    from oisat_tpu.ncwriter import read_diag_nc
+
+    fields, _ = read_diag_nc(tmp_path / "diag" / "HCHO_201907.nc")
+    v = fields["sat_averaged_vcd"]
+    # bias correction applied: (8 - 0.821) / 0.79
+    np.testing.assert_allclose(v[np.isfinite(v)], (8.0 - 0.821) / 0.79, rtol=1e-3)
+
+
+def _write_omi_o3(path, ny=60, nx=40):
+    import datetime
+
+    import h5py
+
+    from tests.test_sensors import swath_geo
+
+    lat, lon = swath_geo()
+    with h5py.File(path, "w") as f:
+        g = f.create_group("HDFEOS").create_group("SWATHS").create_group(
+            "OMI Column Amount O3")
+        geo = g.create_group("Geolocation Fields")
+        geo["Time"] = np.full(ny, (datetime.datetime(2019, 7, 10) - datetime.datetime(1993, 1, 1)).total_seconds())
+        geo["Latitude"] = lat
+        geo["Longitude"] = lon
+        geo["SolarZenithAngle"] = np.full((ny, nx), 30.0)
+        d = g.create_group("Data Fields")
+        d["ColumnAmountO3"] = np.full((ny, nx), 300.0)  # DU
+        d["QualityFlags"] = np.zeros((ny, nx))
+
+
+def test_run_month_omi_o3(tmp_path, monkeypatch):
+    """BASELINE config 3: OMI total O3 (upscale path, DU conversion, no AMF)."""
+    ctrl = _base_ctrl(tmp_path, gas="O3", read_AK=False)
+    _write_omi_o3(tmp_path / "sat" / "OMI-Aura_L2-OMTO3_2019m0710.he5")
+    with open(tmp_path / "control_free.yml", "w") as f:
+        f.write("lonll: -10.0\nlonur: 10.0\nlatll: 30.0\nlatur: 45.0\ngridsize: 1.0\n")
+    monkeypatch.chdir(tmp_path)
+    _run_job_module().run_month(ctrl, 2019, 7)
+    from oisat_tpu.ncwriter import read_diag_nc
+
+    fields, _ = read_diag_nc(tmp_path / "diag" / "O3_201907.nc")
+    v = fields["sat_averaged_vcd"]
+    np.testing.assert_allclose(v[np.isfinite(v)], 300.0, rtol=1e-3)
