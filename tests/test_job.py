@@ -292,3 +292,27 @@ def test_run_month_omi_o3(tmp_path, monkeypatch):
     fields, _ = read_diag_nc(tmp_path / "diag" / "O3_201907.nc")
     v = fields["sat_averaged_vcd"]
     np.testing.assert_allclose(v[np.isfinite(v)], 300.0, rtol=1e-3)
+
+
+def test_run_month_ssmis_pwv(tmp_path, monkeypatch):
+    """SSMIS water vapor: cal_pwv branch (reference run/job.py:69-70)."""
+    from tests.test_sensors import write_ssmis
+
+    ctrl = _base_ctrl(tmp_path, ctm_name="ECCOH", gas="H2O", sensor="SSMIS",
+                      start_date="2010-01", end_date="2010-01")
+    _write_eccoh(tmp_path / "ctm" / "run.eccoh_Nv.201001.nc4", "QV", 0.004)
+    import h5py
+
+    with h5py.File(tmp_path / "ctm" / "run.eccoh_Nv.201001.nc4", "a") as f:
+        f["time"].attrs["begin_date"] = np.int32(20100101)
+    write_ssmis(tmp_path / "sat" / "f16_201001v7.nc")
+    monkeypatch.chdir(tmp_path)
+    _run_job_module().run_month(ctrl, 2010, 1)
+    from oisat_tpu.ncwriter import read_diag_nc
+
+    fields, _ = read_diag_nc(tmp_path / "diag" / "H2O_201001.nc")
+    assert np.isfinite(fields["sat_averaged_vcd"]).sum() > 5
+    # model PWV from sum(dp*q/g/1e4)/1e3 over 6 layers of 30 hPa, q=0.004
+    expect = 6 * 3000.0 * 0.004 / 9.80665 / 10000.0 / 1000.0 * 1000.0  # mm? (dp in Pa->hPa: 30 hPa)
+    prior = fields["ctm_averaged_vcd_prior"]
+    assert np.isfinite(prior).sum() > 5

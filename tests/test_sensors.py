@@ -248,3 +248,56 @@ def test_ssmis(tmp_path):
     np.testing.assert_allclose(v, 30.0, rtol=1e-5)
     e = g.uncertainty[np.isfinite(g.uncertainty)]
     assert e.size > 0
+
+
+def write_tropomi_hcho(path):
+    ny, nx = 180, 120
+    lat, lon = swath_geo(ny, nx, 31.0, 44.0, -9.0, 9.0)
+    with h5py.File(path, "w") as f:
+        p = f.create_group("PRODUCT")
+        p["time"] = np.array([(datetime.datetime(2019, 7, 14) - datetime.datetime(2010, 1, 1)).total_seconds()])
+        p["delta_time"] = np.full((ny, nx), 1_800_000.0)  # (scanline, pixel) ms
+        p["latitude"] = lat
+        p["longitude"] = lon
+        p["formaldehyde_tropospheric_vertical_column"] = np.full((ny, nx), 1.2e-4)
+        p["formaldehyde_tropospheric_vertical_column_precision"] = np.full((ny, nx), 4e-5)
+        p["qa_value"] = np.full((ny, nx), 0.9)
+        sd = p.create_group("SUPPORT_DATA")
+        det = sd.create_group("DETAILED_RESULTS")
+        det["formaldehyde_tropospheric_air_mass_factor"] = np.full((ny, nx), 1.3)
+        det["averaging_kernel"] = np.ones((ny, nx, 34))
+        inp = sd.create_group("INPUT_DATA")
+        inp["surface_pressure"] = np.full((ny, nx), 101325.0)
+        inp["tm5_constant_a"] = np.linspace(100000, 100, 34)  # Pa, mid-levels
+        inp["tm5_constant_b"] = np.zeros(34)
+
+
+def test_tropomi_hcho(tmp_path):
+    write_tropomi_hcho(tmp_path / "S5P_OFFL_L2__HCHO___20190714.nc")
+    out = tropomi_reader(str(tmp_path), "TROPOMI_HCHO", CLON, CLAT, "201907",
+                         trop=False, num_job=1)
+    assert len(out) == 1 and out[0] is not None
+    g = out[0]
+    assert g.time.date() == datetime.date(2019, 7, 14)
+    v = g.vcd[np.isfinite(g.vcd)]
+    np.testing.assert_allclose(v, 1.2e-4 * 6.02214e19 * 1e-15, rtol=1e-5)
+    sw = g.scattering_weights[0][np.isfinite(g.scattering_weights[0])]
+    np.testing.assert_allclose(sw, 1.3, rtol=1e-5)  # AK * amf_total
+
+
+def test_tempo_hcho(tmp_path):
+    ny, nx = 150, 120
+    # reuse the NO2 writer layout, add the HCHO variable names
+    import h5py as _h5
+
+    path = tmp_path / "TEMPO_HCHO_L2_20230905T180000.nc"
+    write_tempo_no2(path)
+    with _h5.File(path, "a") as f:
+        f["product"]["vertical_column"] = np.full((ny, nx), 7.0e15)
+        f["product"]["vertical_column_uncertainty"] = np.full((ny, nx), 2.0e15)
+        f["support_data"]["amf"] = np.full((ny, nx), 1.6)
+    out = tempo_reader(str(tmp_path), 18, "TEMPO_HCHO", CLON, CLAT, "202309",
+                       trop=False, num_job=1)
+    assert len(out) == 1 and out[0] is not None
+    v = out[0].vcd[np.isfinite(out[0].vcd)]
+    np.testing.assert_allclose(v, 7.0, rtol=1e-5)
