@@ -21,8 +21,6 @@ import os
 from pathlib import Path
 from time import sleep
 
-import numpy as np  # noqa: F401  (kept for API parity in signatures)
-
 __all__ = ["downloader"]
 
 GESDISC_SUBSET_URL = "https://disc.gsfc.nasa.gov/service/subset/jsonwsp"

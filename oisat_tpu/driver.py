@@ -76,10 +76,11 @@ class oisatgmi:
             self.reader_obj.sat_data = pwv_calculator(self.reader_obj.ctm_data, self.reader_obj.sat_data)
 
     def conv_ak(self, sensor: str):
-        if sensor == "MOPITT":
-            self.reader_obj.sat_data = ak_conv_mopitt(self.reader_obj.ctm_data, self.reader_obj.sat_data)
-        if sensor == "GOSAT":
-            self.reader_obj.sat_data = ak_conv_gosat(self.reader_obj.ctm_data, self.reader_obj.sat_data)
+        with stage("ak_conv"):
+            if sensor == "MOPITT":
+                self.reader_obj.sat_data = ak_conv_mopitt(self.reader_obj.ctm_data, self.reader_obj.sat_data)
+            if sensor == "GOSAT":
+                self.reader_obj.sat_data = ak_conv_gosat(self.reader_obj.ctm_data, self.reader_obj.sat_data)
 
     # -- analysis (reference driver.py:53-114) -------------------------------
     def average(self, startdate: str, enddate: str, gasname=None):

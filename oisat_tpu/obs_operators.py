@@ -25,7 +25,7 @@ from oisat_tpu.ops.vertical import (
     partial_column,
     pwv_fields,
 )
-from oisat_tpu.ops.weights import diag_threshold, grid_spacing
+from oisat_tpu.ops.weights import diag_threshold
 from oisat_tpu.regridder import make_upscaler
 
 __all__ = ["amf_recal", "ak_conv_mopitt", "ak_conv_gosat", "pwv_calculator"]

@@ -7,7 +7,6 @@ import datetime
 import glob
 
 import numpy as np
-import jax.numpy as jnp
 
 from oisat_tpu.datamodel import satellite_opt
 from oisat_tpu.ops.regrid import apply_plan
