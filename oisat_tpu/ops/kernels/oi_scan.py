@@ -24,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 from oisat_tpu.ops.kernels import interpret_default
 
-__all__ = ["ak_curve_pallas"]
+__all__ = ["ak_curve_pallas", "ak_curve_pallas_sharded"]
 
 LANES = 128
 
@@ -95,5 +95,40 @@ def ak_curve_pallas(sa, so, regs, rows_per_tile: int = 512, interpret: bool | No
     so2d = jnp.pad(so, (0, pad), constant_values=jnp.nan).reshape(-1, LANES)
     regs = jnp.asarray(regs, jnp.float32)
     out = _scan(sa2d, so2d, regs, rows_per_tile, interpret)
+    s, c = out[:, 0], out[:, 1]
+    return jnp.where(c > 0, s / c, jnp.nan)
+
+
+def ak_curve_pallas_sharded(sa, so, regs, mesh, axis: str = "grid",
+                            rows_per_tile: int = 512, interpret: bool | None = None):
+    """Multi-device mean-AK curve: the Pallas kernel runs per shard under
+    ``shard_map`` and the (R, 2) sum/count partials are psum-reduced over
+    ``axis`` — the pattern that keeps the fused kernel usable on a v5p-8
+    mesh (a bare Pallas call is not SPMD-partitioned by XLA).
+    """
+    import numpy as np
+
+    from jax.sharding import PartitionSpec as P
+
+    if interpret is None:
+        interpret = interpret_default()
+    nshards = mesh.shape[axis]
+    sa = jnp.asarray(sa, jnp.float32).ravel()
+    so = jnp.asarray(so, jnp.float32).ravel()
+    n = sa.shape[0]
+    chunk = rows_per_tile * LANES * nshards
+    padded = int(np.ceil(max(n, 1) / chunk)) * chunk
+    pad = padded - n
+    sa2d = jnp.pad(sa, (0, pad), constant_values=jnp.nan).reshape(-1, LANES)
+    so2d = jnp.pad(so, (0, pad), constant_values=jnp.nan).reshape(-1, LANES)
+    regs = jnp.asarray(regs, jnp.float32)
+
+    def shard_fn(a, b, r):
+        return jax.lax.psum(_scan(a, b, r, rows_per_tile, interpret), axis)
+
+    f = jax.shard_map(shard_fn, mesh=mesh,
+                      in_specs=(P(axis, None), P(axis, None), P(None)),
+                      out_specs=P(None), check_vma=False)
+    out = f(sa2d, so2d, regs)
     s, c = out[:, 0], out[:, 1]
     return jnp.where(c > 0, s / c, jnp.nan)

@@ -56,3 +56,21 @@ def test_dryrun_entrypoints():
     fn, args = ge.entry()
     out = jax.jit(fn)(*args)
     assert np.asarray(out.oi.xb).shape == args[0].vcd.shape[1:]
+
+
+def test_sharded_pallas_curve_matches_xla():
+    from oisat_tpu.ops.kernels.oi_scan import ak_curve_pallas_sharded
+    from oisat_tpu.ops.oi import ak_curve, regularization_grid
+
+    rng = np.random.default_rng(5)
+    n = 50_000  # deliberately not a multiple of the shard chunk
+    sa = np.abs(rng.normal(2, 1, n)).astype(np.float32)
+    so = np.abs(rng.normal(1, 0.5, n)).astype(np.float32)
+    sa[rng.random(n) < 0.2] = np.nan
+    sa[rng.random(n) < 0.02] = 0.0
+    regs = regularization_grid().astype(np.float32)
+    mesh = make_mesh(8, axis_names=("obs", "grid"))
+    got = np.asarray(ak_curve_pallas_sharded(sa, so, regs, mesh, axis="grid",
+                                             rows_per_tile=8))
+    ref = np.asarray(ak_curve(jnp.asarray(sa), jnp.asarray(so), jnp.asarray(regs)))
+    np.testing.assert_allclose(got, ref, rtol=2e-5)
