@@ -144,6 +144,17 @@ class oisatgmi:
         self.ak_OI = np.asarray(res.averaging_kernel)
         self.increment_OI = np.asarray(res.increment)
         self.error_OI = np.asarray(res.error)
+        # observation-space consistency diagnostics (extension)
+        from oisat_tpu.ops.diagnostics import innovation_stats
+
+        st = innovation_stats(jnp.asarray(xa), jnp.asarray(y),
+                              jnp.asarray(self.ctm_averaged_vcd_corrected),
+                              jnp.asarray(sa), jnp.asarray(so))
+        self.oi_diagnostics = {k: float(v) for k, v in st._asdict().items()}
+        print("OI diagnostics: "
+              f"n={int(st.n)} OmB={float(st.omb_mean):+.3g}/{float(st.omb_rms):.3g} "
+              f"OmA={float(st.oma_mean):+.3g}/{float(st.oma_rms):.3g} "
+              f"chi2={float(st.chi2):.3g}")
 
     # -- stage-boundary checkpointing (extension; SURVEY.md §5) --------------
     def save_state(self, path):

@@ -156,3 +156,39 @@ def test_driver_full_covariance_oi():
     # and the scalar method still works on the same state
     obj.oi("OMI", error_ctm=50.0)
     assert np.isfinite(obj.ctm_averaged_vcd_corrected).sum() > 50
+
+
+def test_innovation_diagnostics():
+    from oisat_tpu.ops.diagnostics import innovation_stats
+
+    rng = np.random.default_rng(12)
+    H, W = 40, 50
+    xa = np.abs(rng.normal(3, 1, (H, W)))
+    sa = np.full((H, W), 0.5**2)
+    so = np.full((H, W), 0.3**2)
+    # consistent errors: innovation variance == Sa + So
+    y = xa + rng.normal(0, np.sqrt(sa + so), (H, W))
+    xb = 0.5 * (xa + y)
+    xa[0, :5] = np.nan
+    st = innovation_stats(xa, y, xb, sa, so)
+    assert int(st.n) == H * W - 5
+    assert abs(float(st.chi2) - 1.0) < 0.15          # chi2 ~ 1 when consistent
+    assert float(st.oma_rms) < float(st.omb_rms)     # analysis closer to obs
+    # inflated obs error -> chi2 << 1
+    st2 = innovation_stats(xa, y, xb, sa, so * 100)
+    assert float(st2.chi2) < 0.2
+
+
+def test_driver_reports_diagnostics():
+    clon, clat = ctm_grid()
+    ctm = synthetic_ctm()
+    granules = [regrid_granule(1, 0.25, synthetic_granule(s, 4 + s), clon, clat,
+                               flag_thresh=0.5) for s in range(2)]
+    obj = oisatgmi()
+    obj.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=granules)
+    obj.recal_amf()
+    obj.average("2019-07-01", "2019-08-01")
+    obj.oi("OMI")
+    assert set(obj.oi_diagnostics) == {"n", "omb_mean", "omb_rms", "oma_mean",
+                                       "oma_rms", "chi2"}
+    assert obj.oi_diagnostics["n"] > 50
