@@ -192,3 +192,30 @@ def test_driver_reports_diagnostics():
     assert set(obj.oi_diagnostics) == {"n", "omb_mean", "omb_rms", "oma_mean",
                                        "oma_rms", "chi2"}
     assert obj.oi_diagnostics["n"] > 50
+
+
+def test_multi_year_averaging_buckets():
+    """Multi-year ranges (the GOSAT 2005-2019 reanalysis shape): granules
+    bucket into a (H, W, months, years) array — correctly per month, unlike
+    the reference's year-level store quirk (documented deviation)."""
+    clon, clat = ctm_grid()
+    granules = []
+    for year in (2010, 2011):
+        for month in (6, 7):
+            g = regrid_granule(1, 0.25, synthetic_granule(year + month, 4), clon, clat,
+                               flag_thresh=0.5)
+            g.time = datetime.datetime(year, month, 15)
+            g.ctm_vcd = np.full_like(g.vcd, float(year + month))
+            g.new_amf = np.ones_like(g.vcd)
+            g.old_amf = np.ones_like(g.vcd)
+            granules.append(g)
+    robj = SimpleNamespace(sat_data=granules)
+    vcd, err, ctmv, a1, a2, t = averaging("2010-06-01", "2011-08-01", robj)
+    # a range crossing the year boundary covers all 12 calendar months
+    # (reference month-range semantics), over 2 years
+    assert vcd.shape == clat.shape + (12, 2)
+    # each bucket carries its own month's data (no last-month overwrite)
+    for yi, year in enumerate((2010, 2011)):
+        for month in (6, 7):
+            vals = ctmv[:, :, month - 1, yi]
+            np.testing.assert_allclose(vals[np.isfinite(vals)], year + month)
