@@ -96,11 +96,20 @@ def _daily_ctm_slice(ctm_data, day):
     )
 
 
+def _geom_key(lon2d, lat2d):
+    """Content-based geometry key (an id() key could collide after GC)."""
+    lon2d = np.asarray(lon2d)
+    lat2d = np.asarray(lat2d)
+    return (lon2d.shape, float(lon2d[0, 0]), float(lon2d[-1, -1]),
+            float(lat2d[0, 0]), float(lat2d[-1, -1]))
+
+
 def _ctm_to_sat_upscaler(ctm_data, granule, cache={}):
     """Upscaler mapping CTM-grid (L, H, W) fields onto the satellite grid
     (reference amf_recal.py:58-83; KD-nearest, 2x cutoff).  Cached per
     geometry — the reference rebuilds the KD tree per granule per level."""
-    key = (id(ctm_data[0]), granule.longitude_center.shape)
+    key = (_geom_key(ctm_data[0].longitude, ctm_data[0].latitude),
+           _geom_key(granule.longitude_center, granule.latitude_center))
     if key not in cache:
         sat_lon, sat_lat = granule.longitude_center, granule.latitude_center
         threshold_sat = diag_threshold(sat_lon, sat_lat)

@@ -36,7 +36,7 @@ def ctm_grid():
     return np.meshgrid(np.arange(-10, 11, 1.25), np.arange(30, 46, 1.0))
 
 
-@pytest.mark.parametrize("method", [1, 2, 4])
+@pytest.mark.parametrize("method", [1, 2, 3, 4])
 def test_regrid_amf_granule_shapes(method):
     g = synthetic_amf_granule()
     clon, clat = ctm_grid()
