@@ -242,11 +242,16 @@ def regrid_granule(
     gridded, err_gridded = _regrid_fused(plan, upsc, batch, err_batch, dtype)
     out = {n: gridded[i] for i, n in enumerate(names)}
     # error path: variance in, squared kernel, sqrt at the end
-    uncertainty = np.sqrt(err_gridded[0])
+    with np.errstate(invalid="ignore"):  # RBF variance can overshoot < 0 -> NaN
+        uncertainty = np.sqrt(err_gridded[0])
 
     vcd = out["vcd"]
-    if np.isnan(np.nanmean(vcd)):
-        return None  # granule misses the analysis domain
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN mean
+        if np.isnan(np.nanmean(vcd)):
+            return None  # granule misses the analysis domain
 
     def collect3d(name, nz):
         return np.stack([out[f"{name}:{z}"] for z in range(nz)])
