@@ -135,7 +135,9 @@ class downloader:
                         username=None, password=None, dry_run=False):
         """OMI L2 via GES-DISC (reference downloader.py:318-404)."""
         _setup_netrc(username, password)
-        product = {"NO2": "OMNO2_003", "O3": "OMTO3_003"}.get(product_tag)
+        # dataset ids per reference downloader.py:329-336
+        product = {"NO2": "OMI_MINDS_NO2_1.1", "HCHO": "OMHCHO_003",
+                   "O3": "OMTO3_003"}.get(product_tag)
         if product_name is not None:
             product = product_name
         if product is None:
