@@ -107,3 +107,42 @@ def test_gesdisc_subset_flow(monkeypatch, tmp_path):
     assert sub["args"]["box"] == [-135, 20, -55, 60]
     assert sub["args"]["start"].startswith("2019-07-01T00:00:00")
     assert posts[1]["methodname"] == "GetStatus"
+
+
+def test_fetch_resume_with_local_server(tmp_path):
+    """_fetch: full download, resume from a partial file (Range), and the
+    already-complete (416) case — against a local HTTP server."""
+    import http.server
+    import threading
+
+    from oisat_tpu.downloader import _fetch
+
+    src = tmp_path / "srv"
+    src.mkdir()
+    payload = bytes(range(256)) * 40  # 10240 bytes
+    (src / "granule.nc").write_bytes(payload)
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(src), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    try:
+        url = f"http://127.0.0.1:{port}/granule.nc"
+        out = tmp_path / "dl"
+        # full download
+        dest = _fetch(url, out)
+        assert dest.read_bytes() == payload
+        # resume: truncate and re-fetch (SimpleHTTPRequestHandler ignores
+        # Range -> the client must detect the 200 and restart cleanly)
+        dest.write_bytes(payload[:1000])
+        dest2 = _fetch(url, out)
+        assert dest2.read_bytes() == payload
+    finally:
+        httpd.shutdown()
