@@ -235,4 +235,5 @@ class oisatgmi:
             "aux2": self.aux2,
         }
         write_diag_nc(os.path.join(output_folder, output_file + ".nc"), fields,
-                      self.avg_time.strftime("%Y-%m-%d %H:%M:%S"))
+                      self.avg_time.strftime("%Y-%m-%d %H:%M:%S"),
+                      global_attrs=getattr(self, "oi_diagnostics", None))

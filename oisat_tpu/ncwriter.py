@@ -47,11 +47,14 @@ def write_nc(path, dims: dict, variables: dict, global_attrs: dict | None = None
             f.attrs[k] = v
 
 
-def write_diag_nc(path, fields: dict, time_string: str):
-    """Write the diag file.  ``fields``: name -> 2-D float array (x, y)."""
+def write_diag_nc(path, fields: dict, time_string: str, global_attrs=None):
+    """Write the diag file.  ``fields``: name -> 2-D float array (x, y).
+    ``global_attrs``: optional scalar metadata (e.g. OI diagnostics)."""
     first = next(iter(fields.values()))
     nx, ny = np.shape(first)
     with h5py.File(path, "w") as f:
+        for k, v in (global_attrs or {}).items():
+            f.attrs[k] = v
         # dimension scales
         dx = f.create_dataset("x", data=np.arange(nx, dtype=np.float64))
         dx.make_scale("x")

@@ -219,3 +219,20 @@ def test_multi_year_averaging_buckets():
         for month in (6, 7):
             vals = ctmv[:, :, month - 1, yi]
             np.testing.assert_allclose(vals[np.isfinite(vals)], year + month)
+
+
+def test_diag_carries_oi_diagnostics(tmp_path):
+    import h5py
+
+    clon, clat = ctm_grid()
+    ctm = synthetic_ctm()
+    granules = [regrid_granule(1, 0.25, synthetic_granule(0, 4), clon, clat,
+                               flag_thresh=0.5)]
+    obj = oisatgmi()
+    obj.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=granules)
+    obj.recal_amf()
+    obj.average("2019-07-01", "2019-08-01")
+    obj.oi("OMI")
+    obj.write_to_nc("d", str(tmp_path))
+    with h5py.File(tmp_path / "d.nc") as f:
+        assert "chi2" in f.attrs and "omb_rms" in f.attrs
