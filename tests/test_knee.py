@@ -54,3 +54,26 @@ def test_fallback_constant_curve():
         np_idx = kneedle_index_np(x, y)
     assert np_idx == 0
     assert int(kneedle_index(jnp.asarray(x), jnp.asarray(y))) == 0
+
+
+def test_fuzz_jax_matches_numpy():
+    """50 random monotone-ish curves: the lax.scan state machine must track
+    the NumPy implementation exactly (knee index or shared fallback)."""
+    rng = np.random.default_rng(42)
+    x = np.arange(0.1, 10.0, 0.1)
+    for i in range(50):
+        kind = i % 5
+        if kind == 0:  # concave increasing, random curvature
+            a = rng.uniform(0.01, 30.0)
+            y = x / (x + a)
+        elif kind == 1:  # noisy concave
+            y = x / (x + rng.uniform(0.1, 5.0)) + rng.normal(0, 0.02, x.size)
+        elif kind == 2:  # piecewise with plateaus
+            y = np.minimum(x * rng.uniform(0.5, 2.0), rng.uniform(1, 8))
+        elif kind == 3:  # random walk, sorted (monotone, irregular)
+            y = np.sort(np.cumsum(rng.normal(0.1, 1.0, x.size)))
+        else:  # oscillating difference curve
+            y = x / (x + 1.0) + 0.05 * np.sin(x * rng.uniform(1, 6))
+        np_idx = kneedle_index_np(x, y)
+        jx_idx = int(kneedle_index(jnp.asarray(x), jnp.asarray(y)))
+        assert np_idx == jx_idx, (i, kind, np_idx, jx_idx)
