@@ -37,12 +37,13 @@ extern "C" {
 // lon/lat: (ny, nx) pixel centers (row-major).  tx/ty: (nt,) targets.
 // Outputs: idx (nt,3) int32 flat pixel ids; w (nt,3); dist (nt,) nearest
 // pixel distance (Euclidean in degrees, matching the reference's cKDTree
-// query metric); ok (nt,) 1 if inside some swath triangle.
-// Returns 0 on success.
+// query metric); nn (nt,) flat id of that nearest pixel (the native
+// nearest-neighbour interpolation mode); ok (nt,) 1 if inside some swath
+// triangle.  Returns 0 on success.
 int build_structured_weights(const double* lon, const double* lat, int ny,
                              int nx, const double* tx, const double* ty,
                              int nt, int32_t* idx, double* w, double* dist,
-                             uint8_t* ok) {
+                             int32_t* nn, uint8_t* ok) {
   if (ny < 2 || nx < 2 || nt <= 0) return 1;
   const int nquad_y = ny - 1, nquad_x = nx - 1;
   const int64_t nquads = int64_t(nquad_y) * nquad_x;
@@ -143,16 +144,20 @@ int build_structured_weights(const double* lon, const double* lat, int ny,
         }
       }
     }
-    // nearest-pixel distance: expanding ring scan over pixel bins
+    // nearest-pixel search: expanding ring scan over pixel bins
     // (pixels hashed implicitly via quads' p00 corner is insufficient at
-    // edges, so scan pixels of quads in expanding bin rings)
+    // edges, so scan pixels of quads in expanding bin rings).  Ties go to
+    // the lowest flat pixel id, matching scipy cKDTree.query.
     double best = 1e300;
-    int hit_ring = -1;
+    int64_t best_id = 0;
+    const double cell_w = 1.0 / h.inv_cx, cell_h = 1.0 / h.inv_cy;
+    const double min_pitch = std::min(cell_w, cell_h);
     const int max_ring = nbx + nby;
     for (int ring = 0; ring <= max_ring; ++ring) {
-      // stop two rings past the first hit (bin pitch ~ quad size, so the
-      // true nearest cannot be farther than that margin)
-      if (hit_ring >= 0 && ring > hit_ring + 2) break;
+      // every bin in ring r (Chebyshev shell) is at least (r-1)*min_pitch
+      // away from the target; once that exceeds the best distance found,
+      // no farther ring can improve it.
+      if (best < 1e300 && double(ring - 1) * min_pitch > std::sqrt(best)) break;
       const int bx0 = bx - ring, bx1 = bx + ring, by0 = by - ring, by1 = by + ring;
       for (int iby = by0; iby <= by1; ++iby) {
         if (iby < 0 || iby >= nby) continue;
@@ -169,13 +174,17 @@ int build_structured_weights(const double* lon, const double* lat, int ny,
             for (int c = 0; c < 4; ++c) {
               const double dx = lon[corners[c]] - X, dy = lat[corners[c]] - Y;
               const double d2 = dx * dx + dy * dy;
-              if (d2 < best) { best = d2; if (hit_ring < 0) hit_ring = ring; }
+              if (d2 < best || (d2 == best && corners[c] < best_id)) {
+                best = d2;
+                best_id = corners[c];
+              }
             }
           }
         }
       }
     }
     dist[t] = std::sqrt(best);
+    nn[t] = int32_t(best_id);
   }
   return 0;
 }

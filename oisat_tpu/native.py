@@ -42,7 +42,8 @@ def _ensure_built():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_uint8),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
+            ctypes.POINTER(ctypes.c_uint8),
         ]
         _lib = lib
     except Exception as e:  # no compiler / build error -> scipy fallback
@@ -60,8 +61,8 @@ def structured_weights(lon2d, lat2d, tx, ty):
     """Barycentric weights of targets in a structured swath.
 
     Returns (idx (T,3) int32 into flattened pixels, w (T,3), dist (T,)
-    nearest-pixel distance, ok (T,) bool inside-swath) or None when the
-    native library is unavailable.
+    nearest-pixel distance, nn (T,) int32 nearest flat pixel id, ok (T,)
+    bool inside-swath) or None when the native library is unavailable.
     """
     lib = _ensure_built()
     if lib is None:
@@ -76,13 +77,15 @@ def structured_weights(lon2d, lat2d, tx, ty):
     idx = np.zeros((nt, 3), np.int32)
     w = np.zeros((nt, 3), np.float64)
     dist = np.zeros(nt, np.float64)
+    nn = np.zeros(nt, np.int32)
     ok = np.zeros(nt, np.uint8)
     dptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     rc = lib.build_structured_weights(
         dptr(lon), dptr(lat), lon.shape[0], lon.shape[1],
         dptr(tx), dptr(ty), nt,
-        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), dptr(w), dptr(dist),
+        iptr(idx), dptr(w), dptr(dist), iptr(nn),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc != 0:
         return None
-    return idx, w, dist, ok.astype(bool)
+    return idx, w, dist, nn, ok.astype(bool)

@@ -104,21 +104,32 @@ def _geom_key(lon2d, lat2d):
             float(lat2d[0, 0]), float(lat2d[-1, -1]))
 
 
-def _ctm_to_sat_upscaler(ctm_data, granule, cache={}):
+_UPSCALER_CACHE_MAX = 32  # regular-grid sensors key-collapse to ~1 entry;
+# per-granule geometries (e.g. a TEMPO L2 campaign) churn through, so bound it.
+_upscaler_cache = __import__("collections").OrderedDict()
+
+
+def _ctm_to_sat_upscaler(ctm_data, granule):
     """Upscaler mapping CTM-grid (L, H, W) fields onto the satellite grid
-    (reference amf_recal.py:58-83; KD-nearest, 2x cutoff).  Cached per
+    (reference amf_recal.py:58-83; KD-nearest, 2x cutoff).  LRU-cached per
     geometry — the reference rebuilds the KD tree per granule per level."""
+    cache = _upscaler_cache
     key = (_geom_key(ctm_data[0].longitude, ctm_data[0].latitude),
            _geom_key(granule.longitude_center, granule.latitude_center))
-    if key not in cache:
-        sat_lon, sat_lat = granule.longitude_center, granule.latitude_center
-        threshold_sat = diag_threshold(sat_lon, sat_lat)
-        gridsize_ctm = diag_threshold(ctm_data[0].longitude, ctm_data[0].latitude)
-        cache[key] = make_upscaler(
-            ctm_data[0].longitude, ctm_data[0].latitude, sat_lon, sat_lat,
-            gridsize_ctm, threshold_sat, method=4, far_factor=2.0,
-        )
-    return cache[key]
+    if key in cache:
+        cache.move_to_end(key)
+        return cache[key]
+    sat_lon, sat_lat = granule.longitude_center, granule.latitude_center
+    threshold_sat = diag_threshold(sat_lon, sat_lat)
+    gridsize_ctm = diag_threshold(ctm_data[0].longitude, ctm_data[0].latitude)
+    up = make_upscaler(
+        ctm_data[0].longitude, ctm_data[0].latitude, sat_lon, sat_lat,
+        gridsize_ctm, threshold_sat, method=4, far_factor=2.0,
+    )
+    cache[key] = up
+    while len(cache) > _UPSCALER_CACHE_MAX:
+        cache.popitem(last=False)
+    return up
 
 
 def _maybe_upscale(ctm_data, granule, fields):

@@ -182,29 +182,42 @@ def build_plan_structured(
     tgt_lat2d: np.ndarray,
     threshold: float,
     far_factor: float = 2.0,
+    method: int = 1,
 ):
-    """Fast-path linear weights via the native structured-swath builder.
+    """Fast-path weights via the native structured-swath builder.
 
-    Semantically a linear-in-triangle interpolation like ``method=1`` but
-    on the swath's natural quad triangulation instead of qhull's Delaunay
-    triangulation — ~an order of magnitude faster to build, identical for
-    constant/linear fields, and differing only in the diagonal-split choice
-    within quads for curved fields.  An opt-in performance mode, not a
-    bitwise-parity mode.  Returns None when the native library is missing
-    or the pixels are not a 2-D grid (callers fall back to
-    :func:`build_plan`).
+    ``method=1``: semantically a linear-in-triangle interpolation like the
+    scipy path but on the swath's natural quad triangulation instead of
+    qhull's Delaunay triangulation — ~an order of magnitude faster to
+    build, identical for constant/linear fields, and differing only in the
+    diagonal-split choice within quads for curved fields (a performance
+    mode, not a bitwise-parity mode).
+
+    ``method=2/4``: nearest-neighbour via the native spatial-hash ring
+    search — same nearest pixel as scipy's cKDTree (lowest-id tie break),
+    no tree build.
+
+    Returns None when the native library is missing or the pixels are not
+    a 2-D grid (callers fall back to :func:`build_plan`).
     """
     from oisat_tpu import native
 
+    if method not in (1, 2, 4):
+        return None
     pix_lon2d = np.asarray(pix_lon2d)
-    if pix_lon2d.ndim != 2:
+    if pix_lon2d.ndim != 2 or min(pix_lon2d.shape) < 2:
         return None
     out = native.structured_weights(pix_lon2d, pix_lat2d,
                                     np.asarray(tgt_lon2d, np.float64).ravel(),
                                     np.asarray(tgt_lat2d, np.float64).ravel())
     if out is None:
         return None
-    idx, w, dist, ok = out
+    idx, w, dist, nn, ok = out
+    if method in (2, 4):
+        far = dist > far_factor * threshold
+        return SparsePlan(idx=nn[:, None], w=np.ones((nn.size, 1)), mask=far,
+                          out_shape=tuple(np.shape(tgt_lon2d)),
+                          npix=int(pix_lon2d.size))
     far = (dist > far_factor * threshold) | ~ok
     return SparsePlan(idx=idx, w=w, mask=far, out_shape=tuple(np.shape(tgt_lon2d)),
                       npix=int(pix_lon2d.size))

@@ -35,7 +35,25 @@ from oisat_tpu.ops.weights import (
     grid_spacing,
 )
 
-__all__ = ["Upscaler", "make_upscaler", "regrid_granule", "regrid_ssmis_granule"]
+__all__ = ["Upscaler", "make_upscaler", "regrid_granule", "regrid_ssmis_granule",
+           "fast_swath_default"]
+
+
+def fast_swath_default() -> bool:
+    """Production default for the native structured-swath weight builder: ON.
+
+    ``OISAT_PARITY=1`` (or legacy ``OISAT_FAST_SWATH=0``) switches to the
+    scipy qhull/cKDTree builders that bit-match the reference
+    (reference interpolator.py:145-159).
+    """
+    import os
+
+    if os.environ.get("OISAT_PARITY", "0") == "1":
+        return False
+    fs = os.environ.get("OISAT_FAST_SWATH")
+    if fs is not None:
+        return fs == "1"
+    return True
 
 
 @dataclasses.dataclass(frozen=True)
@@ -164,25 +182,28 @@ def regrid_granule(
     or None when the granule can't be triangulated or misses the domain
     (interpolator.py:151-155, :165-167).
 
-    ``fast_swath`` (default: env ``OISAT_FAST_SWATH=1``) replaces the
-    qhull Delaunay linear weights (method 1) with the native structured
-    quad-triangulation builder (~10x faster host build; identical for
-    constant/linear fields, differing only in the in-quad diagonal choice
-    and in not extrapolating across swath concavities).  Parity mode when
-    off.
+    ``fast_swath`` (production default: ON) replaces the scipy weight
+    builders for 2-D structured swaths with the native builder: linear
+    (method 1) becomes quad-triangulation barycentric weights (~10x faster
+    host build; identical for constant/linear fields, differing only in
+    the in-quad diagonal choice and in not extrapolating across swath
+    concavities), nearest (methods 2/4) becomes the native hash ring
+    search (same pixel picks as cKDTree).  Parity mode — bit-matching the
+    reference's qhull/cKDTree path — via ``fast_swath=False``, env
+    ``OISAT_PARITY=1``, or env ``OISAT_FAST_SWATH=0``.
     """
-    import os
-
     if fast_swath is None:
-        fast_swath = os.environ.get("OISAT_FAST_SWATH", "0") == "1"
+        fast_swath = fast_swath_default()
     threshold_ctm = diag_threshold(ctm_lon2d, ctm_lat2d)
     lons_fine, lats_fine = fine_grid(ctm_lon2d, ctm_lat2d, grid_size)
 
     plan = None
-    if fast_swath and interpolator_type == 1 and np.ndim(sat_data.longitude_center) == 2:
+    if (fast_swath and interpolator_type in (1, 2, 4)
+            and np.ndim(sat_data.longitude_center) == 2):
         plan = build_plan_structured(
             sat_data.longitude_center, sat_data.latitude_center,
-            lons_fine, lats_fine, threshold=grid_size, far_factor=2.0)
+            lons_fine, lats_fine, threshold=grid_size, far_factor=2.0,
+            method=interpolator_type)
     if plan is None:
         plan = build_plan(
             sat_data.longitude_center.ravel(), sat_data.latitude_center.ravel(),

@@ -31,6 +31,12 @@ def month_window(year: int, month: int):
 
 
 def run_month(ctrl, year: int, month: int):
+    if ctrl.get("parity"):
+        # explicit off-switch for the default-on native fast-swath weight
+        # builder: bit-match the reference's qhull/cKDTree regrid path
+        import os
+
+        os.environ["OISAT_PARITY"] = "1"
     ctm_name = ctrl["ctm_name"]
     read_ak = "False" if ctm_name == "FREE" else ctrl["read_AK"]
     gas = ctrl["gas"]

@@ -62,9 +62,30 @@ def test_distance_mask_close_to_kdtree():
     tlon, tlat = targets()
     tree = cKDTree(np.column_stack([lon.ravel(), lat.ravel()]))
     dists, _ = tree.query(np.column_stack([tlon.ravel(), tlat.ravel()]))
-    idx, w, dist, ok = native.structured_weights(lon, lat, tlon.ravel(), tlat.ravel())
+    idx, w, dist, nn, ok = native.structured_weights(lon, lat, tlon.ravel(), tlat.ravel())
     # the native nearest-pixel distance matches the KD-tree exactly
     np.testing.assert_allclose(dist, dists, rtol=0, atol=1e-12)
+
+
+def test_nearest_mode_matches_kdtree():
+    """Native nearest mode (methods 2/4) picks the same pixel as scipy's
+    cKDTree query away from exact ties."""
+    from scipy.spatial import cKDTree
+
+    lon, lat = swath(seed=3)
+    tlon, tlat = targets()
+    tree = cKDTree(np.column_stack([lon.ravel(), lat.ravel()]))
+    dists, nn_scipy = tree.query(np.column_stack([tlon.ravel(), tlat.ravel()]))
+    sp = build_plan_structured(lon, lat, tlon, tlat, threshold=0.3, method=4)
+    assert sp is not None and sp.k == 1
+    np.testing.assert_array_equal(sp.idx[:, 0], nn_scipy)
+    # and applying the plan equals the gather scipy would do
+    z = np.sin(lon * 0.7).ravel()
+    out = np.asarray(apply_plan(sp, z)).ravel()
+    m = np.isfinite(out)
+    far = dists > 2.0 * 0.3
+    np.testing.assert_array_equal(m, ~far)
+    np.testing.assert_allclose(out[m], z[nn_scipy][m], rtol=0, atol=0)
 
 
 def test_speedup_over_delaunay():

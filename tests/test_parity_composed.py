@@ -17,7 +17,10 @@ def test_regrid_granule_matches_composed_reference(method):
     g = synthetic_granule(0, 4)
     clon, clat = ctm_grid()
     ref = interpolator_amf_scipy(method, 0.25, g, clon, clat, flag_thresh=0.5)
-    got = regrid_granule(method, 0.25, g, clon, clat, flag_thresh=0.5, dtype=np.float64)
+    # parity mode (fast_swath=False): bit-matching the reference's qhull
+    # path; the default-on native fast path is covered by tests/test_native.py
+    got = regrid_granule(method, 0.25, g, clon, clat, flag_thresh=0.5,
+                         dtype=np.float64, fast_swath=False)
     assert (ref is None) == (got is None)
     for name in ("vcd", "amf", "tropopause", "uncertainty"):
         np.testing.assert_allclose(np.asarray(getattr(got, name)), ref[name],

@@ -21,8 +21,10 @@ GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "month_no2.npz")
 def compute():
     clon, clat = ctm_grid()
     ctm = synthetic_ctm()
+    # parity mode: the golden froze the reference-parity (qhull) numerics
     granules = [regrid_granule(1, 0.25, synthetic_granule(s, 4 + s), clon, clat,
-                               flag_thresh=0.5, dtype=np.float64) for s in range(4)]
+                               flag_thresh=0.5, dtype=np.float64, fast_swath=False)
+                for s in range(4)]
     obj = oisatgmi()
     obj.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=granules)
     obj.recal_amf()

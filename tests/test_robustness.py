@@ -41,3 +41,29 @@ def test_all_bad_qa_granule_skipped(tmp_path):
     out = omi_reader(str(tmp_path), "OMI_NO2", CLON, CLAT, "201907", trop=True)
     # all-NaN vcd -> granule rejected (reference interpolator.py:165-167)
     assert out == [None]
+
+
+def test_upscaler_cache_bounded():
+    """A campaign of per-granule geometries (e.g. TEMPO L2) must not grow the
+    CTM->sat upscaler cache without bound."""
+    from types import SimpleNamespace
+
+    from oisat_tpu import obs_operators as oo
+
+    ctm_lon, ctm_lat = np.meshgrid(np.arange(-10.0, 10.0, 2.0),
+                                   np.arange(30.0, 50.0, 2.0))
+    ctm = [SimpleNamespace(longitude=ctm_lon, latitude=ctm_lat)]
+    oo._upscaler_cache.clear()
+    for k in range(oo._UPSCALER_CACHE_MAX + 20):
+        # distinct geometry per granule: shifted fine sat grids
+        s = 0.01 * k
+        slon, slat = np.meshgrid(np.arange(-5.0 + s, 5.0 + s, 0.5),
+                                 np.arange(35.0 + s, 45.0 + s, 0.5))
+        g = SimpleNamespace(longitude_center=slon, latitude_center=slat)
+        up = oo._ctm_to_sat_upscaler(ctm, g)
+        assert up is not None
+        assert len(oo._upscaler_cache) <= oo._UPSCALER_CACHE_MAX
+    # LRU: re-requesting the most recent geometry hits the cache
+    before = len(oo._upscaler_cache)
+    assert oo._ctm_to_sat_upscaler(ctm, g) is up
+    assert len(oo._upscaler_cache) == before
