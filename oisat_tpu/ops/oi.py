@@ -106,6 +106,7 @@ def oi(
     so: jax.Array,
     regularization_on: bool = True,
     curve_impl: str = "auto",
+    curve_fn=None,
 ) -> OIResult:
     """OI update. ``xa``: prior, ``y``: obs, ``sa``/``so``: error variances.
 
@@ -113,7 +114,11 @@ def oi(
     ``regularization_on`` is static (two trace variants).  ``curve_impl``
     selects the regularization-curve engine: "xla" (lax.scan), "pallas"
     (fused VMEM-resident kernel, ~3x faster on TPU), or "auto" (pallas on
-    the TPU backend for float32 grids above 2^16 cells).
+    the TPU backend for float32 grids above 2^16 cells).  ``curve_fn``
+    overrides the engine entirely with a callable ``(sa, so, regs) ->
+    curve`` — the hook the sharded analysis step uses to run the Pallas
+    kernel under ``shard_map`` on a device mesh (a bare ``pallas_call`` is
+    not SPMD-partitioned by XLA).
     """
     dtype = jnp.result_type(xa, y, sa, so)
     xa = xa.astype(dtype)
@@ -130,20 +135,23 @@ def oi(
         regs_np = np.array([1.0])
     regs = jnp.asarray(regs_np, dtype=dtype)
 
-    if curve_impl == "auto":
-        use_pallas = (
-            jax.default_backend() == "tpu"
-            and dtype == jnp.float32
-            and int(np.prod(xa.shape)) >= 1 << 16
-        )
+    if curve_fn is not None:
+        curve = curve_fn(sa, so, regs).astype(dtype)
     else:
-        use_pallas = curve_impl == "pallas"
-    if use_pallas:
-        from oisat_tpu.ops.kernels.oi_scan import ak_curve_pallas
+        if curve_impl == "auto":
+            use_pallas = (
+                jax.default_backend() == "tpu"
+                and dtype == jnp.float32
+                and int(np.prod(xa.shape)) >= 1 << 16
+            )
+        else:
+            use_pallas = curve_impl == "pallas"
+        if use_pallas:
+            from oisat_tpu.ops.kernels.oi_scan import ak_curve_pallas
 
-        curve = ak_curve_pallas(sa, so, regs).astype(dtype)
-    else:
-        curve = ak_curve(sa, so, regs)
+            curve = ak_curve_pallas(sa, so, regs).astype(dtype)
+        else:
+            curve = ak_curve(sa, so, regs)
     if regularization_on:
         reg_index = kneedle_index(jnp.asarray(regs_np, jnp.float64 if jax.config.jax_enable_x64 else jnp.float32), curve, fallback=0)
     else:

@@ -74,3 +74,112 @@ def test_sharded_pallas_curve_matches_xla():
                                              rows_per_tile=8))
     ref = np.asarray(ak_curve(jnp.asarray(sa), jnp.asarray(so), jnp.asarray(regs)))
     np.testing.assert_allclose(got, ref, rtol=2e-5)
+
+
+def test_analysis_step_pallas_sharded_curve_matches_xla():
+    """The full sharded analysis step with the shard_map'd Pallas curve
+    engine (the TPU-mesh production configuration; VERDICT r1 item 2) must
+    produce the same analysis as the XLA lax.scan curve."""
+    inputs = synth_inputs(G=4, H=16, W=24, seed=7)
+    mesh = make_mesh(8)
+    fn_x, shard = make_analysis_step(mesh, curve_impl="xla",
+                                     bias_offset=0.1, bias_slope=0.9)
+    fn_p, _ = make_analysis_step(mesh, curve_impl="pallas_sharded",
+                                 curve_rows_per_tile=8,
+                                 bias_offset=0.1, bias_slope=0.9)
+    ref = fn_x(shard(inputs))
+    got = fn_p(shard(inputs))
+    assert int(got.oi.reg_index) == int(ref.oi.reg_index)
+    np.testing.assert_allclose(np.asarray(got.oi.curve), np.asarray(ref.oi.curve),
+                               rtol=2e-6)
+    np.testing.assert_allclose(np.asarray(got.oi.xb), np.asarray(ref.oi.xb),
+                               rtol=1e-6, atol=1e-9, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(got.scaling_factor),
+                               np.asarray(ref.scaling_factor), rtol=1e-6)
+
+
+def test_full_month_step_pallas_sharded_curve():
+    import __graft_entry__ as ge
+
+    inputs = ge._synthetic_full_month(G=4, H=16, W=24)
+    mesh = make_mesh(8)
+    fn_x, shard = make_full_month_step(mesh, curve_impl="xla")
+    fn_p, _ = make_full_month_step(mesh, curve_impl="pallas_sharded",
+                                   curve_rows_per_tile=8)
+    ref = fn_x(shard(inputs))
+    got = fn_p(shard(inputs))
+    assert int(got.oi.reg_index) == int(ref.oi.reg_index)
+    np.testing.assert_allclose(np.asarray(got.oi.xb), np.asarray(ref.oi.xb),
+                               rtol=1e-5, atol=1e-6, equal_nan=True)
+
+
+def test_mopitt_month_step_sharded_matches_single_device():
+    """The opt-sensor (AK conv -> xcol-pair aux) sharded month step must
+    reproduce the unsharded computation (VERDICT r1 item 3)."""
+    import __graft_entry__ as ge
+    from oisat_tpu.parallel.analysis import (
+        make_mopitt_month_step,
+        mopitt_month_step,
+    )
+
+    inputs = ge._synthetic_mopitt_month(G=4, H=16, W=24)
+    ref = mopitt_month_step(inputs)
+    mesh = make_mesh(8)
+    fn, shard = make_mopitt_month_step(mesh)
+    got = fn(shard(inputs))
+    assert int(got.oi.reg_index) == int(ref.oi.reg_index)
+    np.testing.assert_allclose(np.asarray(got.oi.xb), np.asarray(ref.oi.xb),
+                               rtol=1e-5, atol=1e-7, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(got.aux2), np.asarray(ref.aux2),
+                               rtol=1e-5, atol=1e-8, equal_nan=True)
+
+
+def test_gosat_month_step_sharded_matches_single_device():
+    from oisat_tpu.parallel.analysis import (
+        GosatMonthInputs,
+        gosat_month_step,
+        make_gosat_month_step,
+    )
+
+    rng = np.random.default_rng(3)
+    G, Ls, Lc, H, W = 4, 6, 12, 16, 24
+    f32 = np.float32
+    vcd = np.abs(rng.normal(1800, 30, (G, H, W))).astype(f32)
+    vcd[rng.random((G, H, W)) < 0.1] = np.nan
+    inputs = GosatMonthInputs(
+        ctm_pmid=np.sort(rng.uniform(60, 1000, (G, Lc, H, W)), axis=1)[:, ::-1].astype(f32),
+        ctm_profile=np.abs(rng.normal(1800, 50, (G, Lc, H, W))).astype(f32),
+        sat_pmid=np.sort(rng.uniform(100, 950, (G, Ls, H, W)), axis=1)[:, ::-1].astype(f32),
+        aks=rng.uniform(0.2, 1.0, (G, Ls, H, W)).astype(f32),
+        apriori_profile=np.abs(rng.normal(1750, 50, (G, Ls, H, W))).astype(f32),
+        pressure_weight=np.full((G, Ls, H, W), 1.0 / Ls, f32),
+        vcd=vcd,
+        x_col=np.abs(rng.normal(1800, 30, (G, H, W))).astype(f32),
+        uncertainty=np.abs(rng.normal(10, 2, (G, H, W))).astype(f32),
+    )
+    ref = gosat_month_step(inputs)
+    mesh = make_mesh(8)
+    fn, shard = make_gosat_month_step(mesh)
+    got = fn(shard(inputs))
+    assert int(got.oi.reg_index) == int(ref.oi.reg_index)
+    np.testing.assert_allclose(np.asarray(got.oi.xb), np.asarray(ref.oi.xb),
+                               rtol=1e-5, atol=1e-4, equal_nan=True)
+    # GOSAT: model VCD intentionally all-NaN (reference ak_conv_gosat.py:138)
+    assert np.isnan(np.asarray(got.ctm_vcd)).all()
+
+
+def test_ssmis_month_step_sharded_matches_single_device():
+    import __graft_entry__ as ge
+    from oisat_tpu.parallel.analysis import (
+        make_ssmis_month_step,
+        ssmis_month_step,
+    )
+
+    inputs = ge._synthetic_ssmis_month(G=4, H=16, W=24)
+    ref = ssmis_month_step(inputs)
+    mesh = make_mesh(8)
+    fn, shard = make_ssmis_month_step(mesh)
+    got = fn(shard(inputs))
+    assert int(got.oi.reg_index) == int(ref.oi.reg_index)
+    np.testing.assert_allclose(np.asarray(got.oi.xb), np.asarray(ref.oi.xb),
+                               rtol=1e-5, atol=1e-6, equal_nan=True)
