@@ -9,6 +9,14 @@ per-factor field triples the reference keeps in RAM, which only makes the
 baseline *faster*, so ``vs_baseline`` is conservative.
 
 Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+``bench.py --all`` additionally regenerates every measured row of
+BASELINE.md, one JSON line each (VERDICT r1 item 5): the XLA-curve OI,
+the fused-Pallas curve phase, the Kalman-gain dense solve TFLOP/s, the
+swath→grid regrid ms/orbit (parity and fast host builders), the 64k-cell
+matrix-free full-covariance OI, and the synthetic-month steady state
+(``--month`` alone runs just that row).  Expect ~10 min wall through the
+axon remote-compile tunnel for the full set.
 """
 
 import json
@@ -59,7 +67,30 @@ def numpy_reference_oi(xa, y, sa, so):
     return xa + inc, ak, inc, np.sqrt(sb)
 
 
-def main():
+def _emit(metric, value, unit, vs_baseline, detail):
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      "vs_baseline": vs_baseline, "detail": detail}),
+          flush=True)
+
+
+def _marginal(step_fn, touch, n_steps=300, repeats=3):
+    """Marginal-cost device timing (see CLAUDE.md: block_until_ready does
+    not block through the axon tunnel): time (N steps + one transfer)
+    minus (1 step + one transfer), minimum over repeats."""
+    def run(n):
+        t0 = time.perf_counter()
+        o = None
+        for _ in range(n):
+            o = step_fn()
+        touch(o)
+        return time.perf_counter() - t0
+
+    t1 = min(run(1) for _ in range(repeats))
+    tn = min(run(1 + n_steps) for _ in range(repeats))
+    return max((tn - t1) / n_steps, 1e-6)
+
+
+def main(curve_impl="auto", metric_name="oi_analysis_throughput"):
     H, W = 1440, 2880  # a global 0.125-deg analysis grid, 4.1M cells
     cells = H * W
 
@@ -80,26 +111,11 @@ def main():
     from oisat_tpu.ops.oi import oi
 
     fields32 = tuple(jnp.asarray(f, jnp.float32) for f in make_fields(H, W))
-    step = jax.jit(lambda a, b, c, d: oi(a, b, c, d))
+    step = jax.jit(lambda a, b, c, d: oi(a, b, c, d, curve_impl=curve_impl))
     out = step(*fields32)
     np.asarray(out.xb)  # compile + settle
 
-    # Marginal-cost timing: on the axon tunnel block_until_ready does not
-    # actually block, so time (N steps + one transfer) minus (1 step + one
-    # transfer) to isolate pure device step time.
-    def run(n):
-        t0 = time.perf_counter()
-        o = None
-        for _ in range(n):
-            o = step(*fields32)
-        np.asarray(o.xb)
-        return time.perf_counter() - t0
-
-    # enough steps that total device time dominates tunnel-latency noise
-    n_steps = 300
-    t1 = min(run(1) for _ in range(3))
-    tn = min(run(1 + n_steps) for _ in range(3))
-    t_tpu = max((tn - t1) / n_steps, 1e-6)
+    t_tpu = _marginal(lambda: step(*fields32), lambda o: np.asarray(o.xb))
 
     # sanity: same knee, fields agree where finite
     xb_t = np.asarray(out.xb, np.float64)
@@ -107,19 +123,207 @@ def main():
 
     value = cells / t_tpu
     vs_baseline = (cells / t_tpu) / (cells / t_np)
-    print(json.dumps({
-        "metric": "oi_analysis_throughput",
-        "value": round(value, 1),
-        "unit": "grid-cells/sec",
-        "vs_baseline": round(vs_baseline, 2),
-        "detail": {
-            "grid": [H, W],
-            "tpu_ms": round(t_tpu * 1e3, 2),
-            "numpy_ms": round(t_np * 1e3, 2),
-            "max_rel_diff_vs_f64_reference": float(agree),
-        },
-    }))
+    _emit(metric_name, round(value, 1), "grid-cells/sec", round(vs_baseline, 2), {
+        "grid": [H, W],
+        "tpu_ms": round(t_tpu * 1e3, 2),
+        "numpy_ms": round(t_np * 1e3, 2),
+        "curve_impl": curve_impl,
+        "max_rel_diff_vs_f64_reference": float(agree),
+    })
+
+
+def bench_curve_phase():
+    """Fused Pallas mean-AK curve vs the XLA lax.scan at 4.1M cells x 99
+    factors (BASELINE.md 'OI curve phase' row)."""
+    import jax
+    import jax.numpy as jnp
+
+    from oisat_tpu.ops.kernels.oi_scan import ak_curve_pallas
+    from oisat_tpu.ops.oi import ak_curve, regularization_grid
+
+    n = 1440 * 2880
+    rng = np.random.default_rng(0)
+    sa = jnp.asarray(np.abs(rng.normal(2, 1, n)), jnp.float32)
+    so = jnp.asarray(np.abs(rng.normal(1, 0.5, n)), jnp.float32)
+    regs = jnp.asarray(regularization_grid(), jnp.float32)
+    f_pallas = jax.jit(lambda a, b: ak_curve_pallas(a, b, regs))
+    f_xla = jax.jit(lambda a, b: ak_curve(a, b, regs))
+    np.asarray(f_pallas(sa, so)), np.asarray(f_xla(sa, so))  # compile
+    t_p = _marginal(lambda: f_pallas(sa, so), np.asarray, n_steps=100)
+    t_x = _marginal(lambda: f_xla(sa, so), np.asarray, n_steps=100)
+    _emit("oi_curve_phase_pallas", round(t_p * 1e3, 2), "ms", round(t_x / t_p, 2),
+          {"cells": n, "factors": 99, "xla_ms": round(t_x * 1e3, 2)})
+
+
+def bench_kalman(n=8192):
+    """Dense full-covariance solve (Pallas covariance build + blocked
+    Cholesky + column-block posterior diagonal) in TFLOP/s (BASELINE.md
+    'Kalman-gain solve' row).  FLOP model (documented, matmul-only):
+    chol N^3/3 + diag-block solves 2N^3 + B@w 2N^2 + covariance build ~8N^2."""
+    import jax.numpy as jnp
+
+    from oisat_tpu.ops.oi_full import oi_full_dense
+
+    rng = np.random.default_rng(1)
+    f = lambda a: jnp.asarray(a, jnp.float32)
+    xa = f(np.abs(rng.normal(3, 1, n)))
+    y = f(np.abs(rng.normal(3, 1, n)))
+    sigb = f(np.abs(rng.normal(1, 0.2, n)))
+    sigo = f(np.abs(rng.normal(0.6, 0.1, n)))
+    lat = f(rng.uniform(20, 60, n))
+    lon = f(rng.uniform(-130, -60, n))
+    run = lambda: oi_full_dense(xa, y, sigb, sigo, lat, lon, 300.0)
+    np.asarray(run()[0])  # compile
+    t = _marginal(run, lambda o: np.asarray(o[0]), n_steps=20)
+    flops = n**3 / 3 + 2 * n**3 + 10 * n**2
+    _emit("kalman_full_solve", round(flops / t / 1e12, 2), "TFLOP/s", None,
+          {"n_cells": n, "ms": round(t * 1e3, 1), "flop_model": "N^3/3+2N^3+10N^2"})
+
+
+def _synthetic_orbit(seed=0, ny=1644, nx=60, nz=35):
+    """An OMI-NO2-shaped orbit: 74 interpolated fields (vcd, amf, trop,
+    err + 35 SW + 35 pmid levels) over a 1644x60 swath."""
+    from oisat_tpu.datamodel import satellite_amf
+
+    rng = np.random.default_rng(seed)
+    along = np.linspace(25.0, 55.0, ny)[:, None]
+    across = np.linspace(-15.0, 5.0, nx)[None, :]
+    lat = along + 0.02 * rng.standard_normal((ny, nx))
+    lon = across + 3.0 * np.sin(np.linspace(0, 2.0, ny))[:, None] + 0.02 * rng.standard_normal((ny, nx))
+    pm = np.sort(rng.uniform(100, 1000, (nz, ny, nx)), axis=0)[::-1]
+    return satellite_amf(
+        vcd=2.0 + np.sin(lon / 5.0) * np.cos(lat / 7.0),
+        amf=np.full((ny, nx), 1.5), time=None, tropopause=np.full((ny, nx), 150.0),
+        latitude_center=lat, longitude_center=lon,
+        latitude_corner=[], longitude_corner=[],
+        uncertainty=np.full((ny, nx), 0.5), quality_flag=np.ones((ny, nx)),
+        pressure_mid=pm, scattering_weights=np.abs(rng.normal(1, 0.2, (nz, ny, nx))),
+        ctm_upscaled_needed=False, ctm_vcd=[], ctm_time_at_sat=[],
+        old_amf=[], new_amf=[],
+    )
+
+
+def bench_regrid(fast: bool, orbits=8):
+    """Swath→grid regrid ms/orbit (BASELINE.md row), host weight build +
+    fused device apply, parity (qhull) vs native fast-swath builders."""
+    clat = np.arange(20.0, 60.0, 0.25)
+    clon = np.arange(-20.0, 10.0, 0.25)
+    clon2, clat2 = np.meshgrid(clon, clat)
+
+    from oisat_tpu.regridder import regrid_granule
+
+    regrid_granule(1, 0.1, _synthetic_orbit(0), clon2, clat2,
+                   flag_thresh=0.0, fast_swath=fast)  # compile + warm caches
+    t0 = time.perf_counter()
+    for s in range(orbits):
+        out = regrid_granule(1, 0.1, _synthetic_orbit(s + 1), clon2, clat2,
+                             flag_thresh=0.0, fast_swath=fast)
+    t = (time.perf_counter() - t0) / orbits
+    assert out is not None
+    _emit(f"regrid_orbit_{'fast' if fast else 'parity'}", round(t * 1e3, 1),
+          "ms/orbit", None,
+          {"fields": 74, "swath": [1644, 60], "grid_deg": 0.1, "orbits": orbits})
+    return t
+
+
+def bench_matfree(n_cells=64800):
+    """64k-cell matrix-free full-covariance OI (VERDICT r1 item 6): one CG
+    solve + colored-probing posterior diagonal on a 1-deg global grid."""
+    from oisat_tpu.ops.oi_full import oi_full_matfree
+
+    H, W = 180, n_cells // 180
+    rng = np.random.default_rng(0)
+    lon, lat = np.meshgrid(np.linspace(-179.5, 179.5, W), np.linspace(-89.5, 89.5, H))
+    xa = np.abs(rng.normal(3, 1, (H, W)))
+    y = xa * rng.uniform(0.8, 1.3, (H, W))
+    sigb = np.abs(rng.normal(1.0, 0.2, (H, W)))
+    sigo = np.abs(rng.normal(0.6, 0.1, (H, W)))
+    args = (xa.ravel(), y.ravel(), sigb.ravel(), sigo.ravel(),
+            lat.ravel(), lon.ravel(), 300.0)
+    _ = oi_full_matfree(*args, block=2048)  # compile
+    t0 = time.perf_counter()
+    xb, ak, inc, err, info = oi_full_matfree(*args, block=2048)
+    t = time.perf_counter() - t0
+    _emit("oi_full_matfree_64k", round(t, 2), "s", None,
+          {"cells": H * W, **info})
+
+
+def bench_month(orbits=60):
+    """Synthetic-month steady state (BASELINE.md row): regrid + AMF recal +
+    averaging + OI for `orbits` orbits.  vs_baseline = the reference's 12 h
+    month budget over the measured wall time."""
+    import datetime
+    from types import SimpleNamespace
+
+    import jax.numpy as jnp
+
+    from oisat_tpu.driver import oisatgmi
+    from oisat_tpu.obs_operators import amf_recal
+    from oisat_tpu.ops.vertical import partial_column
+    from oisat_tpu.regridder import regrid_granule
+
+    clat = np.arange(20.0, 60.0, 0.25)
+    clon = np.arange(-20.0, 10.0, 0.25)
+    clon2, clat2 = np.meshgrid(clon, clat)
+    nz = 20
+    hw = clat2.shape
+
+    def run_once():
+        t_start = time.perf_counter()
+        grans = []
+        for s in range(orbits):
+            g = _synthetic_orbit(s, ny=822, nx=60)  # half orbits: 30-day month pace
+            g = regrid_granule(1, 0.1, g, clon2, clat2, flag_thresh=0.0)
+            if g is not None:
+                g.time = datetime.datetime(2019, 7, 1 + (s % 28), 12)
+                grans.append(g)
+        t_regrid = time.perf_counter()
+        rng = np.random.default_rng(0)
+        pm3 = np.sort(rng.uniform(60, 1000, (nz,) + hw), axis=0)[::-1]
+        ctm = SimpleNamespace(
+            ctmtype="FREE", averaged=True, latitude=clat2, longitude=clon2,
+            time=[datetime.datetime(2019, 7, 15, h) for h in range(0, 24, 3)],
+            pressure_mid=pm3, delta_p=np.full((nz,) + hw, 40.0),
+            gas_profile=np.abs(rng.normal(2, 0.5, (nz,) + hw)),
+        )
+        amf_recal([ctm], grans)
+        t_amf = time.perf_counter()
+        obj = oisatgmi()
+        obj.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=grans)
+        obj.average("2019-07-01", "2019-08-01")
+        obj.bias_correct("OMI", "NO2")
+        obj.oi("OMI")
+        np.asarray(obj.ctm_averaged_vcd_corrected)
+        t_end = time.perf_counter()
+        return t_end - t_start, t_regrid - t_start, t_amf - t_regrid
+
+    cold, *_ = run_once()
+    steady, t_re, t_amf = run_once()
+    _emit("synthetic_month_steady", round(steady, 1), "s", round(43200.0 / steady, 0),
+          {"orbits": orbits, "cold_s": round(cold, 1),
+           "regrid_s": round(t_re, 1), "amf_s": round(t_amf, 1),
+           "reference_budget_s": 43200})
+
+
+def run_all():
+    main()  # headline: auto curve engine
+    main(curve_impl="xla", metric_name="oi_analysis_throughput_xla")
+    bench_curve_phase()
+    bench_kalman(2048)
+    bench_kalman(8192)
+    t_parity = bench_regrid(fast=False)
+    t_fast = bench_regrid(fast=True)
+    _emit("regrid_fast_speedup", round(t_parity / t_fast, 2), "x", None, {})
+    bench_matfree()
+    bench_month()
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    if "--all" in sys.argv:
+        run_all()
+    elif "--month" in sys.argv:
+        bench_month()
+    else:
+        main()

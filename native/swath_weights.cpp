@@ -35,15 +35,20 @@ inline int clampi(int v, int lo, int hi) {
 extern "C" {
 
 // lon/lat: (ny, nx) pixel centers (row-major).  tx/ty: (nt,) targets.
+// max_dist: distances are exact up to this bound; beyond it the search
+// stops early and reports a value > max_dist (callers only use distances
+// to apply the far-mask cutoff, so exactness past it is wasted work — a
+// target a whole domain away from the swath would otherwise ring-scan
+// O((dist/pitch)^2) bins).
 // Outputs: idx (nt,3) int32 flat pixel ids; w (nt,3); dist (nt,) nearest
 // pixel distance (Euclidean in degrees, matching the reference's cKDTree
-// query metric); nn (nt,) flat id of that nearest pixel (the native
-// nearest-neighbour interpolation mode); ok (nt,) 1 if inside some swath
-// triangle.  Returns 0 on success.
+// query metric, exact while <= max_dist); nn (nt,) flat id of that nearest
+// pixel (the native nearest-neighbour interpolation mode); ok (nt,) 1 if
+// inside some swath triangle.  Returns 0 on success.
 int build_structured_weights(const double* lon, const double* lat, int ny,
                              int nx, const double* tx, const double* ty,
-                             int nt, int32_t* idx, double* w, double* dist,
-                             int32_t* nn, uint8_t* ok) {
+                             int nt, double max_dist, int32_t* idx, double* w,
+                             double* dist, int32_t* nn, uint8_t* ok) {
   if (ny < 2 || nx < 2 || nt <= 0) return 1;
   const int nquad_y = ny - 1, nquad_x = nx - 1;
   const int64_t nquads = int64_t(nquad_y) * nquad_x;
@@ -155,9 +160,10 @@ int build_structured_weights(const double* lon, const double* lat, int ny,
     const int max_ring = nbx + nby;
     for (int ring = 0; ring <= max_ring; ++ring) {
       // every bin in ring r (Chebyshev shell) is at least (r-1)*min_pitch
-      // away from the target; once that exceeds the best distance found,
-      // no farther ring can improve it.
-      if (best < 1e300 && double(ring - 1) * min_pitch > std::sqrt(best)) break;
+      // away from the target; once that exceeds the best distance found
+      // (or the caller's cutoff), no useful ring remains.
+      const double bound = std::min(std::sqrt(best), max_dist);
+      if (double(ring - 1) * min_pitch > bound) break;
       const int bx0 = bx - ring, bx1 = bx + ring, by0 = by - ring, by1 = by + ring;
       for (int iby = by0; iby <= by1; ++iby) {
         if (iby < 0 || iby >= nby) continue;

@@ -83,13 +83,18 @@ class oisatgmi:
                 self.reader_obj.sat_data = ak_conv_gosat(self.reader_obj.ctm_data, self.reader_obj.sat_data)
 
     # -- analysis (reference driver.py:53-114) -------------------------------
-    def average(self, startdate: str, enddate: str, gasname=None):
+    def average(self, startdate: str, enddate: str, gasname=None, weighting=None):
+        """Monthly averaging.  ``weighting`` (extension; default None =
+        reference parity): "inverse_variance" weights granules by 1/sigma^2,
+        "ak" by averaging-kernel information content (opt sensors)."""
         with stage("average"):
-            self._average_impl(startdate, enddate, gasname)
+            self._average_impl(startdate, enddate, gasname, weighting)
 
-    def _average_impl(self, startdate, enddate, gasname):
+    def _average_impl(self, startdate, enddate, gasname, weighting=None):
         (self.sat_averaged_vcd, self.sat_averaged_error, self.ctm_averaged_vcd,
-         self.aux1, self.aux2, self.avg_time) = averaging(startdate, enddate, self.reader_obj)
+         self.aux1, self.aux2, self.avg_time) = averaging(startdate, enddate,
+                                                          self.reader_obj,
+                                                          weighting=weighting)
         if gasname == "O3":
             # CTM O3 column to DU (reference driver.py:62-63)
             self.ctm_averaged_vcd = self.ctm_averaged_vcd / (2.69e16 * 1e-15)
@@ -103,7 +108,8 @@ class oisatgmi:
         else:
             print("NOT applying the bias correction for satellite VCDs")
 
-    def oi(self, sensor: str, error_ctm=50.0, method="scalar", length_scale_km=300.0):
+    def oi(self, sensor: str, error_ctm=50.0, method="scalar", length_scale_km=300.0,
+           desroziers_iterations=0):
         """The analysis update.
 
         ``method="scalar"`` (default) is the reference's per-cell diagonal
@@ -111,11 +117,21 @@ class oisatgmi:
         uses the distance-decay background covariance and the blocked-
         Cholesky Kalman solve (:mod:`oisat_tpu.ops.oi_full`) so one
         observation updates its spatial neighbourhood.
+
+        ``desroziers_iterations`` (extension): re-estimate the So/Sa error
+        variances from the innovation/residual cross-moments (Desroziers
+        2005) and re-run the update that many times; the diagnosed scales
+        land in ``oi_diagnostics``.  The total innovation variance is
+        matched exactly (chi^2 -> 1); the Sa/So *split* inherits the
+        first-pass gain, the known identifiability limit of the scalar
+        diagonal case.
         """
         with stage("oi"):
-            self._oi_impl(sensor, error_ctm, method, length_scale_km)
+            self._oi_impl(sensor, error_ctm, method, length_scale_km,
+                          desroziers_iterations)
 
-    def _oi_impl(self, sensor, error_ctm, method="scalar", length_scale_km=300.0):
+    def _oi_impl(self, sensor, error_ctm, method="scalar", length_scale_km=300.0,
+                 desroziers_iterations=0):
         if sensor != "GOSAT":
             xa, y = self.ctm_averaged_vcd, self.sat_averaged_vcd
         else:
@@ -139,6 +155,25 @@ class oisatgmi:
         so = np.asarray(self.sat_averaged_error) ** 2
         res = oi_op(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so),
                     regularization_on=True)
+        desroziers = None
+        if desroziers_iterations:
+            from oisat_tpu.ops.diagnostics import desroziers_estimates
+
+            sa_scale_total, so_scale_total = 1.0, 1.0
+            for _ in range(int(desroziers_iterations)):
+                est = desroziers_estimates(jnp.asarray(xa), jnp.asarray(y),
+                                           res.xb, jnp.asarray(sa), jnp.asarray(so))
+                sa = sa * float(est.sa_scale)
+                so = so * float(est.so_scale)
+                sa_scale_total *= float(est.sa_scale)
+                so_scale_total *= float(est.so_scale)
+                res = oi_op(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa),
+                            jnp.asarray(so), regularization_on=True)
+            desroziers = {"desroziers_sa_scale": sa_scale_total,
+                          "desroziers_so_scale": so_scale_total,
+                          "desroziers_iterations": int(desroziers_iterations)}
+            print(f"Desroziers re-estimation: Sa x{sa_scale_total:.3g}, "
+                  f"So x{so_scale_total:.3g}")
         print("The regularization factor is " + str(float(res.reg_factor)))
         self.ctm_averaged_vcd_corrected = np.asarray(res.xb)
         self.ak_OI = np.asarray(res.averaging_kernel)
@@ -151,6 +186,8 @@ class oisatgmi:
                               jnp.asarray(self.ctm_averaged_vcd_corrected),
                               jnp.asarray(sa), jnp.asarray(so))
         self.oi_diagnostics = {k: float(v) for k, v in st._asdict().items()}
+        if desroziers:
+            self.oi_diagnostics.update(desroziers)
         print("OI diagnostics: "
               f"n={int(st.n)} OmB={float(st.omb_mean):+.3g}/{float(st.omb_rms):.3g} "
               f"OmA={float(st.oma_mean):+.3g}/{float(st.oma_rms):.3g} "

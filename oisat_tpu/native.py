@@ -40,7 +40,7 @@ def _ensure_built():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int,
+            ctypes.c_int, ctypes.c_double,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8),
@@ -57,12 +57,15 @@ def available() -> bool:
     return _ensure_built() is not None
 
 
-def structured_weights(lon2d, lat2d, tx, ty):
+def structured_weights(lon2d, lat2d, tx, ty, max_dist=float("inf")):
     """Barycentric weights of targets in a structured swath.
 
     Returns (idx (T,3) int32 into flattened pixels, w (T,3), dist (T,)
     nearest-pixel distance, nn (T,) int32 nearest flat pixel id, ok (T,)
     bool inside-swath) or None when the native library is unavailable.
+    Distances are exact up to ``max_dist`` (pass the far-mask cutoff:
+    farther targets report some value > max_dist without paying the
+    O((dist/pitch)^2) ring scan).
     """
     lib = _ensure_built()
     if lib is None:
@@ -83,7 +86,7 @@ def structured_weights(lon2d, lat2d, tx, ty):
     iptr = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
     rc = lib.build_structured_weights(
         dptr(lon), dptr(lat), lon.shape[0], lon.shape[1],
-        dptr(tx), dptr(ty), nt,
+        dptr(tx), dptr(ty), nt, ctypes.c_double(max_dist),
         iptr(idx), dptr(w), dptr(dist), iptr(nn),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc != 0:

@@ -27,7 +27,8 @@ import numpy as np
 
 from oisat_tpu.datamodel import satellite_amf, satellite_opt
 
-__all__ = ["MonthlyAverage", "monthly_stats", "averaging"]
+__all__ = ["MonthlyAverage", "monthly_stats", "monthly_stats_weighted",
+           "averaging"]
 
 
 class MonthlyAverage(NamedTuple):
@@ -63,7 +64,58 @@ def monthly_stats(vcd, err, ctm, aux1, aux2) -> MonthlyAverage:
     )
 
 
-def averaging(startdate: str, enddate: str, reader_obj):
+@jax.jit
+def monthly_stats_weighted(vcd, err, ctm, aux1, aux2, w) -> MonthlyAverage:
+    """Weighted temporal statistics (capability extension; CLAUDE.md
+    round-2 priority 5).  ``w`` (G, H, W) >= 0: per-granule per-cell
+    weights.  Means are weighted; the error combines as the standard
+    error of a weighted mean of independent errors,
+    ``sqrt(sum(w^2 sigma^2)) / sum(w)`` — which reduces to the reference's
+    ``sqrt(sum(sigma^2)/N^2)`` at uniform weights and to the optimal
+    ``sqrt(1/sum(1/sigma^2))`` at inverse-variance weights."""
+    vcd = jnp.where(jnp.isinf(vcd), jnp.nan, vcd)
+    err2 = jnp.where(jnp.isinf(err**2), jnp.nan, err**2)
+    w = jnp.where(jnp.isfinite(w) & (w > 0), w, jnp.nan)
+
+    def wmean(x):
+        m = ~(jnp.isnan(x) | jnp.isnan(w))
+        sw = jnp.sum(jnp.where(m, w, 0.0), axis=0)
+        sx = jnp.sum(jnp.where(m, w * x, 0.0), axis=0)
+        return jnp.where(sw > 0, sx / sw, jnp.nan)
+
+    m = ~(jnp.isnan(err2) | jnp.isnan(w))
+    sw = jnp.sum(jnp.where(m, w, 0.0), axis=0)
+    sw2e = jnp.sum(jnp.where(m, w * w * err2, 0.0), axis=0)
+    sat_error = jnp.where(sw > 0, jnp.sqrt(sw2e) / sw, jnp.nan)
+    return MonthlyAverage(sat_vcd=wmean(vcd), sat_error=sat_error,
+                          ctm_vcd=wmean(ctm), aux1=wmean(aux1),
+                          aux2=wmean(aux2))
+
+
+def _granule_weights(sel, weighting: str):
+    """Per-granule per-cell weights for the weighted temporal mean.
+
+    "inverse_variance": w = 1/sigma^2 (any granule kind).
+    "ak": information-content weights — the vertical mean of |averaging
+    kernel| per cell; optimal-estimation granules only (satellite_opt
+    carries gridded AKs; reference config.py:27-50).
+    """
+    if weighting == "inverse_variance":
+        stack = np.stack([np.asarray(g.uncertainty, np.float64) for g in sel])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return 1.0 / stack**2
+    if weighting == "ak":
+        if not all(isinstance(g, satellite_opt) for g in sel):
+            raise ValueError("weighting='ak' needs averaging-kernel granules "
+                             "(MOPITT/GOSAT); use 'inverse_variance' otherwise")
+        with np.errstate(invalid="ignore"):
+            return np.stack([
+                np.nanmean(np.abs(np.asarray(g.averaging_kernels, np.float64)),
+                           axis=0) for g in sel])
+    raise ValueError(f"unknown weighting {weighting!r}")
+
+
+def averaging(startdate: str, enddate: str, reader_obj, weighting=None):
     """Monthly averaging driver (reference averaging.py:26-120).
 
     Buckets granules by (year, month) of ``granule.time`` within
@@ -74,6 +126,9 @@ def averaging(startdate: str, enddate: str, reader_obj):
     aux1/aux2 are (new_amf, old_amf) for two-step granules and
     (x_col, ctm_xcol) for optimal-estimation granules (reference :82-87);
     otherwise NaN fields.
+
+    ``weighting`` (extension; default None = reference parity):
+    "inverse_variance" or "ak" select :func:`monthly_stats_weighted`.
     """
     start = datetime.date(int(startdate[0:4]), int(startdate[5:7]), int(startdate[8:10]))
     end = datetime.date(int(enddate[0:4]), int(enddate[5:7]), int(enddate[8:10]))
@@ -115,7 +170,12 @@ def averaging(startdate: str, enddate: str, reader_obj):
             else:
                 a1 = np.full_like(vcd, np.nan)
                 a2 = np.full_like(vcd, np.nan)
-            stats = monthly_stats(*(jnp.asarray(x) for x in (vcd, err, ctm, a1, a2)))
+            if weighting is None:
+                stats = monthly_stats(*(jnp.asarray(x) for x in (vcd, err, ctm, a1, a2)))
+            else:
+                w = _granule_weights(sel, weighting)
+                stats = monthly_stats_weighted(
+                    *(jnp.asarray(x) for x in (vcd, err, ctm, a1, a2, w)))
             mi, yi = month - m0, year - y0
             out_vcd[:, :, mi, yi] = np.asarray(stats.sat_vcd)
             out_err[:, :, mi, yi] = np.asarray(stats.sat_error)

@@ -18,7 +18,8 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-__all__ = ["InnovationStats", "innovation_stats"]
+__all__ = ["InnovationStats", "innovation_stats", "DesroziersEstimate",
+           "desroziers_estimates"]
 
 
 class InnovationStats(NamedTuple):
@@ -58,3 +59,49 @@ def innovation_stats(xa, y, xb, sa, so) -> InnovationStats:
         oma_rms=jnp.sqrt(_masked_mean(oma * oma, m)),
         chi2=_masked_mean(chi, mchi),
     )
+
+
+class DesroziersEstimate(NamedTuple):
+    so_hat: jax.Array  # diagnosed mean observation-error variance E[d_oa d_ob]
+    sa_hat: jax.Array  # diagnosed mean background-error variance E[d_ab d_ob]
+    so_scale: jax.Array  # so_hat / mean(prescribed So)
+    sa_scale: jax.Array  # sa_hat / mean(prescribed Sa)
+    n: jax.Array
+
+
+@jax.jit
+def desroziers_estimates(xa, y, xb, sa, so) -> DesroziersEstimate:
+    """Desroziers et al. (2005, QJRMS 131:3385) observation-space error
+    diagnostics for the per-cell scalar analysis (H = I):
+
+        E[(y - xb)(y - xa)] = R    ->  so_hat
+        E[(xb - xa)(y - xa)] = B   ->  sa_hat
+
+    The expectations are grid means, so the diagnosed values rescale the
+    *mean* prescribed variances; per-cell structure is kept by applying the
+    scale factors multiplicatively (clipped to [1e-4, 1e4] — the raw
+    moments can go negative on small/biased samples, in which case the
+    scale falls back to 1).  Capability extension over the reference
+    (CLAUDE.md round-2 priority 5; extends optimal_interpolation.py:6-52).
+    """
+    xa, y, xb = jnp.asarray(xa), jnp.asarray(y), jnp.asarray(xb)
+    sa, so = jnp.asarray(sa), jnp.asarray(so)
+    m = (jnp.isfinite(xa) & jnp.isfinite(y) & jnp.isfinite(xb)
+         & jnp.isfinite(sa) & jnp.isfinite(so))
+    d_ob = y - xa
+    d_oa = y - xb
+    d_ab = xb - xa
+    so_hat = _masked_mean(d_oa * d_ob, m)
+    sa_hat = _masked_mean(d_ab * d_ob, m)
+    so_mean = _masked_mean(so, m)
+    sa_mean = _masked_mean(sa, m)
+
+    def scale(hat, mean):
+        s = hat / mean
+        ok = jnp.isfinite(s) & (s > 0)
+        return jnp.clip(jnp.where(ok, s, 1.0), 1e-4, 1e4)
+
+    return DesroziersEstimate(so_hat=so_hat, sa_hat=sa_hat,
+                              so_scale=scale(so_hat, so_mean),
+                              sa_scale=scale(sa_hat, sa_mean),
+                              n=jnp.sum(m))

@@ -30,11 +30,14 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from oisat_tpu.ops.kernels.covariance import build_covariance
+from oisat_tpu.ops.kernels.covariance import EARTH_RADIUS_KM, build_covariance
 
-__all__ = ["OIFullResult", "oi_full", "oi_full_dense", "oi_full_dense_scan"]
+__all__ = ["OIFullResult", "oi_full", "oi_full_dense", "oi_full_dense_scan",
+           "oi_full_matfree"]
 
 LANES = 128
+DENSE_MAX_CELLS = 10_240  # beyond this the dense NxN path exhausts HBM;
+# oi_full switches to the matrix-free CG formulation automatically.
 
 
 class OIFullResult(NamedTuple):
@@ -138,6 +141,215 @@ def oi_full_dense_scan(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float
     return xb, ak, increment, err, reg_index, curve
 
 
+# ---------------------------------------------------------------------------
+# matrix-free path: N beyond HBM-dense limits (VERDICT r1 item 6)
+# ---------------------------------------------------------------------------
+
+def _unit_vectors(lat_deg, lon_deg):
+    """(N, 3) float32 unit vectors on the sphere.  The chordal distance the
+    covariance kernel uses satisfies d^2 = R^2 |u_i - u_j|^2 = 2 R^2 (1 -
+    u_i.u_j), so covariance tiles become MXU Gram matmuls."""
+    lat = jnp.deg2rad(jnp.asarray(lat_deg, jnp.float32))
+    lon = jnp.deg2rad(jnp.asarray(lon_deg, jnp.float32))
+    cl = jnp.cos(lat)
+    return jnp.stack([cl * jnp.cos(lon), cl * jnp.sin(lon), jnp.sin(lat)], axis=-1)
+
+
+@partial(jax.jit, static_argnames=("length_scale_km", "block"))
+def _b_matmat(u3, sigma_b, v, length_scale_km: float, block: int):
+    """Y = B V without materializing B: row blocks of the Gram matrix
+    C = exp(kappa (U U^T - 1)) are generated on the MXU and immediately
+    contracted against ALL right-hand sides.  ``v``: (N, K).  Peak memory
+    O(block * N + N * K) instead of O(N^2).  Generating the C tiles (one
+    N^2 Gram + exp sweep) dominates, so batching K columns into one call
+    costs barely more than one — the multi-probe posterior diagonal rides
+    the same sweep as the innovation solve.
+
+    precision=HIGHEST on both matmuls: the decay argument is kappa (1 - g)
+    with g ~ 1 for nearby cells, so bf16 Gram error (~1e-3) would corrupt
+    the exponent by kappa * 1e-3 — catastrophic for kappa = (R/L)^2 ~ 1e3.
+    """
+    kappa = (EARTH_RADIUS_KM / length_scale_km) ** 2
+    n = u3.shape[0]
+    dv = sigma_b[:, None] * v  # (N, K)
+    starts = jnp.arange(n // block) * block
+
+    def body(start):
+        ub = jax.lax.dynamic_slice(u3, (start, 0), (block, 3))
+        g = jax.lax.dot_general(ub, u3, (((1,), (1,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST)
+        c = jnp.exp(kappa * (g - 1.0))
+        return jax.lax.dot_general(c, dv, (((1,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    rows = jax.lax.map(body, starts)  # (nblocks, block, K)
+    return sigma_b[:, None] * rows.reshape(n, -1)
+
+
+@partial(jax.jit, static_argnames=("length_scale_km", "block", "maxiter"))
+def _cg_solve_multi(u3, sigma_b, sigma_o2, rhs, length_scale_km: float,
+                    block: int, tol: float, maxiter: int):
+    """Jacobi-preconditioned CG for A X = RHS (column-wise), A = B +
+    diag(sigma_o^2), with the matrix-free blocked B mat-mat.  A is SPD
+    (B PSD + positive diagonal).  ``rhs``: (N, K); every iteration costs
+    ONE covariance-tile sweep regardless of K.  Converged columns freeze
+    (alpha = 0) while the rest keep iterating."""
+
+    def amat(v):
+        return _b_matmat(u3, sigma_b, v, length_scale_km, block) + sigma_o2[:, None] * v
+
+    minv = (1.0 / (sigma_b**2 + sigma_o2))[:, None]
+    bnorm2 = jnp.sum(rhs * rhs, axis=0)  # (K,)
+    tol2 = tol * tol * jnp.maximum(bnorm2, 1e-30)
+
+    def cond(state):
+        k, _, r, _, _ = state
+        return (k < maxiter) & jnp.any(jnp.sum(r * r, axis=0) > tol2)
+
+    def step(state):
+        k, x, r, z, p = state
+        live = (jnp.sum(r * r, axis=0) > tol2)[None, :]
+        ap = amat(p)
+        rz = jnp.sum(r * z, axis=0)
+        den = jnp.sum(p * ap, axis=0)
+        alpha = jnp.where((den > 0) & live[0], rz / jnp.where(den > 0, den, 1.0), 0.0)
+        x = x + alpha[None, :] * p
+        r2 = r - alpha[None, :] * ap
+        z2 = minv * r2
+        beta = jnp.where(rz > 0, jnp.sum(r2 * z2, axis=0) / jnp.where(rz > 0, rz, 1.0), 0.0)
+        p2 = z2 + beta[None, :] * p
+        return k + 1, x, r2, z2, p2
+
+    x0 = jnp.zeros_like(rhs)
+    z0 = minv * rhs
+    k, x, r, _, _ = jax.lax.while_loop(cond, step, (0, x0, rhs, z0, z0))
+    resid = jnp.sqrt(jnp.max(jnp.sum(r * r, axis=0) / jnp.maximum(bnorm2, 1e-30)))
+    return x, k, resid
+
+
+def _distance_coloring(lat, lon, sep_km: float, max_colors: int):
+    """Greedy coloring of cells such that same-color cells are at least
+    ``sep_km`` apart (chordal), via a KD-tree on the 3-D unit vectors.
+    Used for probing the diagonal of the localized operator B A^-1 B:
+    cross-terms between same-color cells decay like exp(-sep^2 / 2 L^2),
+    so sep = 6 L bounds the per-cell contamination by ~e^-18 times the
+    number of same-color neighbours.  Color count scales with (sep /
+    grid pitch)^2, independent of N."""
+    from scipy.spatial import cKDTree
+
+    lat_r = np.deg2rad(np.asarray(lat, np.float64))
+    lon_r = np.deg2rad(np.asarray(lon, np.float64))
+    cl = np.cos(lat_r)
+    pts = np.column_stack([cl * np.cos(lon_r), cl * np.sin(lon_r), np.sin(lat_r)])
+    chord = min(sep_km / EARTH_RADIUS_KM, 2.0)
+    tree = cKDTree(pts)
+    n = len(pts)
+    colors = np.full(n, -1, np.int64)
+    for i in range(n):
+        nbrs = tree.query_ball_point(pts[i], chord)
+        used = {colors[j] for j in nbrs if colors[j] >= 0}
+        c = 0
+        while c in used:
+            c += 1
+        colors[i] = min(c, max_colors - 1)  # cap: accuracy over memory blowup
+    return colors
+
+
+def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
+                    block: int = 1024, cg_tol: float = 1e-6,
+                    cg_maxiter: int = 400, probe_sep_factor: float = 4.0,
+                    max_colors: int = 192, valid=None):
+    """Full-covariance OI for domains beyond the dense HBM limit.
+
+    Dense-cell inputs (1-D, finite; padded internally to a ``block``
+    multiple); same contract as :func:`oi_full_dense` but O(block * N)
+    memory:
+
+      * ``xb``/``increment``: exact up to the CG tolerance — one
+        preconditioned CG solve of ``(B + R) w = y - xa`` with the B matvec
+        generated tile-by-tile on the MXU from unit-vector Gram matrices.
+      * posterior diagonal ``diag(B - B A^-1 B)``: distance-colored probing,
+        ALL colors solved together as extra CG right-hand sides (each CG
+        iteration pays one covariance-tile sweep regardless of the column
+        count), with same-color cross-terms bounded by
+        ``exp(-(probe_sep_factor^2)/2)`` relative to the kernel scale
+        (~3e-4 for the default 4 sigma separation).  ``max_colors`` caps
+        the probe count: on grids whose cells crowd in physical distance
+        (e.g. lat/lon poles) colors merge beyond the cap and the diagonal
+        there degrades gracefully toward an upper bound on Sb.
+
+    Returns (xb, ak, increment, err, info dict) trimmed to the input length.
+    """
+    n_in = int(np.size(xa))
+    npad = int(np.ceil(n_in / block)) * block
+    if npad != n_in:
+        pad = npad - n_in
+
+        def _pad(a, fill):
+            return np.concatenate([np.asarray(a, np.float64).ravel(),
+                                   np.full(pad, fill)])
+
+        xa = _pad(xa, 0.0)
+        y = _pad(y, 0.0)
+        sigma_b = _pad(sigma_b, 0.0)  # zero-sigma rows decouple from B
+        sigma_o = _pad(sigma_o, 1.0)
+        lat = _pad(lat, 0.0)
+        lon = _pad(lon, 0.0)
+        if valid is None:
+            valid = np.arange(npad) < n_in
+        else:
+            valid = np.concatenate([np.asarray(valid, bool), np.zeros(pad, bool)])
+
+    u3 = _unit_vectors(lat, lon)
+    sigma_b = jnp.asarray(np.asarray(sigma_b, np.float64), jnp.float32)
+    sigma_o2 = jnp.asarray(np.asarray(sigma_o, np.float64), jnp.float32) ** 2
+    innov = jnp.asarray(np.asarray(y, np.float64) - np.asarray(xa, np.float64),
+                        jnp.float32)
+
+    # coloring runs on the real cells only — padding rows (sigma_b = 0)
+    # share one location and would otherwise force one color each
+    if valid is None:
+        valid = np.ones(u3.shape[0], bool)
+    valid = np.asarray(valid, bool)
+    colors = np.full(u3.shape[0], -1, np.int64)
+    colors[valid] = _distance_coloring(
+        np.asarray(lat)[valid], np.asarray(lon)[valid],
+        probe_sep_factor * float(length_scale_km), max_colors)
+    ncolors = int(colors.max()) + 1
+    # pad the column count to a lane multiple: fewer compile variants
+    # (K changes with the coloring) and clean MXU tiling; zero columns
+    # start converged and cost nothing in CG.
+    kpad = int(np.ceil((ncolors + 1) / LANES)) * LANES
+    probes = np.zeros((u3.shape[0], kpad - 1), np.float32)
+    probes[np.arange(u3.shape[0])[valid], colors[valid]] = 1.0
+    probes = jnp.asarray(probes)
+
+    # one batched flow: the innovation solve and every color probe share
+    # each covariance-tile sweep.
+    #   Q = B P;  [w | T] = A^-1 [innov | Q];  [Bw | BT] = B [w | T]
+    q = _b_matmat(u3, sigma_b, probes, float(length_scale_km), block)
+    rhs = jnp.concatenate([innov[:, None], q], axis=1)
+    x, iters, resid = _cg_solve_multi(u3, sigma_b, sigma_o2, rhs,
+                                      float(length_scale_km), block,
+                                      cg_tol, cg_maxiter)
+    s_all = _b_matmat(u3, sigma_b, x, float(length_scale_km), block)
+    increment = s_all[:, 0]
+    xb = jnp.asarray(xa, jnp.float32) + increment
+    s = np.asarray(s_all[:, 1:], np.float64)  # (N, ncolors) = B A^-1 B P
+    cell = np.arange(u3.shape[0])[valid]
+    quad = np.zeros(u3.shape[0], np.float64)
+    quad[cell] = s[cell, colors[cell]]
+
+    bd = np.asarray(sigma_b, np.float64) ** 2
+    sb_diag = bd - quad
+    with np.errstate(invalid="ignore", divide="ignore"):
+        ak = 1.0 - sb_diag / bd
+    err = np.sqrt(np.maximum(sb_diag, 0.0))
+    info = {"cg_iters": int(iters), "cg_resid": float(resid), "ncolors": ncolors}
+    return (np.asarray(xb, np.float64)[:n_in], ak[:n_in],
+            np.asarray(increment, np.float64)[:n_in], err[:n_in], info)
+
+
 def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: float,
             regularization_on: bool = False):
     """Grid-shaped front end: NaN-compaction + padding + scatter-back."""
@@ -152,6 +364,11 @@ def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: floa
     if n == 0:
         nanf = np.full(xa.shape, np.nan)
         return OIFullResult(nanf, nanf.copy(), nanf.copy(), nanf.copy())
+
+    if n > DENSE_MAX_CELLS:
+        return _oi_full_large(xa, y, sb, so, lat2d, lon2d, idx,
+                              float(length_scale_km), regularization_on)
+
     npad = int(np.ceil(n / LANES)) * LANES
 
     def take(arr, fill):
@@ -175,5 +392,62 @@ def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: floa
         out = np.full(xa.size, np.nan)
         out[idx] = np.asarray(v)[:n]
         return out.reshape(xa.shape)
+
+    return OIFullResult(scatter(xb_v), scatter(ak_v), scatter(inc_v), scatter(err_v))
+
+
+def _oi_full_large(xa, y, sb, so, lat2d, lon2d, idx, length_scale_km: float,
+                   regularization_on: bool, block: int = 1024,
+                   knee_subsample: int = 4096, seed: int = 0):
+    """Beyond-HBM branch of :func:`oi_full`: matrix-free CG + colored
+    probing.  The regularization knee — a *global* statistic of the mean-AK
+    curve — is picked on a random dense subsample of the domain (the curve
+    is a grid-mean, so a 4k-cell sample estimates it to ~1.5% — documented
+    approximation; the chosen factor then scales sigma_b exactly)."""
+    n = idx.size
+    npad = int(np.ceil(n / block)) * block
+
+    def take(arr, fill):
+        out = np.full(npad, fill)
+        out[:n] = np.asarray(arr, np.float64).ravel()[idx]
+        return out
+
+    xa_v = take(xa, 0.0)
+    y_v = take(y, 0.0)
+    sb_v = take(sb, 0.0)
+    so_v = take(so, 1.0)
+    lat_v = take(lat2d, 0.0)
+    lon_v = take(lon2d, 0.0)
+    valid = np.zeros(npad, bool)
+    valid[:n] = True
+
+    if regularization_on:
+        from oisat_tpu.ops.oi import regularization_grid
+
+        rng = np.random.default_rng(seed)
+        sub = rng.choice(n, size=min(n, knee_subsample), replace=False)
+        m = sub.size
+        mpad = int(np.ceil(m / LANES)) * LANES
+
+        def sub_take(v, fill):
+            out = np.full(mpad, fill)
+            out[:m] = v[sub]
+            return jnp.asarray(out, jnp.float32)
+
+        _, _, _, _, reg_index, _ = oi_full_dense_scan(
+            sub_take(xa_v, 0.0), sub_take(y_v, 0.0), sub_take(sb_v, 0.0),
+            sub_take(so_v, 1.0), sub_take(lat_v, 0.0), sub_take(lon_v, 0.0),
+            length_scale_km, regularization_grid().astype(np.float32))
+        r = float(regularization_grid()[int(reg_index)])
+        sb_v = sb_v * np.sqrt(r)  # r B == (sqrt(r) sigma_b) C (sqrt(r) sigma_b)
+
+    xb_v, ak_v, inc_v, err_v, _info = oi_full_matfree(
+        xa_v, y_v, sb_v, so_v, lat_v, lon_v, length_scale_km,
+        block=block, valid=valid)
+
+    def scatter(v):
+        out = np.full(np.asarray(xa).size, np.nan)
+        out[idx] = np.asarray(v)[:n]
+        return out.reshape(np.shape(xa))
 
     return OIFullResult(scatter(xb_v), scatter(ak_v), scatter(inc_v), scatter(err_v))

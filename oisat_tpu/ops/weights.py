@@ -209,7 +209,8 @@ def build_plan_structured(
         return None
     out = native.structured_weights(pix_lon2d, pix_lat2d,
                                     np.asarray(tgt_lon2d, np.float64).ravel(),
-                                    np.asarray(tgt_lat2d, np.float64).ravel())
+                                    np.asarray(tgt_lat2d, np.float64).ravel(),
+                                    max_dist=far_factor * threshold)
     if out is None:
         return None
     idx, w, dist, nn, ok = out

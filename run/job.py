@@ -57,9 +57,11 @@ def run_month(ctrl, year: int, month: int):
                 obj.recal_amf()
                 if ctrl.get("save_daily"):
                     obj.savedaily("./diag_mat/", gas, f"{year}{month:02}_{hour}UTC")
-                obj.average(start, end, gasname=gas)
+                obj.average(start, end, gasname=gas,
+                            weighting=ctrl.get("averaging_weighting"))
                 obj.bias_correct(sensor, gas)
-                obj.oi(sensor, error_ctm=ctrl["ctm_error"])
+                obj.oi(sensor, error_ctm=ctrl["ctm_error"],
+                       desroziers_iterations=ctrl.get("desroziers_iterations", 0))
                 tag = f"{gas}_{year}{month:02}_{hour}UTC"
                 obj.reporting(tag, gas, ctrl["output_pdf_dir"])
                 obj.write_to_nc(tag, ctrl["output_nc_dir"])
@@ -78,9 +80,11 @@ def run_month(ctrl, year: int, month: int):
         obj.recal_amf()
     if ctrl.get("save_daily"):
         obj.savedaily(ctrl["output_nc_dir"], gas, f"{year}_{month:02}")
-    obj.average(start, end, gasname=gas)
+    obj.average(start, end, gasname=gas,
+                weighting=ctrl.get("averaging_weighting"))
     obj.bias_correct(sensor, gas)
-    obj.oi(sensor, error_ctm=ctrl["ctm_error"])
+    obj.oi(sensor, error_ctm=ctrl["ctm_error"],
+           desroziers_iterations=ctrl.get("desroziers_iterations", 0))
     tag = f"{gas}_{year}{month:02}"
     obj.reporting(tag, gas, ctrl["output_pdf_dir"])
     obj.write_to_nc(tag, ctrl["output_nc_dir"])

@@ -1,0 +1,149 @@
+"""Desroziers So/Sa re-estimation + weighted temporal averaging
+(capability extensions; VERDICT r1 item 7, CLAUDE.md round-2 priority 5)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from oisat_tpu.driver import oisatgmi
+from oisat_tpu.ops.averaging import monthly_stats, monthly_stats_weighted
+from oisat_tpu.ops.diagnostics import desroziers_estimates, innovation_stats
+from oisat_tpu.ops.oi import oi
+
+
+def _misspecified_analysis(factor=4.0, H=64, W=96, seed=0):
+    """Truth + unbiased background/obs noise, with prescribed standard
+    deviations ``factor``x too large (chi^2 ~ 1/factor^2 before
+    re-estimation)."""
+    rng = np.random.default_rng(seed)
+    truth = np.abs(rng.normal(5, 0.5, (H, W)))
+    sig_b, sig_o = 0.4, 0.3
+    xa = truth + rng.normal(0, sig_b, (H, W))
+    y = truth + rng.normal(0, sig_o, (H, W))
+    sa = np.full((H, W), (factor * sig_b) ** 2)
+    so = np.full((H, W), (factor * sig_o) ** 2)
+    return xa, y, sa, so
+
+
+def test_desroziers_chi2_converges_to_one():
+    xa, y, sa, so = _misspecified_analysis()
+    res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so),
+             regularization_on=True)
+    chi0 = float(innovation_stats(xa, y, res.xb, sa, so).chi2)
+    assert chi0 < 0.15  # badly over-dispersed priors
+    for _ in range(3):
+        est = desroziers_estimates(xa, y, np.asarray(res.xb), sa, so)
+        sa = sa * float(est.sa_scale)
+        so = so * float(est.so_scale)
+        res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so),
+                 regularization_on=True)
+    chi = float(innovation_stats(xa, y, res.xb, sa, so).chi2)
+    assert abs(chi - 1.0) < 0.05, chi
+    # the diagnosed total innovation variance is matched
+    assert float(np.mean(sa + so)) == pytest.approx(0.4**2 + 0.3**2, rel=0.1)
+
+
+def test_desroziers_identity_total_variance():
+    """sa_hat + so_hat == E[d_ob^2] exactly (the Desroziers moment identity
+    d_oa + d_ab = d_ob)."""
+    xa, y, sa, so = _misspecified_analysis(seed=3)
+    res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so))
+    est = desroziers_estimates(xa, y, np.asarray(res.xb), sa, so)
+    total = float(np.mean((y - xa) ** 2))
+    assert float(est.sa_hat + est.so_hat) == pytest.approx(total, rel=1e-6)
+
+
+def test_driver_desroziers_option():
+    """The driver option re-runs the OI and records the scales + chi^2."""
+    xa, y, sa, so = _misspecified_analysis(H=32, W=48, seed=5)
+    obj = oisatgmi()
+    obj.ctm_averaged_vcd = xa
+    obj.sat_averaged_vcd = y
+    # driver derives sa from error_ctm: (xa * e/100)^2; pick e to match the
+    # misspecified sa on average
+    e = 100.0 * np.sqrt(np.mean(sa)) / np.mean(xa)
+    obj.sat_averaged_error = np.sqrt(so)
+    obj.aux1 = obj.aux2 = np.full_like(xa, np.nan)
+    obj.oi("OMI", error_ctm=e, desroziers_iterations=3)
+    d = obj.oi_diagnostics
+    assert d["desroziers_iterations"] == 3
+    assert d["desroziers_sa_scale"] < 0.5  # shrank the inflated prior error
+    assert d["desroziers_so_scale"] < 0.5
+    assert abs(d["chi2"] - 1.0) < 0.1
+
+
+def test_weighted_mean_uniform_matches_reference():
+    rng = np.random.default_rng(7)
+    g = rng.normal(3, 1, (5, 8, 9))
+    e = np.abs(rng.normal(1, 0.2, (5, 8, 9)))
+    g[rng.random(g.shape) < 0.2] = np.nan
+    ref = monthly_stats(*map(jnp.asarray, (g, e, g, g, g)))
+    w = np.ones_like(g)
+    got = monthly_stats_weighted(*map(jnp.asarray, (g, e, g, g, g, w)))
+    np.testing.assert_allclose(np.asarray(got.sat_vcd), np.asarray(ref.sat_vcd),
+                               rtol=1e-12, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(got.sat_error), np.asarray(ref.sat_error),
+                               rtol=1e-6, equal_nan=True)
+
+
+def test_inverse_variance_weighting_is_optimal():
+    """Two granules, one 3x noisier: the IV-weighted mean must match the
+    closed-form optimal combination."""
+    v = np.stack([np.full((4, 4), 2.0), np.full((4, 4), 4.0)])
+    e = np.stack([np.full((4, 4), 1.0), np.full((4, 4), 3.0)])
+    w = 1.0 / e**2
+    got = monthly_stats_weighted(*map(jnp.asarray, (v, e, v, v, v, w)))
+    expect = (2.0 / 1.0 + 4.0 / 9.0) / (1.0 + 1.0 / 9.0)
+    np.testing.assert_allclose(np.asarray(got.sat_vcd), expect, rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(got.sat_error),
+                               np.sqrt(1.0 / (1.0 + 1.0 / 9.0)), rtol=1e-6)
+
+
+def test_averaging_weighting_modes(tmp_path):
+    """End-to-end averaging() with weighting: IV works for any granule;
+    'ak' requires opt granules and weights by AK information content."""
+    import datetime
+    from types import SimpleNamespace
+
+    from oisat_tpu.datamodel import satellite_amf, satellite_opt
+    from oisat_tpu.ops.averaging import averaging
+
+    hw = (6, 7)
+    t = datetime.datetime(2019, 7, 10)
+
+    def amf_granule(val, err):
+        return satellite_amf(
+            vcd=np.full(hw, val), amf=np.full(hw, 1.0), time=t,
+            tropopause=np.empty(1), latitude_center=np.zeros(hw),
+            longitude_center=np.zeros(hw), latitude_corner=[], longitude_corner=[],
+            uncertainty=np.full(hw, err), quality_flag=[], pressure_mid=np.empty(1),
+            scattering_weights=np.empty(1), ctm_upscaled_needed=False,
+            ctm_vcd=np.full(hw, val), ctm_time_at_sat=[], old_amf=np.empty(1),
+            new_amf=np.empty(1))
+
+    ro = SimpleNamespace(sat_data=[amf_granule(2.0, 1.0), amf_granule(4.0, 3.0)])
+    vcd, err, *_ = averaging("2019-07-01", "2019-08-01", ro,
+                             weighting="inverse_variance")
+    expect = (2.0 / 1.0 + 4.0 / 9.0) / (1.0 + 1.0 / 9.0)
+    np.testing.assert_allclose(vcd, expect, rtol=1e-6)
+    with pytest.raises(ValueError, match="averaging-kernel granules"):
+        averaging("2019-07-01", "2019-08-01", ro, weighting="ak")
+
+    def opt_granule(val, ak):
+        return satellite_opt(
+            vcd=np.full(hw, val), time=t, profile=[], tropopause=np.empty(1),
+            latitude_center=np.zeros(hw), longitude_center=np.zeros(hw),
+            latitude_corner=[], longitude_corner=[],
+            uncertainty=np.full(hw, 1.0), quality_flag=[],
+            pressure_mid=np.zeros((3,) + hw),
+            averaging_kernels=np.full((3,) + hw, ak),
+            ctm_upscaled_needed=False, ctm_vcd=np.full(hw, val),
+            ctm_xcol=np.full(hw, val), ctm_time_at_sat=[],
+            aprior_column=np.zeros(hw), apriori_profile=np.zeros((3,) + hw),
+            surface_pressure=np.zeros(hw), apriori_surface=np.zeros(hw),
+            x_col=np.full(hw, val), pressure_weight=np.zeros((3,) + hw),
+            sensor="MOPITT")
+
+    ro2 = SimpleNamespace(sat_data=[opt_granule(2.0, 0.9), opt_granule(4.0, 0.1)])
+    vcd, *_ = averaging("2019-07-01", "2019-08-01", ro2, weighting="ak")
+    np.testing.assert_allclose(vcd, (2.0 * 0.9 + 4.0 * 0.1) / 1.0, rtol=1e-6)

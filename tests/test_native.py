@@ -78,7 +78,10 @@ def test_nearest_mode_matches_kdtree():
     dists, nn_scipy = tree.query(np.column_stack([tlon.ravel(), tlat.ravel()]))
     sp = build_plan_structured(lon, lat, tlon, tlat, threshold=0.3, method=4)
     assert sp is not None and sp.k == 1
-    np.testing.assert_array_equal(sp.idx[:, 0], nn_scipy)
+    # picks are exact within the far-mask cutoff (the search stops early
+    # beyond it — those targets are masked and their pick is unused)
+    near = dists <= 2.0 * 0.3
+    np.testing.assert_array_equal(sp.idx[near, 0], nn_scipy[near])
     # and applying the plan equals the gather scipy would do
     z = np.sin(lon * 0.7).ravel()
     out = np.asarray(apply_plan(sp, z)).ravel()

@@ -136,3 +136,103 @@ def test_oi_full_scan_spreads_and_regularizes():
                   regularization_on=True)
     assert res.xb[4, 8] > 3.0
     assert res.xb[4, 9] > 2.1  # neighbour updated through B
+
+
+def _random_domain(H, W, seed=5, lat0=30.0, lat1=45.0, lon0=-20.0, lon1=10.0):
+    rng = np.random.default_rng(seed)
+    lon, lat = np.meshgrid(np.linspace(lon0, lon1, W), np.linspace(lat0, lat1, H))
+    xa = np.abs(rng.normal(3, 1, (H, W)))
+    y = xa * rng.uniform(0.8, 1.3, (H, W))
+    sigb = np.abs(rng.normal(1.0, 0.2, (H, W)))
+    sigo = np.abs(rng.normal(0.6, 0.1, (H, W)))
+    return xa, y, sigb, sigo, lat, lon
+
+
+def test_matfree_matches_dense():
+    """The matrix-free CG + colored-probing path must reproduce the dense
+    blocked-Cholesky solve (VERDICT r1 item 6): xb to CG tolerance, the
+    posterior diagonal to the probing cross-term bound."""
+    from oisat_tpu.ops.oi_full import oi_full_dense, oi_full_matfree
+
+    H, W = 16, 16  # 256 cells: dense is exact ground truth here
+    xa, y, sigb, sigo, lat, lon = _random_domain(H, W)
+    import jax.numpy as jnp
+
+    f = lambda a: jnp.asarray(a.ravel(), jnp.float32)
+    ref = oi_full_dense(f(xa), f(y), f(sigb), f(sigo), f(lat), f(lon),
+                        length_scale_km=300.0)
+    got_xb, got_ak, got_inc, got_err, info = oi_full_matfree(
+        xa.ravel(), y.ravel(), sigb.ravel(), sigo.ravel(),
+        lat.ravel(), lon.ravel(), 300.0, block=256, cg_tol=1e-7,
+        probe_sep_factor=6.0)  # 6 sigma separation: cross-terms ~1e-8
+    assert info["cg_resid"] < 1e-6
+    np.testing.assert_allclose(got_xb, np.asarray(ref[0], np.float64), rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(got_inc, np.asarray(ref[2], np.float64), rtol=0, atol=5e-4)
+    np.testing.assert_allclose(got_ak, np.asarray(ref[1], np.float64), rtol=0, atol=2e-3)
+    np.testing.assert_allclose(got_err, np.asarray(ref[3], np.float64), rtol=0, atol=2e-3)
+    # production default (4 sigma): documented ~3e-4 kernel-scale bound
+    _, ak4, _, err4, _ = oi_full_matfree(
+        xa.ravel(), y.ravel(), sigb.ravel(), sigo.ravel(),
+        lat.ravel(), lon.ravel(), 300.0, block=256, cg_tol=1e-7)
+    np.testing.assert_allclose(err4, np.asarray(ref[3], np.float64), rtol=0, atol=1e-2)
+
+
+def test_oi_full_auto_switches_to_matfree(monkeypatch):
+    """Above DENSE_MAX_CELLS the grid front end must route to the
+    matrix-free branch and produce the same analysis (NaN handling and
+    scatter-back included)."""
+    import oisat_tpu.ops.oi_full as mod
+
+    H, W = 20, 26
+    xa, y, sigb, sigo, lat, lon = _random_domain(H, W, seed=9)
+    xa[3, 4] = np.nan
+    y[10, 20] = np.nan
+    ref = mod.oi_full(xa, y, sigb, sigo, lat, lon, length_scale_km=250.0)
+    monkeypatch.setattr(mod, "DENSE_MAX_CELLS", 64)  # force the large branch
+    got = mod.oi_full(xa, y, sigb, sigo, lat, lon, length_scale_km=250.0)
+    m = np.isfinite(ref.xb)
+    np.testing.assert_array_equal(m, np.isfinite(got.xb))
+    np.testing.assert_allclose(got.xb[m], ref.xb[m], rtol=5e-4, atol=5e-4)
+    np.testing.assert_allclose(got.error[m], ref.error[m], rtol=0, atol=3e-3)
+    assert np.isnan(got.xb[3, 4]) and np.isnan(got.xb[10, 20])
+
+
+def test_oi_full_matfree_with_regularization(monkeypatch):
+    """The large branch with the regularization scan: the knee is picked on
+    a dense subsample (here the subsample covers the whole domain, so the
+    choice is exact) and the chosen factor scales B in the CG solve."""
+    import oisat_tpu.ops.oi_full as mod
+
+    H, W = 16, 16
+    xa, y, sigb, sigo, lat, lon = _random_domain(H, W, seed=13)
+    ref = mod.oi_full(xa, y, sigb, sigo, lat, lon, length_scale_km=250.0,
+                      regularization_on=True)
+    monkeypatch.setattr(mod, "DENSE_MAX_CELLS", 64)
+    got = mod.oi_full(xa, y, sigb, sigo, lat, lon, length_scale_km=250.0,
+                      regularization_on=True)
+    m = np.isfinite(ref.xb)
+    np.testing.assert_allclose(got.xb[m], ref.xb[m], rtol=1e-3, atol=1e-3)
+    # diagonal at the default 4-sigma probe separation: ~1e-2 bound
+    np.testing.assert_allclose(got.error[m], ref.error[m], rtol=0, atol=1e-2)
+
+
+def test_distance_coloring_separation():
+    from oisat_tpu.ops.kernels.covariance import EARTH_RADIUS_KM
+    from oisat_tpu.ops.oi_full import _distance_coloring
+
+    rng = np.random.default_rng(17)
+    lat = rng.uniform(30, 50, 500)
+    lon = rng.uniform(-30, 10, 500)
+    sep = 500.0
+    colors = _distance_coloring(lat, lon, sep, max_colors=512)
+    # same-color points must be >= sep apart (chordal)
+    latr, lonr = np.deg2rad(lat), np.deg2rad(lon)
+    pts = np.column_stack([np.cos(latr) * np.cos(lonr),
+                           np.cos(latr) * np.sin(lonr), np.sin(latr)])
+    for c in range(colors.max() + 1):
+        p = pts[colors == c]
+        if len(p) < 2:
+            continue
+        d = np.linalg.norm(p[:, None, :] - p[None, :, :], axis=-1) * EARTH_RADIUS_KM
+        np.fill_diagonal(d, np.inf)
+        assert d.min() >= sep * 0.999
