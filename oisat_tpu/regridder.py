@@ -82,6 +82,17 @@ class Upscaler:
         return apply_plan(self.plan, flat)
 
 
+def _geom_key(lon2d, lat2d):
+    lon2d = np.asarray(lon2d)
+    lat2d = np.asarray(lat2d)
+    return (lon2d.shape, float(lon2d.flat[0]), float(lon2d.flat[-1]),
+            float(lat2d.flat[0]), float(lat2d.flat[-1]))
+
+
+_UPSCALER_CACHE_MAX = 16
+_upscaler_cache = __import__("collections").OrderedDict()
+
+
 def make_upscaler(
     src_lon2d: np.ndarray,
     src_lat2d: np.ndarray,
@@ -91,22 +102,46 @@ def make_upscaler(
     threshold: float,
     method: int = 4,
     far_factor: float = 2.0,
+    fast: bool | None = None,
 ) -> Upscaler:
     """Build the reference ``_upscaler`` decision + mapping (interpolator.py:48-97).
 
     ``grid_size`` is the source-grid pitch, ``threshold`` the distance cutoff.
     The main pipeline maps with KD-nearest + 2x cutoff; the SSMIS/GOSAT
     variants use Delaunay-linear + 1x cutoff (method=1, far_factor=1).
+
+    The fine→coarse mapping depends only on the two grid geometries, which
+    repeat across every granule of a run, so results are LRU-cached; the
+    structured source grid also takes the native weight builder when
+    ``fast`` (default: :func:`fast_swath_default`).
     """
     tgt_dlon, tgt_dlat = grid_spacing(tgt_lon2d, tgt_lat2d)
     if (tgt_dlon >= grid_size) or (tgt_dlat >= grid_size):
+        if fast is None:
+            fast = fast_swath_default()
+        key = (_geom_key(src_lon2d, src_lat2d), _geom_key(tgt_lon2d, tgt_lat2d),
+               float(grid_size), float(threshold), method, float(far_factor), fast)
+        cached = _upscaler_cache.get(key)
+        if cached is not None:
+            _upscaler_cache.move_to_end(key)
+            return cached
         kx = max(int(np.floor(tgt_dlon / grid_size)), 1)
         ky = max(int(np.floor(tgt_dlat / grid_size)), 1)
-        plan = build_plan(
-            src_lon2d.ravel(), src_lat2d.ravel(), tgt_lon2d, tgt_lat2d,
-            method=method, threshold=threshold, far_factor=far_factor,
-        )
-        return Upscaler(False, ky, kx, plan, tgt_lon2d, tgt_lat2d)
+        plan = None
+        if fast and method in (1, 2, 4) and np.ndim(src_lon2d) == 2:
+            plan = build_plan_structured(
+                src_lon2d, src_lat2d, tgt_lon2d, tgt_lat2d,
+                threshold=threshold, far_factor=far_factor, method=method)
+        if plan is None:
+            plan = build_plan(
+                src_lon2d.ravel(), src_lat2d.ravel(), tgt_lon2d, tgt_lat2d,
+                method=method, threshold=threshold, far_factor=far_factor,
+            )
+        up = Upscaler(False, ky, kx, plan, tgt_lon2d, tgt_lat2d)
+        _upscaler_cache[key] = up
+        while len(_upscaler_cache) > _UPSCALER_CACHE_MAX:
+            _upscaler_cache.popitem(last=False)
+        return up
     return Upscaler(True, 1, 1, None, src_lon2d, src_lat2d)
 
 
@@ -213,7 +248,8 @@ def regrid_granule(
     if plan is None:
         return None
     upsc = make_upscaler(lons_fine, lats_fine, ctm_lon2d, ctm_lat2d,
-                         grid_size, threshold_ctm, method=4, far_factor=2.0)
+                         grid_size, threshold_ctm, method=4, far_factor=2.0,
+                         fast=fast_swath)
 
     mask = _quality_mask(sat_data.quality_flag, flag_thresh)
     is_amf = isinstance(sat_data, satellite_amf)
@@ -326,6 +362,7 @@ def regrid_ssmis_granule(
     ctm_lon2d: np.ndarray,
     ctm_lat2d: np.ndarray,
     dtype=np.float32,
+    fast_swath: bool | None = None,
 ):
     """SSMIS variant (reference interpolator_ssmis.py:96-168).
 
@@ -338,17 +375,31 @@ def regrid_ssmis_granule(
     Deliberate deviation: the reference casts the fine-grid coordinates to
     float16 (interpolator_ssmis.py:141), losing ~0.06 deg of coordinate
     precision at high longitudes; we keep float64 geometry.
+
+    ``fast_swath`` (production default ON; same switches as
+    :func:`regrid_granule`): SSMIS files are full 0.25-degree global grids
+    (~1M pixels) — the structured builder replaces the costliest qhull
+    triangulation in the whole pipeline.
     """
+    if fast_swath is None:
+        fast_swath = fast_swath_default()
     threshold_ctm = diag_threshold(ctm_lon2d, ctm_lat2d)
     lons_fine, lats_fine = fine_grid(ctm_lon2d, ctm_lat2d, grid_size)
-    plan = build_plan(
-        sat_data.longitude_center.ravel(), sat_data.latitude_center.ravel(),
-        lons_fine, lats_fine, method=1, threshold=grid_size, far_factor=1.0,
-    )
+    plan = None
+    if fast_swath and np.ndim(sat_data.longitude_center) == 2:
+        plan = build_plan_structured(
+            sat_data.longitude_center, sat_data.latitude_center,
+            lons_fine, lats_fine, threshold=grid_size, far_factor=1.0)
+    if plan is None:
+        plan = build_plan(
+            sat_data.longitude_center.ravel(), sat_data.latitude_center.ravel(),
+            lons_fine, lats_fine, method=1, threshold=grid_size, far_factor=1.0,
+        )
     if plan is None:
         return None
     upsc = make_upscaler(lons_fine, lats_fine, ctm_lon2d, ctm_lat2d,
-                         grid_size, threshold_ctm, method=1, far_factor=1.0)
+                         grid_size, threshold_ctm, method=1, far_factor=1.0,
+                         fast=fast_swath)
     gridded, err_gridded = _regrid_fused(
         plan, upsc, _stack([sat_data.vcd]), _stack([sat_data.uncertainty]), dtype)
     vcd = gridded[0]

@@ -121,3 +121,44 @@ def test_regrid_granule_fast_swath():
     m = np.isfinite(slow.vcd) & np.isfinite(fast.vcd)
     assert m.sum() > 50
     np.testing.assert_allclose(fast.vcd[m], slow.vcd[m], atol=1e-3, rtol=1e-3)
+
+
+def test_regrid_ssmis_fast_matches_parity():
+    """SSMIS granules are full regular global grids — the heaviest qhull
+    triangulation in the pipeline; the structured fast path (default-on)
+    must agree with the Delaunay parity path."""
+    from oisat_tpu.datamodel import satellite_ssmis
+    from oisat_tpu.regridder import regrid_ssmis_granule
+
+    lat = np.arange(-89.5, 90, 1.0)
+    lon = np.arange(-179.5, 180, 1.0)
+    lon2, lat2 = np.meshgrid(lon, lat)
+    vcd = 20 + 5 * np.sin(lon2 / 20.0) * np.cos(lat2 / 15.0)
+
+    def g():
+        return satellite_ssmis(vcd=vcd.copy(), uncertainty=np.full(lat2.shape, 1.0),
+                               time=None, latitude_center=lat2, longitude_center=lon2,
+                               ctm_upscaled_needed=False, ctm_vcd=[], sensor="SSMIS")
+
+    clon2, clat2 = np.meshgrid(np.arange(-20.0, 10.0, 2.0), np.arange(20.0, 60.0, 2.0))
+    fast = regrid_ssmis_granule(1.0, g(), clon2, clat2, fast_swath=True, dtype=np.float64)
+    parity = regrid_ssmis_granule(1.0, g(), clon2, clat2, fast_swath=False, dtype=np.float64)
+    a, b = np.asarray(fast.vcd), np.asarray(parity.vcd)
+    both = np.isfinite(a) & np.isfinite(b)
+    assert both.sum() > 100
+    np.testing.assert_allclose(a[both], b[both], rtol=2e-3, atol=2e-2)
+    assert (np.isfinite(a) ^ np.isfinite(b)).mean() < 0.02
+
+
+def test_upscaler_cache_reuse_and_bound():
+    import oisat_tpu.regridder as R
+
+    R._upscaler_cache.clear()
+    src_lon, src_lat = np.meshgrid(np.arange(-10, 10, 0.1), np.arange(30, 45, 0.1))
+    tgt_lon, tgt_lat = np.meshgrid(np.arange(-10, 10, 0.5), np.arange(30, 45, 0.5))
+    u1 = R.make_upscaler(src_lon, src_lat, tgt_lon, tgt_lat, 0.1, 0.7)
+    u2 = R.make_upscaler(src_lon, src_lat, tgt_lon, tgt_lat, 0.1, 0.7)
+    assert u1 is u2  # cache hit for the repeated geometry
+    for k in range(R._UPSCALER_CACHE_MAX + 5):
+        R.make_upscaler(src_lon + 0.001 * (k + 1), src_lat, tgt_lon, tgt_lat, 0.1, 0.7)
+        assert len(R._upscaler_cache) <= R._UPSCALER_CACHE_MAX
