@@ -45,6 +45,7 @@ class OIFullResult(NamedTuple):
     averaging_kernel: np.ndarray
     increment: np.ndarray
     error: np.ndarray
+    info: dict = None  # matrix-free path: CG iterations/residual, colors
 
 
 @partial(jax.jit, static_argnames=("length_scale_km", "diag_block"))
@@ -227,38 +228,99 @@ def _cg_solve_multi(u3, sigma_b, sigma_o2, rhs, length_scale_km: float,
     return x, k, resid
 
 
-def _distance_coloring(lat, lon, sep_km: float, max_colors: int):
-    """Greedy coloring of cells such that same-color cells are at least
-    ``sep_km`` apart (chordal), via a KD-tree on the 3-D unit vectors.
-    Used for probing the diagonal of the localized operator B A^-1 B:
-    cross-terms between same-color cells decay like exp(-sep^2 / 2 L^2),
-    so sep = 6 L bounds the per-cell contamination by ~e^-18 times the
-    number of same-color neighbours.  Color count scales with (sep /
-    grid pitch)^2, independent of N."""
-    from scipy.spatial import cKDTree
-
+def _sphere_points(lat, lon):
     lat_r = np.deg2rad(np.asarray(lat, np.float64))
     lon_r = np.deg2rad(np.asarray(lon, np.float64))
     cl = np.cos(lat_r)
-    pts = np.column_stack([cl * np.cos(lon_r), cl * np.sin(lon_r), np.sin(lat_r)])
-    chord = min(sep_km / EARTH_RADIUS_KM, 2.0)
-    tree = cKDTree(pts)
+    return np.column_stack([cl * np.cos(lon_r), cl * np.sin(lon_r), np.sin(lat_r)])
+
+
+def _cluster_reps(pts, radius_km: float):
+    """Greedy geometric clustering: every point within ``radius_km`` of an
+    earlier representative joins its cluster.  The probing diagonal is then
+    evaluated at representatives only and shared within the cluster — the
+    fix for grids whose cells crowd in physical distance (lat/lon poles),
+    where exact per-cell probing would need one color per crowded
+    neighbour.  Clusters only form where the grid pitch is below
+    ``radius_km``; on coarser grids every cell is its own representative
+    and the result is exact probing."""
+    from scipy.spatial import cKDTree
+
     n = len(pts)
-    colors = np.full(n, -1, np.int64)
+    if n == 0:
+        return np.zeros(0, np.int64)
+    chord = min(radius_km / EARTH_RADIUS_KM, 2.0)
+    tree = cKDTree(pts)
+    rep = np.full(n, -1, np.int64)
     for i in range(n):
-        nbrs = tree.query_ball_point(pts[i], chord)
-        used = {colors[j] for j in nbrs if colors[j] >= 0}
+        if rep[i] >= 0:
+            continue
+        members = tree.query_ball_point(pts[i], chord)
+        members = [j for j in members if rep[j] < 0]
+        rep[members] = i
+        rep[i] = i
+    return rep
+
+
+def _distance_coloring(lat, lon, sep_km: float, cluster_radius_km: float):
+    """Exact distance coloring with cluster representatives.
+
+    Returns (rep, colors): ``rep[i]`` is cell i's representative (itself
+    where the grid is coarser than ``cluster_radius_km``), and ``colors``
+    a per-cell array holding the representative's color (-1 on
+    non-representative members).  Same-color representatives are at least
+    ``sep_km`` apart (chordal) — never capped/merged, so the probing
+    separation guarantee always holds; the color *count* is bounded by
+    ~(sep/cluster_radius)(sep/pitch) instead of growing with local cell
+    crowding."""
+    from scipy.spatial import cKDTree
+
+    pts = _sphere_points(lat, lon)
+    rep = _cluster_reps(pts, cluster_radius_km)
+    rep_ids = np.flatnonzero(rep == np.arange(len(pts)))
+    rpts = pts[rep_ids]
+    chord = min(sep_km / EARTH_RADIUS_KM, 2.0)
+    tree = cKDTree(rpts)
+    # one batched neighbour query (C-level) instead of N python round-trips
+    balls = tree.query_ball_point(rpts, chord)
+    rcolors = np.full(len(rpts), -1, np.int64)
+    for i in range(len(rpts)):
+        used = {rcolors[j] for j in balls[i] if rcolors[j] >= 0}
         c = 0
         while c in used:
             c += 1
-        colors[i] = min(c, max_colors - 1)  # cap: accuracy over memory blowup
-    return colors
+        rcolors[i] = c
+    colors = np.full(len(pts), -1, np.int64)
+    colors[rep_ids] = rcolors
+    return rep, colors
+
+
+_coloring_cache = __import__("collections").OrderedDict()
+_COLORING_CACHE_MAX = 8
+
+
+def _distance_coloring_cached(lat, lon, sep_km: float, cluster_radius_km: float):
+    lat = np.asarray(lat)
+    lon = np.asarray(lon)
+    key = (lat.shape, lat.tobytes()[:256], lon.tobytes()[:256],
+           float(lat.sum()), float(lon.sum()), float(sep_km),
+           float(cluster_radius_km))
+    hit = _coloring_cache.get(key)
+    if hit is not None:
+        _coloring_cache.move_to_end(key)
+        return hit
+    out = _distance_coloring(lat, lon, sep_km, cluster_radius_km)
+    _coloring_cache[key] = out
+    while len(_coloring_cache) > _COLORING_CACHE_MAX:
+        _coloring_cache.popitem(last=False)
+    return out
 
 
 def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
                     block: int = 1024, cg_tol: float = 1e-6,
                     cg_maxiter: int = 400, probe_sep_factor: float = 4.0,
-                    max_colors: int = 192, valid=None):
+                    max_colors: int = 192, cluster_radius_factor: float = 0.25,
+                    valid=None):
     """Full-covariance OI for domains beyond the dense HBM limit.
 
     Dense-cell inputs (1-D, finite; padded internally to a ``block``
@@ -268,15 +330,20 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
       * ``xb``/``increment``: exact up to the CG tolerance — one
         preconditioned CG solve of ``(B + R) w = y - xa`` with the B matvec
         generated tile-by-tile on the MXU from unit-vector Gram matrices.
-      * posterior diagonal ``diag(B - B A^-1 B)``: distance-colored probing,
-        ALL colors solved together as extra CG right-hand sides (each CG
-        iteration pays one covariance-tile sweep regardless of the column
-        count), with same-color cross-terms bounded by
-        ``exp(-(probe_sep_factor^2)/2)`` relative to the kernel scale
-        (~3e-4 for the default 4 sigma separation).  ``max_colors`` caps
-        the probe count: on grids whose cells crowd in physical distance
-        (e.g. lat/lon poles) colors merge beyond the cap and the diagonal
-        there degrades gracefully toward an upper bound on Sb.
+      * posterior diagonal ``diag(B - B A^-1 B)``: distance-colored probing
+        at cluster representatives, colors solved together as extra CG
+        right-hand sides (each CG iteration pays one covariance-tile sweep
+        regardless of the column count).  Three error terms, all bounded:
+        same-color cross-terms decay with the probe separation
+        (``probe_sep_factor`` x L; ~1e-2 kernel-scale at the default 4, use
+        6 for ~1e-4); cells within ``cluster_radius_factor * L`` of a
+        representative share its diagonal rescaled by the variance ratio
+        (relative error O((radius/L)^2) ~ 6e-2 worst-case at the default
+        0.25 — clusters only form where the grid is finer than the radius,
+        e.g. lat/lon pole crowding, where exact probing would need one
+        color per crowded neighbour); and the separation guarantee is
+        never relaxed — when more than ``max_colors`` colors are needed
+        the probes run in multiple CG chunks instead of merging colors.
 
     Returns (xb, ak, increment, err, info dict) trimmed to the input length.
     """
@@ -308,44 +375,74 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
 
     # coloring runs on the real cells only — padding rows (sigma_b = 0)
     # share one location and would otherwise force one color each
+    n = u3.shape[0]
     if valid is None:
-        valid = np.ones(u3.shape[0], bool)
+        valid = np.ones(n, bool)
     valid = np.asarray(valid, bool)
-    colors = np.full(u3.shape[0], -1, np.int64)
-    colors[valid] = _distance_coloring(
+    vidx = np.flatnonzero(valid)
+    rep_v, colors_v = _distance_coloring_cached(
         np.asarray(lat)[valid], np.asarray(lon)[valid],
-        probe_sep_factor * float(length_scale_km), max_colors)
+        probe_sep_factor * float(length_scale_km),
+        cluster_radius_factor * float(length_scale_km))
+    rep = np.full(n, -1, np.int64)
+    rep[vidx] = vidx[rep_v]
+    colors = np.full(n, -1, np.int64)
+    colors[vidx] = colors_v  # color at representatives; -1 on members
     ncolors = int(colors.max()) + 1
-    # pad the column count to a lane multiple: fewer compile variants
-    # (K changes with the coloring) and clean MXU tiling; zero columns
-    # start converged and cost nothing in CG.
-    kpad = int(np.ceil((ncolors + 1) / LANES)) * LANES
-    probes = np.zeros((u3.shape[0], kpad - 1), np.float32)
-    probes[np.arange(u3.shape[0])[valid], colors[valid]] = 1.0
-    probes = jnp.asarray(probes)
+    is_rep = colors >= 0
 
-    # one batched flow: the innovation solve and every color probe share
-    # each covariance-tile sweep.
+    # batched flow, chunked when the (uncapped) color count exceeds the
+    # per-CG column budget: within each chunk the innovation solve (first
+    # chunk only) and every probe share each covariance-tile sweep.
     #   Q = B P;  [w | T] = A^-1 [innov | Q];  [Bw | BT] = B [w | T]
-    q = _b_matmat(u3, sigma_b, probes, float(length_scale_km), block)
-    rhs = jnp.concatenate([innov[:, None], q], axis=1)
-    x, iters, resid = _cg_solve_multi(u3, sigma_b, sigma_o2, rhs,
-                                      float(length_scale_km), block,
-                                      cg_tol, cg_maxiter)
-    s_all = _b_matmat(u3, sigma_b, x, float(length_scale_km), block)
-    increment = s_all[:, 0]
-    xb = jnp.asarray(xa, jnp.float32) + increment
-    s = np.asarray(s_all[:, 1:], np.float64)  # (N, ncolors) = B A^-1 B P
-    cell = np.arange(u3.shape[0])[valid]
-    quad = np.zeros(u3.shape[0], np.float64)
-    quad[cell] = s[cell, colors[cell]]
+    quad_rep = np.zeros(n, np.float64)
+    increment = None
+    iters_total = 0
+    resid_max = 0.0
+    nchunks = max(1, -(-ncolors // max_colors))
+    for ci in range(nchunks):
+        c0, c1 = ci * max_colors, min((ci + 1) * max_colors, ncolors)
+        sel = is_rep & (colors >= c0) & (colors < c1)
+        # pad the column count to a lane multiple: fewer compile variants
+        # (K changes with the coloring) and clean MXU tiling; zero
+        # columns start converged and cost nothing in CG.
+        lead = 1 if ci == 0 else 0
+        kpad = int(np.ceil(max(c1 - c0 + lead, 1) / LANES)) * LANES
+        probes = np.zeros((n, kpad - lead), np.float32)
+        probes[np.flatnonzero(sel), colors[sel] - c0] = 1.0
+        q = _b_matmat(u3, sigma_b, jnp.asarray(probes),
+                      float(length_scale_km), block)
+        rhs = jnp.concatenate([innov[:, None], q], axis=1) if ci == 0 else q
+        x, iters, resid = _cg_solve_multi(u3, sigma_b, sigma_o2, rhs,
+                                          float(length_scale_km), block,
+                                          cg_tol, cg_maxiter)
+        s_all = _b_matmat(u3, sigma_b, x, float(length_scale_km), block)
+        iters_total += int(iters)
+        resid_max = max(resid_max, float(resid))
+        if ci == 0:
+            increment = s_all[:, 0]
+        s = np.asarray(s_all[:, lead:], np.float64)  # B A^-1 B P
+        cells = np.flatnonzero(sel)
+        quad_rep[cells] = s[cells, colors[cells] - c0]
 
+    xb = jnp.asarray(xa, jnp.float32) + increment
+
+    # members inherit their representative's diagonal, rescaled by the
+    # local variance ratio (M_ii ~ (sigma_i/sigma_rep)^2 M_rep,rep within
+    # cluster_radius_factor * L — relative error O((radius/L)^2))
     bd = np.asarray(sigma_b, np.float64) ** 2
+    quad = np.zeros(n, np.float64)
+    vr = rep[vidx]
+    scale = np.divide(bd[vidx], bd[vr], out=np.ones(vidx.size), where=bd[vr] > 0)
+    quad[vidx] = quad_rep[vr] * scale
+
     sb_diag = bd - quad
     with np.errstate(invalid="ignore", divide="ignore"):
         ak = 1.0 - sb_diag / bd
     err = np.sqrt(np.maximum(sb_diag, 0.0))
-    info = {"cg_iters": int(iters), "cg_resid": float(resid), "ncolors": ncolors}
+    info = {"cg_iters": iters_total, "cg_resid": resid_max,
+            "ncolors": ncolors, "nchunks": nchunks,
+            "nreps": int(is_rep.sum())}
     return (np.asarray(xb, np.float64)[:n_in], ak[:n_in],
             np.asarray(increment, np.float64)[:n_in], err[:n_in], info)
 
@@ -398,12 +495,18 @@ def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: floa
 
 def _oi_full_large(xa, y, sb, so, lat2d, lon2d, idx, length_scale_km: float,
                    regularization_on: bool, block: int = 1024,
-                   knee_subsample: int = 4096, seed: int = 0):
+                   knee_subsample: int = 4096, npatches: int = 3):
     """Beyond-HBM branch of :func:`oi_full`: matrix-free CG + colored
     probing.  The regularization knee — a *global* statistic of the mean-AK
-    curve — is picked on a random dense subsample of the domain (the curve
-    is a grid-mean, so a 4k-cell sample estimates it to ~1.5% — documented
-    approximation; the chosen factor then scales sigma_b exactly)."""
+    curve — is picked on dense *spatially-contiguous* patches (the
+    ``knee_subsample`` nearest cells around each of ``npatches`` spread
+    seed cells, curves averaged).  Contiguity matters: a random scatter
+    would thin B's off-diagonal density and systematically bias the
+    mean-AK curve (measured: curve[0] 0.94 -> 0.65 at 1/16 density);
+    a compact disk patch preserves the local density exactly up to its
+    perimeter, leaving only regional-inhomogeneity error, reduced by
+    averaging over the spread patches.  The chosen factor then scales
+    sigma_b exactly in the matrix-free solve."""
     n = idx.size
     npad = int(np.ceil(n / block)) * block
 
@@ -422,32 +525,56 @@ def _oi_full_large(xa, y, sb, so, lat2d, lon2d, idx, length_scale_km: float,
     valid[:n] = True
 
     if regularization_on:
+        from scipy.spatial import cKDTree
+
+        from oisat_tpu.ops.knee import kneedle_index_np
         from oisat_tpu.ops.oi import regularization_grid
 
-        rng = np.random.default_rng(seed)
-        sub = rng.choice(n, size=min(n, knee_subsample), replace=False)
-        m = sub.size
+        m = min(n, knee_subsample)
         mpad = int(np.ceil(m / LANES)) * LANES
+        if m >= n:
+            patches = [np.arange(n)]
+        else:
+            pts = _sphere_points(lat_v[:n], lon_v[:n])
+            tree = cKDTree(pts)
+            seeds = [int(q * (n - 1)) for q in
+                     np.linspace(0.15, 0.85, max(npatches, 1))]
+            patches = [np.asarray(tree.query(pts[s], k=m)[1]).ravel()
+                       for s in seeds]
 
-        def sub_take(v, fill):
+        def sub_take(v, fill, sub):
             out = np.full(mpad, fill)
-            out[:m] = v[sub]
+            out[:sub.size] = v[sub]
             return jnp.asarray(out, jnp.float32)
 
-        _, _, _, _, reg_index, _ = oi_full_dense_scan(
-            sub_take(xa_v, 0.0), sub_take(y_v, 0.0), sub_take(sb_v, 0.0),
-            sub_take(so_v, 1.0), sub_take(lat_v, 0.0), sub_take(lon_v, 0.0),
-            length_scale_km, regularization_grid().astype(np.float32))
+        regs = regularization_grid().astype(np.float32)
+        curves = []
+        for sub in patches:
+            _, _, _, _, _, curve = oi_full_dense_scan(
+                sub_take(xa_v, 0.0, sub), sub_take(y_v, 0.0, sub),
+                sub_take(sb_v, 0.0, sub), sub_take(so_v, 1.0, sub),
+                sub_take(lat_v, 0.0, sub), sub_take(lon_v, 0.0, sub),
+                length_scale_km, regs)
+            curves.append(np.asarray(curve, np.float64))
+        mean_curve = np.mean(curves, axis=0)
+        with np.errstate(invalid="ignore"):
+            reg_index = kneedle_index_np(regularization_grid(), mean_curve,
+                                         fallback=0)
         r = float(regularization_grid()[int(reg_index)])
         sb_v = sb_v * np.sqrt(r)  # r B == (sqrt(r) sigma_b) C (sqrt(r) sigma_b)
 
-    xb_v, ak_v, inc_v, err_v, _info = oi_full_matfree(
+    xb_v, ak_v, inc_v, err_v, info = oi_full_matfree(
         xa_v, y_v, sb_v, so_v, lat_v, lon_v, length_scale_km,
         block=block, valid=valid)
+    if info["cg_resid"] > 10.0 * 1e-6:
+        print(f"WARNING: oi_full matrix-free CG did not fully converge "
+              f"(residual {info['cg_resid']:.2e} after {info['cg_iters']} "
+              f"iterations); posterior fields are correspondingly approximate")
 
     def scatter(v):
         out = np.full(np.asarray(xa).size, np.nan)
         out[idx] = np.asarray(v)[:n]
         return out.reshape(np.shape(xa))
 
-    return OIFullResult(scatter(xb_v), scatter(ak_v), scatter(inc_v), scatter(err_v))
+    return OIFullResult(scatter(xb_v), scatter(ak_v), scatter(inc_v),
+                        scatter(err_v), info)

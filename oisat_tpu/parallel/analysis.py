@@ -50,6 +50,22 @@ class AnalysisOutputs(NamedTuple):
     scaling_factor: jax.Array
 
 
+def _resolve_curve_kwargs(mesh: Mesh, curve_impl: str, rows_per_tile: int,
+                          kwargs: dict) -> dict:
+    """Shared engine-selection policy for every sharded-step maker:
+    "auto" -> shard_map'd Pallas on the TPU backend, XLA lax.scan
+    elsewhere; explicit values force one engine."""
+    import jax as _jax
+
+    if curve_impl == "auto":
+        curve_impl = ("pallas_sharded" if _jax.default_backend() == "tpu"
+                      else "xla")
+    if curve_impl == "pallas_sharded":
+        kwargs = dict(kwargs,
+                      curve_fn=_sharded_pallas_curve(mesh, "grid", rows_per_tile))
+    return kwargs
+
+
 def _sharded_pallas_curve(mesh: Mesh, axis: str, rows_per_tile: int):
     """curve_fn hook for :func:`oisat_tpu.ops.oi.oi`: the fused Pallas
     mean-AK scan run per shard under ``shard_map`` with the (R, 2)
@@ -103,15 +119,7 @@ def make_analysis_step(mesh: Mesh, curve_impl: str = "auto",
     lax.scan elsewhere; "pallas_sharded" / "xla" force one engine
     (tests force pallas_sharded in interpret mode on the CPU mesh).
     """
-    import jax as _jax
-
-    if curve_impl == "auto":
-        curve_impl = ("pallas_sharded" if _jax.default_backend() == "tpu"
-                      else "xla")
-    if curve_impl == "pallas_sharded":
-        kwargs = dict(kwargs,
-                      curve_fn=_sharded_pallas_curve(mesh, "grid",
-                                                     curve_rows_per_tile))
+    kwargs = _resolve_curve_kwargs(mesh, curve_impl, curve_rows_per_tile, kwargs)
     in_spec = P("obs", "grid", None)
     field_spec = P("grid", None)
     in_sh = AnalysisInputs(*([NamedSharding(mesh, in_spec)] * 5))
@@ -186,15 +194,7 @@ def _make_month_step(step_fn, fields_cls, mesh: Mesh, curve_impl: str,
     on 'obs', grid rows on 'grid', levels replicated.  Input field rank
     decides the spec: (G, H, W) -> (obs, grid, None); (G, L, H, W) ->
     (obs, None, grid, None)."""
-    import jax as _jax
-
-    if curve_impl == "auto":
-        curve_impl = ("pallas_sharded" if _jax.default_backend() == "tpu"
-                      else "xla")
-    if curve_impl == "pallas_sharded":
-        kwargs = dict(kwargs,
-                      curve_fn=_sharded_pallas_curve(mesh, "grid",
-                                                     curve_rows_per_tile))
+    kwargs = _resolve_curve_kwargs(mesh, curve_impl, curve_rows_per_tile, kwargs)
     g3 = NamedSharding(mesh, P("obs", "grid", None))
     g4 = NamedSharding(mesh, P("obs", None, "grid", None))
     rank = fields_cls._field_ranks

@@ -31,12 +31,13 @@ def month_window(year: int, month: int):
 
 
 def run_month(ctrl, year: int, month: int):
-    if ctrl.get("parity"):
-        # explicit off-switch for the default-on native fast-swath weight
-        # builder: bit-match the reference's qhull/cKDTree regrid path
-        import os
+    # explicit off-switch for the default-on native fast-swath weight
+    # builder: bit-match the reference's qhull/cKDTree regrid path.  Set
+    # both ways so a parity month cannot leak into later months of a
+    # long-lived process.
+    import os
 
-        os.environ["OISAT_PARITY"] = "1"
+    os.environ["OISAT_PARITY"] = "1" if ctrl.get("parity") else "0"
     ctm_name = ctrl["ctm_name"]
     read_ak = "False" if ctm_name == "FREE" else ctrl["read_AK"]
     gas = ctrl["gas"]

@@ -224,8 +224,12 @@ def test_distance_coloring_separation():
     lat = rng.uniform(30, 50, 500)
     lon = rng.uniform(-30, 10, 500)
     sep = 500.0
-    colors = _distance_coloring(lat, lon, sep, max_colors=512)
-    # same-color points must be >= sep apart (chordal)
+    rep, colors = _distance_coloring(lat, lon, sep, cluster_radius_km=10.0)
+    # representatives cover everyone; members point at a representative
+    assert (rep >= 0).all()
+    assert (colors[rep] >= 0).all()
+    # same-color representatives must be >= sep apart (chordal) — the
+    # guarantee is never relaxed (no color capping)
     latr, lonr = np.deg2rad(lat), np.deg2rad(lon)
     pts = np.column_stack([np.cos(latr) * np.cos(lonr),
                            np.cos(latr) * np.sin(lonr), np.sin(latr)])
@@ -236,3 +240,38 @@ def test_distance_coloring_separation():
         d = np.linalg.norm(p[:, None, :] - p[None, :, :], axis=-1) * EARTH_RADIUS_KM
         np.fill_diagonal(d, np.inf)
         assert d.min() >= sep * 0.999
+    # members sit within the cluster radius of their representative
+    dmem = np.linalg.norm(pts - pts[rep], axis=-1) * EARTH_RADIUS_KM
+    assert dmem.max() <= 10.0 * 1.001
+
+
+def test_matfree_polar_crowding_no_negative_variance():
+    """Regression for the capped-coloring bug: on a high-latitude band of a
+    1-degree grid, thousands of cells crowd within the probe separation.
+    Uncapped chunked coloring + cluster representatives must keep the
+    posterior variance physical (0 <= Sb <= Bd, i.e. 0 <= AK <= 1) instead
+    of collapsing err to 0 / AK > 1."""
+    from oisat_tpu.ops.oi_full import oi_full_matfree
+
+    lat1 = np.arange(76.5, 90.0, 1.0)
+    lon1 = np.arange(-179.0, 180.0, 2.0)
+    lon, lat = np.meshgrid(lon1, lat1)
+    rng = np.random.default_rng(23)
+    shape = lat.shape
+    xa = np.abs(rng.normal(3, 1, shape))
+    y = xa * rng.uniform(0.8, 1.3, shape)
+    sigb = np.abs(rng.normal(1.0, 0.2, shape))
+    sigo = np.abs(rng.normal(0.6, 0.1, shape))
+    xb, ak, inc, err, info = oi_full_matfree(
+        xa.ravel(), y.ravel(), sigb.ravel(), sigo.ravel(),
+        lat.ravel(), lon.ravel(), 300.0, block=512, cg_maxiter=300)
+    assert info["nreps"] < lat.size  # clusters actually formed at the pole
+    assert np.isfinite(xb).all()
+    # physical posterior: quad never exceeds the prior variance by more
+    # than the documented probe/cluster error bounds
+    assert (ak > -0.05).all() and (ak < 1.05).all()
+    assert (err >= 0).all()
+    # and the posterior error must be strictly informative where obs are
+    # much tighter than the prior
+    tight = (sigo < 0.5 * sigb.ravel().reshape(shape)).ravel()
+    assert (err[tight] < sigb.ravel()[tight]).mean() > 0.9
