@@ -212,17 +212,19 @@ def bench_regrid(fast: bool, orbits=8):
 
     from oisat_tpu.regridder import regrid_granule
 
-    regrid_granule(1, 0.1, _synthetic_orbit(0), clon2, clat2,
+    # 0.25 deg: the OMI NO2 recipe this orbit mimics (reference
+    # reader.py:899-901); the fine grid is ~19k targets
+    regrid_granule(1, 0.25, _synthetic_orbit(0), clon2, clat2,
                    flag_thresh=0.0, fast_swath=fast)  # compile + warm caches
     t0 = time.perf_counter()
     for s in range(orbits):
-        out = regrid_granule(1, 0.1, _synthetic_orbit(s + 1), clon2, clat2,
+        out = regrid_granule(1, 0.25, _synthetic_orbit(s + 1), clon2, clat2,
                              flag_thresh=0.0, fast_swath=fast)
     t = (time.perf_counter() - t0) / orbits
     assert out is not None
     _emit(f"regrid_orbit_{'fast' if fast else 'parity'}", round(t * 1e3, 1),
           "ms/orbit", None,
-          {"fields": 74, "swath": [1644, 60], "grid_deg": 0.1, "orbits": orbits})
+          {"fields": 74, "swath": [1644, 60], "grid_deg": 0.25, "orbits": orbits})
     return t
 
 
@@ -273,7 +275,7 @@ def bench_month(orbits=60):
         grans = []
         for s in range(orbits):
             g = _synthetic_orbit(s, ny=822, nx=60)  # half orbits: 30-day month pace
-            g = regrid_granule(1, 0.1, g, clon2, clat2, flag_thresh=0.0)
+            g = regrid_granule(1, 0.25, g, clon2, clat2, flag_thresh=0.0)
             if g is not None:
                 g.time = datetime.datetime(2019, 7, 1 + (s % 28), 12)
                 grans.append(g)

@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from oisat_tpu.ops.kernels.covariance import EARTH_RADIUS_KM, build_covariance
 
 __all__ = ["OIFullResult", "oi_full", "oi_full_dense", "oi_full_dense_scan",
-           "oi_full_matfree"]
+           "oi_full_matfree", "mean_ak_curve_slq"]
 
 LANES = 128
 DENSE_MAX_CELLS = 10_240  # beyond this the dense NxN path exhausts HBM;
@@ -226,6 +226,112 @@ def _cg_solve_multi(u3, sigma_b, sigma_o2, rhs, length_scale_km: float,
     k, x, r, _, _ = jax.lax.while_loop(cond, step, (0, x0, rhs, z0, z0))
     resid = jnp.sqrt(jnp.max(jnp.sum(r * r, axis=0) / jnp.maximum(bnorm2, 1e-30)))
     return x, k, resid
+
+
+@partial(jax.jit, static_argnames=("length_scale_km", "block", "m"))
+def _lanczos_tridiag_batch(u3, sigma_b, sigma_o, q0, length_scale_km: float,
+                           block: int, m: int):
+    """Batched m-step Lanczos tridiagonalization of the whitened covariance
+    C = D_o^-1 B D_o^-1, one independent recurrence per column of ``q0``,
+    all columns sharing each covariance-tile sweep (one B mat-mat per
+    iteration regardless of the column count).  Returns (alpha (m, K),
+    beta (m, K), norms (K,)) — the Jacobi matrices for stochastic Lanczos
+    quadrature.  Orthogonality drift is accepted: Gauss-quadrature values
+    of smooth resolvents f(l) = 1/(r l + 1) converge regardless (standard
+    SLQ behaviour)."""
+    oin = 1.0 / sigma_o
+
+    def cmat(v):
+        return oin[:, None] * _b_matmat(u3, sigma_b, oin[:, None] * v,
+                                        length_scale_km, block)
+
+    norms = jnp.sqrt(jnp.sum(q0 * q0, axis=0))
+    safe = jnp.where(norms > 0, norms, 1.0)
+    q = q0 / safe
+
+    def step(carry, _):
+        q_prev, q_cur, beta_prev = carry
+        w = cmat(q_cur) - beta_prev[None, :] * q_prev
+        alpha = jnp.sum(q_cur * w, axis=0)
+        w = w - alpha[None, :] * q_cur
+        beta = jnp.sqrt(jnp.sum(w * w, axis=0))
+        q_next = w / jnp.where(beta > 0, beta, 1.0)[None, :]
+        return (q_cur, q_next, beta), (alpha, beta)
+
+    init = (jnp.zeros_like(q), q, jnp.zeros(q.shape[1], q.dtype))
+    _, (alphas, betas) = jax.lax.scan(step, init, None, length=m)
+    return alphas, betas, norms
+
+
+def mean_ak_curve_slq(u3_or_latlon, sigma_b, sigma_o, regs,
+                      length_scale_km: float, block: int = 1024,
+                      n_probes: int = 8, m: int = 60, seed: int = 0,
+                      valid=None):
+    """Full-domain mean-AK-vs-regularization curve for the matrix-free OI,
+    by stochastic Lanczos quadrature (SLQ).
+
+    The scalar reference's curve generalizes to
+    ``meanAK(r) = (r / Nv) tr(D_bd^-1 B A_r^-1 B)`` with ``A_r = r B + R``
+    (the diagonal of ``r B A_r^-1 B`` over ``r diag(B)``).  Whitening by
+    ``D_o`` makes every factor a resolvent of ONE matrix,
+    ``(r C + I)^-1`` with ``C = D_o^-1 B D_o^-1``, so a single batched
+    Lanczos run prices all 99 factors: per Rademacher probe z the bilinear
+    form ``a^T (rC+I)^-1 b`` (a, b = whitened B-weighted probes) is split
+    by polarization into two Gauss quadratures whose Jacobi matrices come
+    from the shared recurrence; evaluating a factor is then a tiny m x m
+    tridiagonal eigenproblem on host.  Cost: (m + 1) covariance sweeps
+    total — cheaper than the CG solve itself — vs 99 dense factorizations.
+    Trace-estimator noise ~ 1/sqrt(n_probes * N_eff): well under 1% for
+    grids this size.
+    """
+    if isinstance(u3_or_latlon, tuple):
+        u3 = _unit_vectors(*u3_or_latlon)
+    else:
+        u3 = u3_or_latlon
+    n = u3.shape[0]
+    sigma_b = jnp.asarray(sigma_b, jnp.float32)
+    sigma_o = jnp.asarray(sigma_o, jnp.float32)
+    bd = np.asarray(sigma_b, np.float64) ** 2
+    if valid is None:
+        valid = bd > 0
+    valid = np.asarray(valid, bool) & (bd > 0)
+    nv = max(int(valid.sum()), 1)
+
+    rng = np.random.default_rng(seed)
+    z = rng.choice([-1.0, 1.0], size=(n, n_probes)).astype(np.float32)
+    z[~valid] = 0.0
+    zd = z / np.where(valid, bd, 1.0)[:, None]  # D_bd^-1 z
+    both = jnp.asarray(np.concatenate([zd, z], axis=1), jnp.float32)
+    bz = _b_matmat(u3, sigma_b, both, float(length_scale_km), block)
+    a = np.asarray(bz[:, :n_probes], np.float64)  # B D_bd^-1 z
+    b = np.asarray(bz[:, n_probes:], np.float64)  # B z
+    oin = 1.0 / np.asarray(sigma_o, np.float64)
+    qp = (a + b) * oin[:, None]
+    qm = (a - b) * oin[:, None]
+    q0 = jnp.asarray(np.concatenate([qp, qm], axis=1), jnp.float32)
+
+    alphas, betas, norms = _lanczos_tridiag_batch(
+        u3, sigma_b, sigma_o, q0, float(length_scale_km), block, m)
+    alphas = np.asarray(alphas, np.float64)  # (m, 2K)
+    betas = np.asarray(betas, np.float64)
+    norms = np.asarray(norms, np.float64)
+
+    regs = np.asarray(regs, np.float64)
+    curve = np.zeros(regs.shape[0])
+    for j in range(alphas.shape[1]):
+        # Gauss quadrature: ||q||^2 * sum_i w_i^2 / (r theta_i + 1)
+        try:
+            theta, vecs = __import__("scipy.linalg", fromlist=["eigh_tridiagonal"]) \
+                .eigh_tridiagonal(alphas[:, j], betas[:-1, j])
+        except Exception:
+            t = np.diag(alphas[:, j]) + np.diag(betas[:-1, j], 1) + np.diag(betas[:-1, j], -1)
+            theta, vecs = np.linalg.eigh(t)
+        w2 = vecs[0, :] ** 2 * norms[j] ** 2
+        g = (w2[None, :] / (regs[:, None] * np.maximum(theta, 0.0)[None, :] + 1.0)).sum(axis=1)
+        sign = 1.0 if j < n_probes else -1.0
+        curve += sign * 0.25 * g
+    curve /= n_probes
+    return regs * curve / nv
 
 
 def _sphere_points(lat, lon):
@@ -495,18 +601,14 @@ def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: floa
 
 def _oi_full_large(xa, y, sb, so, lat2d, lon2d, idx, length_scale_km: float,
                    regularization_on: bool, block: int = 1024,
-                   knee_subsample: int = 4096, npatches: int = 3):
+                   slq_probes: int = 8, slq_m: int = 60):
     """Beyond-HBM branch of :func:`oi_full`: matrix-free CG + colored
-    probing.  The regularization knee — a *global* statistic of the mean-AK
-    curve — is picked on dense *spatially-contiguous* patches (the
-    ``knee_subsample`` nearest cells around each of ``npatches`` spread
-    seed cells, curves averaged).  Contiguity matters: a random scatter
-    would thin B's off-diagonal density and systematically bias the
-    mean-AK curve (measured: curve[0] 0.94 -> 0.65 at 1/16 density);
-    a compact disk patch preserves the local density exactly up to its
-    perimeter, leaving only regional-inhomogeneity error, reduced by
-    averaging over the spread patches.  The chosen factor then scales
-    sigma_b exactly in the matrix-free solve."""
+    probing.  The regularization knee comes from the *full-domain* mean-AK
+    curve computed by stochastic Lanczos quadrature
+    (:func:`mean_ak_curve_slq`) — no dense subsampling, which would thin
+    B's off-diagonal density and systematically bias the curve (measured:
+    curve[0] 0.94 -> 0.65 at 1/16 random-scatter density).  The chosen
+    factor then scales sigma_b exactly in the matrix-free solve."""
     n = idx.size
     npad = int(np.ceil(n / block)) * block
 
@@ -525,40 +627,15 @@ def _oi_full_large(xa, y, sb, so, lat2d, lon2d, idx, length_scale_km: float,
     valid[:n] = True
 
     if regularization_on:
-        from scipy.spatial import cKDTree
-
         from oisat_tpu.ops.knee import kneedle_index_np
         from oisat_tpu.ops.oi import regularization_grid
 
-        m = min(n, knee_subsample)
-        mpad = int(np.ceil(m / LANES)) * LANES
-        if m >= n:
-            patches = [np.arange(n)]
-        else:
-            pts = _sphere_points(lat_v[:n], lon_v[:n])
-            tree = cKDTree(pts)
-            seeds = [int(q * (n - 1)) for q in
-                     np.linspace(0.15, 0.85, max(npatches, 1))]
-            patches = [np.asarray(tree.query(pts[s], k=m)[1]).ravel()
-                       for s in seeds]
-
-        def sub_take(v, fill, sub):
-            out = np.full(mpad, fill)
-            out[:sub.size] = v[sub]
-            return jnp.asarray(out, jnp.float32)
-
-        regs = regularization_grid().astype(np.float32)
-        curves = []
-        for sub in patches:
-            _, _, _, _, _, curve = oi_full_dense_scan(
-                sub_take(xa_v, 0.0, sub), sub_take(y_v, 0.0, sub),
-                sub_take(sb_v, 0.0, sub), sub_take(so_v, 1.0, sub),
-                sub_take(lat_v, 0.0, sub), sub_take(lon_v, 0.0, sub),
-                length_scale_km, regs)
-            curves.append(np.asarray(curve, np.float64))
-        mean_curve = np.mean(curves, axis=0)
+        curve = mean_ak_curve_slq((lat_v, lon_v), sb_v, so_v,
+                                  regularization_grid(), length_scale_km,
+                                  block=block, n_probes=slq_probes, m=slq_m,
+                                  valid=valid)
         with np.errstate(invalid="ignore"):
-            reg_index = kneedle_index_np(regularization_grid(), mean_curve,
+            reg_index = kneedle_index_np(regularization_grid(), curve,
                                          fallback=0)
         r = float(regularization_grid()[int(reg_index)])
         sb_v = sb_v * np.sqrt(r)  # r B == (sqrt(r) sigma_b) C (sqrt(r) sigma_b)
