@@ -89,3 +89,22 @@ def test_create_oh_fields(tmp_path):
     oh = read_nc(out[0], "OH")
     expect = 1e-12 * 6.02214076e23 * 500.0 / 8.314e4 / 250.0
     np.testing.assert_allclose(oh, expect, rtol=1e-12)
+
+
+def test_readjust_oi_desroziers(tmp_path):
+    """--desroziers N re-estimates So/Sa during the resume-from-diag OI
+    (extension over the reference tool)."""
+    d = tmp_path / "diag"
+    d.mkdir()
+    make_diag(d / "NO2_201907.nc", seed=3)
+    mod = _load("readjust_OI")
+    out0 = mod.readjust(d, tmp_path / "out0", error_ctm=200.0)
+    out1 = mod.readjust(d, tmp_path / "out1", error_ctm=200.0,
+                        desroziers_iterations=3)
+    f0, _ = read_diag_nc(out0[0])
+    f1, _ = read_diag_nc(out1[0])
+    assert np.isfinite(f1["ctm_averaged_vcd_posterior"]).any()
+    # the rescaled variances change the analysis (error field especially:
+    # the wildly inflated 200% prior error is re-estimated down)
+    assert not np.allclose(f1["error_OI"], f0["error_OI"], equal_nan=True)
+    assert np.nanmean(f1["error_OI"]) < np.nanmean(f0["error_OI"])

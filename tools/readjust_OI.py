@@ -8,6 +8,7 @@ broken (missing comma, readjust_OI.py:45-46) and it reads ``old_amf``/
 ``aux1``/``aux2``) — we read the aux pair and pass it through.
 
 Usage: python readjust_OI.py <diag_folder> <out_folder> [error_ctm_percent]
+       [--desroziers N]   (N passes of So/Sa re-estimation, extension)
 """
 
 import glob
@@ -25,7 +26,7 @@ from oisat_tpu.ncwriter import read_diag_nc, write_diag_nc  # noqa: E402
 from oisat_tpu.ops.oi import oi  # noqa: E402
 
 
-def readjust(diag_folder, out_folder, error_ctm=50.0):
+def readjust(diag_folder, out_folder, error_ctm=50.0, desroziers_iterations=0):
     os.makedirs(out_folder, exist_ok=True)
     outputs = []
     for fname in sorted(glob.glob(os.path.join(str(diag_folder), "*.nc"))):
@@ -36,6 +37,14 @@ def readjust(diag_folder, out_folder, error_ctm=50.0):
         so = np.asarray(fields["sat_averaged_error"], np.float64) ** 2
         sa = (xa * error_ctm / 100.0) ** 2
         res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so))
+        for _ in range(int(desroziers_iterations)):
+            from oisat_tpu.ops.diagnostics import desroziers_estimates
+
+            est = desroziers_estimates(xa, y, np.asarray(res.xb), sa, so)
+            sa = sa * float(est.sa_scale)
+            so = so * float(est.so_scale)
+            res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa),
+                     jnp.asarray(so))
         xb = np.asarray(res.xb)
         with np.errstate(invalid="ignore", divide="ignore"):
             sf = xb / xa
@@ -54,5 +63,11 @@ def readjust(diag_folder, out_folder, error_ctm=50.0):
 
 
 if __name__ == "__main__":
-    err = float(sys.argv[3]) if len(sys.argv) > 3 else 50.0
-    readjust(sys.argv[1], sys.argv[2], err)
+    args = list(sys.argv[1:])
+    des = 0
+    if "--desroziers" in args:
+        i = args.index("--desroziers")
+        des = int(args[i + 1])
+        del args[i:i + 2]
+    err = float(args[2]) if len(args) > 2 else 50.0
+    readjust(args[0], args[1], err, desroziers_iterations=des)
