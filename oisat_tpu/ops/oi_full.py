@@ -202,14 +202,19 @@ def _cg_solve_multi(u3, sigma_b, sigma_o2, rhs, length_scale_km: float,
     minv = (1.0 / (sigma_b**2 + sigma_o2))[:, None]
     bnorm2 = jnp.sum(rhs * rhs, axis=0)  # (K,)
     tol2 = tol * tol * jnp.maximum(bnorm2, 1e-30)
+    STALL = 50  # iterations without a 10% residual improvement -> frozen:
+    # f32 matvec roundoff puts a floor under the attainable residual that
+    # grows with N; grinding past it wastes covariance sweeps.
 
     def cond(state):
-        k, _, r, _, _ = state
-        return (k < maxiter) & jnp.any(jnp.sum(r * r, axis=0) > tol2)
+        k, _, r, _, _, _, stall = state
+        alive = (jnp.sum(r * r, axis=0) > tol2) & (stall < STALL)
+        return (k < maxiter) & jnp.any(alive)
 
     def step(state):
-        k, x, r, z, p = state
-        live = (jnp.sum(r * r, axis=0) > tol2)[None, :]
+        k, x, r, z, p, best, stall = state
+        r2n = jnp.sum(r * r, axis=0)
+        live = ((r2n > tol2) & (stall < STALL))[None, :]
         ap = amat(p)
         rz = jnp.sum(r * z, axis=0)
         den = jnp.sum(p * ap, axis=0)
@@ -219,11 +224,16 @@ def _cg_solve_multi(u3, sigma_b, sigma_o2, rhs, length_scale_km: float,
         z2 = minv * r2
         beta = jnp.where(rz > 0, jnp.sum(r2 * z2, axis=0) / jnp.where(rz > 0, rz, 1.0), 0.0)
         p2 = z2 + beta[None, :] * p
-        return k + 1, x, r2, z2, p2
+        r2n_new = jnp.sum(r2 * r2, axis=0)
+        improved = r2n_new < 0.81 * best  # 10% norm improvement (squared)
+        best = jnp.minimum(best, r2n_new)
+        stall = jnp.where(improved, 0, stall + 1)
+        return k + 1, x, r2, z2, p2, best, stall
 
     x0 = jnp.zeros_like(rhs)
     z0 = minv * rhs
-    k, x, r, _, _ = jax.lax.while_loop(cond, step, (0, x0, rhs, z0, z0))
+    init = (0, x0, rhs, z0, z0, bnorm2, jnp.zeros_like(bnorm2, dtype=jnp.int32))
+    k, x, r, *_ = jax.lax.while_loop(cond, step, init)
     resid = jnp.sqrt(jnp.max(jnp.sum(r * r, axis=0) / jnp.maximum(bnorm2, 1e-30)))
     return x, k, resid
 
@@ -643,7 +653,7 @@ def _oi_full_large(xa, y, sb, so, lat2d, lon2d, idx, length_scale_km: float,
     xb_v, ak_v, inc_v, err_v, info = oi_full_matfree(
         xa_v, y_v, sb_v, so_v, lat_v, lon_v, length_scale_km,
         block=block, valid=valid)
-    if info["cg_resid"] > 10.0 * 1e-6:
+    if info["cg_resid"] > 1e-4:  # ~1e-5..1e-4 is the practical f32 range
         print(f"WARNING: oi_full matrix-free CG did not fully converge "
               f"(residual {info['cg_resid']:.2e} after {info['cg_iters']} "
               f"iterations); posterior fields are correspondingly approximate")
