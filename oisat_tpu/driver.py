@@ -142,14 +142,33 @@ class oisatgmi:
 
             idx = self._first_valid()
             sat = self.reader_obj.sat_data[idx]
-            res = oi_full(xa, y, np.asarray(xa) * error_ctm / 100.0,
-                          self.sat_averaged_error, sat.latitude_center,
+            sigma_b = np.asarray(xa) * error_ctm / 100.0
+            sigma_o = np.asarray(self.sat_averaged_error)
+            res = oi_full(xa, y, sigma_b, sigma_o, sat.latitude_center,
                           sat.longitude_center, length_scale_km,
                           regularization_on=True)
+            for _ in range(int(desroziers_iterations)):
+                # Desroziers moments are gain-agnostic: rescale the error
+                # std-devs and re-solve with the full covariance
+                from oisat_tpu.ops.diagnostics import desroziers_estimates
+
+                est = desroziers_estimates(
+                    jnp.asarray(np.asarray(xa, np.float64)),
+                    jnp.asarray(np.asarray(y, np.float64)),
+                    jnp.asarray(np.asarray(res.xb, np.float64)),
+                    jnp.asarray(sigma_b.astype(np.float64) ** 2),
+                    jnp.asarray(sigma_o.astype(np.float64) ** 2))
+                sigma_b = sigma_b * np.sqrt(float(est.sa_scale))
+                sigma_o = sigma_o * np.sqrt(float(est.so_scale))
+                res = oi_full(xa, y, sigma_b, sigma_o, sat.latitude_center,
+                              sat.longitude_center, length_scale_km,
+                              regularization_on=True)
             self.ctm_averaged_vcd_corrected = res.xb
             self.ak_OI = res.averaging_kernel
             self.increment_OI = res.increment
             self.error_OI = res.error
+            if res.info:
+                self.oi_diagnostics = dict(res.info)
             return
         sa = (np.asarray(xa) * error_ctm / 100.0) ** 2
         so = np.asarray(self.sat_averaged_error) ** 2

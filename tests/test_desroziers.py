@@ -147,3 +147,28 @@ def test_averaging_weighting_modes(tmp_path):
     ro2 = SimpleNamespace(sat_data=[opt_granule(2.0, 0.9), opt_granule(4.0, 0.1)])
     vcd, *_ = averaging("2019-07-01", "2019-08-01", ro2, weighting="ak")
     np.testing.assert_allclose(vcd, (2.0 * 0.9 + 4.0 * 0.1) / 1.0, rtol=1e-6)
+
+
+def test_driver_desroziers_full_covariance():
+    """desroziers_iterations also applies to method='full' (the
+    distance-decay covariance solve is re-run with rescaled error stds)."""
+    from types import SimpleNamespace
+
+    xa, y, sa, so = _misspecified_analysis(H=12, W=16, seed=11)
+    lon, lat = np.meshgrid(np.linspace(-10, 10, 16), np.linspace(30, 41, 12))
+    obj = oisatgmi()
+    obj.ctm_averaged_vcd = xa
+    obj.sat_averaged_vcd = y
+    obj.sat_averaged_error = np.sqrt(so)
+    obj.aux1 = obj.aux2 = np.full_like(xa, np.nan)
+    g = SimpleNamespace(latitude_center=lat, longitude_center=lon)
+    obj.reader_obj = SimpleNamespace(sat_data=[g])
+    e = 100.0 * np.sqrt(np.mean(sa)) / np.mean(xa)
+    obj.oi("OMI", error_ctm=e, method="full", length_scale_km=150.0)
+    err_plain = np.nanmean(obj.error_OI)
+    obj.oi("OMI", error_ctm=e, method="full", length_scale_km=150.0,
+           desroziers_iterations=2)
+    err_tuned = np.nanmean(obj.error_OI)
+    assert np.isfinite(obj.ctm_averaged_vcd_corrected).all()
+    # re-estimation deflates the (4x inflated) prescribed errors
+    assert err_tuned < err_plain
