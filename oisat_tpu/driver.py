@@ -147,6 +147,12 @@ class oisatgmi:
             res = oi_full(xa, y, sigma_b, sigma_o, sat.latitude_center,
                           sat.longitude_center, length_scale_km,
                           regularization_on=True)
+            sa_scale_total, so_scale_total = 1.0, 1.0
+            # moments must see the innovation the solver assimilated:
+            # oi_full clips negative observations to 0 (reference
+            # optimal_interpolation.py:14)
+            y_clip = np.where(np.asarray(y, np.float64) < 0, 0.0,
+                              np.asarray(y, np.float64))
             for _ in range(int(desroziers_iterations)):
                 # Desroziers moments are gain-agnostic: rescale the error
                 # std-devs and re-solve with the full covariance
@@ -154,12 +160,14 @@ class oisatgmi:
 
                 est = desroziers_estimates(
                     jnp.asarray(np.asarray(xa, np.float64)),
-                    jnp.asarray(np.asarray(y, np.float64)),
+                    jnp.asarray(y_clip),
                     jnp.asarray(np.asarray(res.xb, np.float64)),
                     jnp.asarray(sigma_b.astype(np.float64) ** 2),
                     jnp.asarray(sigma_o.astype(np.float64) ** 2))
                 sigma_b = sigma_b * np.sqrt(float(est.sa_scale))
                 sigma_o = sigma_o * np.sqrt(float(est.so_scale))
+                sa_scale_total *= float(est.sa_scale)
+                so_scale_total *= float(est.so_scale)
                 res = oi_full(xa, y, sigma_b, sigma_o, sat.latitude_center,
                               sat.longitude_center, length_scale_km,
                               regularization_on=True)
@@ -167,8 +175,14 @@ class oisatgmi:
             self.ak_OI = res.averaging_kernel
             self.increment_OI = res.increment
             self.error_OI = res.error
-            if res.info:
-                self.oi_diagnostics = dict(res.info)
+            # always (re)write diagnostics: a stale dict from a previous
+            # run on this object must not leak into the diag file
+            self.oi_diagnostics = dict(res.info or {})
+            if desroziers_iterations:
+                self.oi_diagnostics.update({
+                    "desroziers_sa_scale": sa_scale_total,
+                    "desroziers_so_scale": so_scale_total,
+                    "desroziers_iterations": int(desroziers_iterations)})
             return
         sa = (np.asarray(xa) * error_ctm / 100.0) ** 2
         so = np.asarray(self.sat_averaged_error) ** 2
@@ -179,8 +193,12 @@ class oisatgmi:
             from oisat_tpu.ops.diagnostics import desroziers_estimates
 
             sa_scale_total, so_scale_total = 1.0, 1.0
+            # moments must see the innovation the solver assimilated (the
+            # OI clips negative observations to 0)
+            y_clip = np.where(np.asarray(y, np.float64) < 0, 0.0,
+                              np.asarray(y, np.float64))
             for _ in range(int(desroziers_iterations)):
-                est = desroziers_estimates(jnp.asarray(xa), jnp.asarray(y),
+                est = desroziers_estimates(jnp.asarray(xa), jnp.asarray(y_clip),
                                            res.xb, jnp.asarray(sa), jnp.asarray(so))
                 sa = sa * float(est.sa_scale)
                 so = so * float(est.so_scale)

@@ -97,11 +97,15 @@ def _daily_ctm_slice(ctm_data, day):
 
 
 def _geom_key(lon2d, lat2d):
-    """Content-based geometry key (an id() key could collide after GC)."""
-    lon2d = np.asarray(lon2d)
-    lat2d = np.asarray(lat2d)
+    """Content-based geometry key (an id() key could collide after GC);
+    includes coordinate sums so same-bounds grids with different interior
+    spacing cannot collide."""
+    lon2d = np.asarray(lon2d, np.float64)
+    lat2d = np.asarray(lat2d, np.float64)
     return (lon2d.shape, float(lon2d[0, 0]), float(lon2d[-1, -1]),
-            float(lat2d[0, 0]), float(lat2d[-1, -1]))
+            float(lat2d[0, 0]), float(lat2d[-1, -1]),
+            float(lon2d.sum()), float(lat2d.sum()),
+            float(np.abs(lon2d).sum()), float(np.abs(lat2d).sum()))
 
 
 _UPSCALER_CACHE_MAX = 32  # regular-grid sensors key-collapse to ~1 entry;

@@ -103,14 +103,13 @@ def _granule_weights(sel, weighting: str):
     if weighting == "inverse_variance":
         stack = np.stack([np.asarray(g.uncertainty, np.float64) for g in sel])
         err2 = stack**2
-        # sigma = 0 (fill values / "perfect" obs) must not become w = inf
-        # and get NaN-dropped by the weighted mean: floor at the smallest
-        # positive variance present, i.e. such cells weigh like the most
-        # certain real observation.
-        pos = err2[np.isfinite(err2) & (err2 > 0)]
-        floor = pos.min() if pos.size else 1.0
-        with np.errstate(invalid="ignore"):
-            return 1.0 / np.maximum(err2, floor)
+        # sigma <= 0 means the retrieval error is unavailable (L2 fill
+        # values): such cells CANNOT be inverse-variance weighted, so they
+        # are deliberately excluded from the weighted mean (NaN weight).
+        # The default unweighted mode still includes them, as the
+        # reference does.
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(err2 > 0, 1.0 / err2, np.nan)
     if weighting == "ak":
         if not all(isinstance(g, satellite_opt) for g in sel):
             raise ValueError("weighting='ak' needs averaging-kernel granules "

@@ -83,10 +83,15 @@ class Upscaler:
 
 
 def _geom_key(lon2d, lat2d):
-    lon2d = np.asarray(lon2d)
-    lat2d = np.asarray(lat2d)
+    """Content-derived cache key: shape, corners, AND coordinate sums —
+    corners alone would collide for grids with the same bounds but
+    different interior spacing (e.g. stretched vs uniform)."""
+    lon2d = np.asarray(lon2d, np.float64)
+    lat2d = np.asarray(lat2d, np.float64)
     return (lon2d.shape, float(lon2d.flat[0]), float(lon2d.flat[-1]),
-            float(lat2d.flat[0]), float(lat2d.flat[-1]))
+            float(lat2d.flat[0]), float(lat2d.flat[-1]),
+            float(lon2d.sum()), float(lat2d.sum()),
+            float(np.abs(lon2d).sum()), float(np.abs(lat2d).sum()))
 
 
 _UPSCALER_CACHE_MAX = 16

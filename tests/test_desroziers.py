@@ -172,3 +172,18 @@ def test_driver_desroziers_full_covariance():
     assert np.isfinite(obj.ctm_averaged_vcd_corrected).all()
     # re-estimation deflates the (4x inflated) prescribed errors
     assert err_tuned < err_plain
+
+
+def test_inverse_variance_excludes_zero_uncertainty():
+    """sigma = 0 (fill / unavailable retrieval error) cannot be
+    inverse-variance weighted: such cells are excluded from the weighted
+    mean (the unweighted parity mode still includes them)."""
+    v = np.stack([np.full((3, 3), 2.0), np.full((3, 3), 10.0)])
+    e = np.stack([np.full((3, 3), 1.0), np.zeros((3, 3))])  # granule 2: fill
+    from oisat_tpu.ops.averaging import _granule_weights
+    from types import SimpleNamespace
+
+    sel = [SimpleNamespace(uncertainty=e[0]), SimpleNamespace(uncertainty=e[1])]
+    w = _granule_weights(sel, "inverse_variance")
+    got = monthly_stats_weighted(*map(jnp.asarray, (v, e, v, v, v, w)))
+    np.testing.assert_allclose(np.asarray(got.sat_vcd), 2.0)  # granule 2 out

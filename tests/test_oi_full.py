@@ -296,9 +296,10 @@ def test_slq_curve_matches_dense_scan():
     regs = regularization_grid().astype(np.float32)
     *_, reg_index, curve = oi_full_dense_scan(f(xa), f(y), f(sigb), f(sigo),
                                               f(lat), f(lon), 300.0, regs)
+    # block=192 does not divide 256 cells: exercises the self-padding
     c_slq = mean_ak_curve_slq((lat.ravel(), lon.ravel()), sigb.ravel(),
                               sigo.ravel(), regularization_grid(), 300.0,
-                              block=256, n_probes=64, m=40, seed=1)
+                              block=192, n_probes=64, m=40, seed=1)
     cd = np.asarray(curve, np.float64)
     # trace-estimator noise ~1/sqrt(K*N_eff): ~2% here (K=64, 256 cells);
     # at production sizes (64k cells) the same K is ~16x tighter

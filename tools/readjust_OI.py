@@ -37,10 +37,11 @@ def readjust(diag_folder, out_folder, error_ctm=50.0, desroziers_iterations=0):
         so = np.asarray(fields["sat_averaged_error"], np.float64) ** 2
         sa = (xa * error_ctm / 100.0) ** 2
         res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so))
+        y_clip = np.where(y < 0, 0.0, y)  # the innovation the OI assimilated
         for _ in range(int(desroziers_iterations)):
             from oisat_tpu.ops.diagnostics import desroziers_estimates
 
-            est = desroziers_estimates(xa, y, np.asarray(res.xb), sa, so)
+            est = desroziers_estimates(xa, y_clip, np.asarray(res.xb), sa, so)
             sa = sa * float(est.sa_scale)
             so = so * float(est.so_scale)
             res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa),
@@ -63,11 +64,20 @@ def readjust(diag_folder, out_folder, error_ctm=50.0, desroziers_iterations=0):
 
 
 if __name__ == "__main__":
-    args = list(sys.argv[1:])
+    args = []
     des = 0
-    if "--desroziers" in args:
-        i = args.index("--desroziers")
-        des = int(args[i + 1])
-        del args[i:i + 2]
+    it = iter(sys.argv[1:])
+    for a in it:
+        if a == "--desroziers":
+            nxt = next(it, None)
+            if nxt is None:
+                sys.exit("--desroziers needs a value (number of passes)")
+            des = int(nxt)
+        elif a.startswith("--desroziers="):
+            des = int(a.split("=", 1)[1])
+        else:
+            args.append(a)
+    if len(args) < 2:
+        sys.exit(__doc__)
     err = float(args[2]) if len(args) > 2 else 50.0
     readjust(args[0], args[1], err, desroziers_iterations=des)
