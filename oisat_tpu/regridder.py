@@ -164,12 +164,17 @@ def _stack(fields):
 
 
 @partial(jax.jit, static_argnames=("fine_shape", "ky", "kx", "passthrough"))
-def _regrid_device(batch, err, idx, w, mask, up_idx, up_w, up_mask,
+def _regrid_device(batch, batch_lv, err, idx, w, mask, up_idx, up_w, up_mask,
                    fine_shape, ky: int, kx: int, passthrough: bool):
     """The whole per-granule device pipeline as ONE program: interp to the
     fine grid (value batch + error-variance field), box filter, map onto
     the CTM grid.  One remote dispatch per granule instead of ~6 (dispatch
-    latency through the device tunnel dominates per-op execution)."""
+    latency through the device tunnel dominates per-op execution).
+
+    ``batch_lv`` carries the per-level 3-D field stacks, possibly in a
+    narrower transfer dtype (see ``_regrid_fused``); it is upcast to the
+    compute dtype here and concatenated with the 2-D field batch."""
+    batch = jnp.concatenate([batch, batch_lv.astype(batch.dtype)], axis=0)
     fine = apply_plan_arrays(batch, idx, w, mask).reshape(batch.shape[:-1] + fine_shape)
     fine_err = apply_plan_arrays(err, idx, w, mask).reshape(err.shape[:-1] + fine_shape)
     if passthrough:
@@ -181,23 +186,36 @@ def _regrid_device(batch, err, idx, w, mask, up_idx, up_w, up_mask,
     return out, out_err
 
 
-def _regrid_fused(plan, upsc, batch, err_batch, dtype):
-    """Host wrapper: bucket-pad, run the fused program, return numpy."""
+def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None):
+    """Host wrapper: bucket-pad, run the fused program, return numpy.
+
+    ``batch_lv``: the per-level (3-D field) rows.  In float32 production
+    mode they are transferred as float16 — the reference *stores* these
+    very fields (scattering weights, pressures, profiles) in float16
+    (reference reader.py:486-506, SURVEY.md §2 precision note), so an
+    f16 transfer + f32 device compute strictly dominates its fidelity
+    while halving the dominant host->device traffic.  Full-precision
+    (float64 / parity and test) runs transfer everything at the compute
+    dtype."""
+    if batch_lv is None:
+        batch_lv = np.zeros((0, batch.shape[-1]))
     n = batch.shape[-1]
     b = pad_to_bucket(n)
     if b != n:
-        batch = np.pad(batch, [(0, 0)] * (batch.ndim - 1) + [(0, b - n)],
-                       constant_values=np.nan)
-        err_batch = np.pad(err_batch, [(0, 0)] * (err_batch.ndim - 1) + [(0, b - n)],
-                           constant_values=np.nan)
+        pad = [(0, 0), (0, b - n)]
+        batch = np.pad(batch, pad, constant_values=np.nan)
+        batch_lv = np.pad(batch_lv, pad, constant_values=np.nan)
+        err_batch = np.pad(err_batch, pad, constant_values=np.nan)
     if upsc.needed:
         up_idx = np.zeros((1, 1), np.int32)
         up_w = np.zeros((1, 1))
         up_mask = np.zeros((1,), bool)
     else:
         up_idx, up_w, up_mask = upsc.plan.idx, upsc.plan.w, upsc.plan.mask
+    lv_dtype = np.float16 if dtype == np.float32 else dtype
     out, out_err = _regrid_device(
-        jnp.asarray(batch.astype(dtype)), jnp.asarray(err_batch.astype(dtype)),
+        jnp.asarray(batch.astype(dtype)), jnp.asarray(batch_lv.astype(lv_dtype)),
+        jnp.asarray(err_batch.astype(dtype)),
         jnp.asarray(plan.idx), jnp.asarray(plan.w), jnp.asarray(plan.mask),
         jnp.asarray(up_idx), jnp.asarray(up_w), jnp.asarray(up_mask),
         plan.out_shape, upsc.ky, upsc.kx, upsc.needed)
@@ -260,9 +278,13 @@ def regrid_granule(
     is_amf = isinstance(sat_data, satellite_amf)
     is_opt = isinstance(sat_data, satellite_opt)
 
-    # ---- gather every field (value-kernel batch + error field) -----------
+    # ---- gather every field (value-kernel batch + error field); the 2-D
+    # fields and the per-level 3-D stacks travel separately so the level
+    # stacks can use the narrow transfer dtype (see _regrid_fused) --------
     names = ["vcd"]
     cols = [np.asarray(sat_data.vcd) * mask]
+    names_lv: list = []
+    cols_lv: list = []
     if is_amf:
         names.append("amf")
         cols.append(np.asarray(sat_data.amf) * mask)
@@ -274,8 +296,8 @@ def regrid_granule(
     def add3d(name, arr):
         a = np.asarray(arr)
         for z in range(a.shape[0]):
-            names.append(f"{name}:{z}")
-            cols.append(np.squeeze(a[z]) * mask)
+            names_lv.append(f"{name}:{z}")
+            cols_lv.append(np.squeeze(a[z]) * mask)
 
     has_sw = is_amf and np.size(sat_data.scattering_weights) != 1
     if has_sw:
@@ -299,10 +321,12 @@ def regrid_granule(
         add3d("pressure_mid", sat_data.pressure_mid)
         add3d("apriori_profile", sat_data.apriori_profile)
 
-    batch = _stack(cols)  # (F, Npix)
+    batch = _stack(cols)  # (F2, Npix)
+    batch_lv = _stack(cols_lv) if cols_lv else None  # (F3, Npix)
     err_batch = _stack([np.asarray(sat_data.uncertainty, np.float64) ** 2 * mask])
-    gridded, err_gridded = _regrid_fused(plan, upsc, batch, err_batch, dtype)
-    out = {n: gridded[i] for i, n in enumerate(names)}
+    gridded, err_gridded = _regrid_fused(plan, upsc, batch, err_batch, dtype,
+                                         batch_lv=batch_lv)
+    out = {n: gridded[i] for i, n in enumerate(names + names_lv)}
     # error path: variance in, squared kernel, sqrt at the end
     with np.errstate(invalid="ignore"):  # RBF variance can overshoot < 0 -> NaN
         uncertainty = np.sqrt(err_gridded[0])

@@ -64,7 +64,9 @@ def test_omi_no2(tmp_path):
     v = g.vcd[np.isfinite(g.vcd)]
     assert v.size > 50
     np.testing.assert_allclose(v, 3.0, rtol=1e-5)  # 3e15 * 1e-15
-    np.testing.assert_allclose(g.scattering_weights[0][np.isfinite(g.scattering_weights[0])], 1.0, rtol=1e-5)
+    # level stacks transfer as f16 in f32 production mode (the reference
+    # stores them f16 outright): ~5e-4 quantization on 3-D fields
+    np.testing.assert_allclose(g.scattering_weights[0][np.isfinite(g.scattering_weights[0])], 1.0, rtol=1e-3)
     assert g.tropopause[np.isfinite(g.tropopause)].size > 0
 
 
@@ -133,9 +135,10 @@ def test_tropomi_no2(tmp_path):
     assert g.time.date() == datetime.date(2019, 7, 12)
     v = g.vcd[np.isfinite(g.vcd)]
     np.testing.assert_allclose(v, 8e-5 * 6.02214e19 * 1e-15, rtol=1e-5)
-    # SW = AK * amf_total = 2.2 everywhere
+    # SW = AK * amf_total = 2.2 everywhere (f16-transfer quantization
+    # applies to level stacks in f32 mode, hence rtol 1e-3)
     sw = g.scattering_weights[0][np.isfinite(g.scattering_weights[0])]
-    np.testing.assert_allclose(sw, 2.2, rtol=1e-5)
+    np.testing.assert_allclose(sw, 2.2, rtol=1e-3)
     assert np.isfinite(g.tropopause).sum() > 0
 
 
@@ -282,7 +285,7 @@ def test_tropomi_hcho(tmp_path):
     v = g.vcd[np.isfinite(g.vcd)]
     np.testing.assert_allclose(v, 1.2e-4 * 6.02214e19 * 1e-15, rtol=1e-5)
     sw = g.scattering_weights[0][np.isfinite(g.scattering_weights[0])]
-    np.testing.assert_allclose(sw, 1.3, rtol=1e-5)  # AK * amf_total
+    np.testing.assert_allclose(sw, 1.3, rtol=1e-3)  # AK * amf_total (f16 level-stack transfer)
 
 
 def test_tempo_hcho(tmp_path):
