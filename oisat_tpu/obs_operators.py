@@ -163,6 +163,21 @@ def _amf_one(ctm_data, granule, time_ctm, time_hour):
     return closest, np.asarray(pmid), pc, trop, has_trop
 
 
+
+def _stack16(arrs):
+    """Stack level-stack fields for transfer: f32 sources travel as f16
+    (the reference's own storage precision for these fields — SURVEY.md §2
+    precision note); f64 sources and parity mode (OISAT_PARITY=1 /
+    OISAT_F16_TRANSFER=0) keep full precision.  The device kernels upcast
+    to f32 for compute (ops/vertical._at_least_f32)."""
+    from oisat_tpu.regridder import f16_transfer_default
+
+    out = np.stack(arrs)
+    if out.dtype == np.float32 and f16_transfer_default():
+        return jnp.asarray(out.astype(np.float16))
+    return jnp.asarray(out)
+
+
 _amf_recal_batched = jax.jit(
     jax.vmap(amf_recal_fields, in_axes=(0, 0, 0, 0, 0, 0, 0, None)),
     static_argnums=(7,),
@@ -201,10 +216,10 @@ def amf_recal(ctm_data: list, sat_data: list):
         gis = [it[0] for it in items]
         stack = lambda f: jnp.asarray(np.stack(f))
         new_amf, vcd_corr, model_vcd = _amf_recal_batched(
-            stack([np.asarray(sat_data[i].pressure_mid) for i in gis]),
-            stack([np.asarray(sat_data[i].scattering_weights) for i in gis]),
-            stack([it[2] for it in items]),
-            stack([it[3] for it in items]),
+            _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
+            _stack16([np.asarray(sat_data[i].scattering_weights) for i in gis]),
+            _stack16([it[2] for it in items]),
+            _stack16([it[3] for it in items]),
             stack([it[4] for it in items]),
             stack([np.asarray(sat_data[i].vcd) for i in gis]),
             stack([np.asarray(sat_data[i].amf) for i in gis]),
@@ -248,13 +263,13 @@ def ak_conv_mopitt(ctm_data: list, sat_data: list):
         gis = [it[0] for it in items]
         stack = lambda f: jnp.asarray(np.stack(f))
         model_vcd, model_xcol = _ak_mopitt_batched(
-            stack([it[2] for it in items]),
-            stack([it[3] for it in items]),
-            stack([it[4] for it in items]),
-            stack([np.asarray(sat_data[i].pressure_mid) for i in gis]),
-            stack([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
+            _stack16([it[2] for it in items]),
+            _stack16([it[3] for it in items]),
+            _stack16([it[4] for it in items]),
+            _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
+            _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
             stack([np.asarray(sat_data[i].aprior_column) for i in gis]),
-            stack([np.asarray(sat_data[i].apriori_profile) for i in gis]),
+            _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
             stack([np.asarray(sat_data[i].apriori_surface) for i in gis]),
             stack([np.asarray(sat_data[i].vcd) for i in gis]))
         model_vcd = np.asarray(model_vcd)
@@ -289,12 +304,12 @@ def ak_conv_gosat(ctm_data: list, sat_data: list):
         gis = [it[0] for it in items]
         stack = lambda f: jnp.asarray(np.stack(f))
         model_xcol = _ak_gosat_batched(
-            stack([it[2] for it in items]),
-            stack([it[3] for it in items]),
-            stack([np.asarray(sat_data[i].pressure_mid) for i in gis]),
-            stack([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
-            stack([np.asarray(sat_data[i].apriori_profile) for i in gis]),
-            stack([np.asarray(sat_data[i].pressure_weight) for i in gis]),
+            _stack16([it[2] for it in items]),
+            _stack16([it[3] for it in items]),
+            _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
+            _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
+            _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
+            _stack16([np.asarray(sat_data[i].pressure_weight) for i in gis]),
             stack([np.asarray(sat_data[i].x_col) for i in gis]))
         model_xcol = np.asarray(model_xcol)
         for k, (gi, closest, *_r) in enumerate(items):

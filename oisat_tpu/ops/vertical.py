@@ -90,6 +90,14 @@ def _nansum0(x):
     return jnp.sum(jnp.where(jnp.isnan(x), 0.0, x), axis=0)
 
 
+def _at_least_f32(*arrays):
+    """Upcast f16 transfer-dtype inputs to f32 for compute (level stacks
+    may arrive as float16 — the reference's own storage precision for
+    them; see regridder._regrid_fused)."""
+    return tuple(a.astype(jnp.float32) if a.dtype == jnp.float16 else a
+                 for a in arrays)
+
+
 @partial(jax.jit, static_argnames=("has_trop",))
 def amf_recal_fields(sat_pmid, sat_sw, ctm_pmid, ctm_pc, tropopause, vcd, amf_old, has_trop: bool):
     """AMF recalculation over the full grid (reference amf_recal.py:93-119, :173-183).
@@ -98,6 +106,8 @@ def amf_recal_fields(sat_pmid, sat_sw, ctm_pmid, ctm_pc, tropopause, vcd, amf_ol
     tropopause/vcd/amf_old: (H, W).  Returns (new_amf, vcd_corrected,
     model_vcd) with the reference's NaN masking applied.
     """
+    sat_pmid, sat_sw, ctm_pmid, ctm_pc = _at_least_f32(
+        sat_pmid, sat_sw, ctm_pmid, ctm_pc)
     sw_i = interp_linear_batched(jnp.log(sat_pmid), sat_sw, jnp.log(ctm_pmid), extrapolate=True)
     sw_i = jnp.where(jnp.isinf(sw_i), 0.0, sw_i)
     pc = ctm_pc
@@ -135,6 +145,9 @@ def ak_conv_mopitt_fields(ctm_pmid, ctm_profile, ctm_airpc, sat_pmid, aks, aprio
     (Ls, H, W).  Returns (model_vcd, model_xcol) NaN-masked like the
     reference.
     """
+    (ctm_pmid, ctm_profile, ctm_airpc, sat_pmid, aks,
+     apriori_profile) = _at_least_f32(ctm_pmid, ctm_profile, ctm_airpc,
+                                      sat_pmid, aks, apriori_profile)
     prof_i = interp_linear_batched(jnp.log(ctm_pmid), ctm_profile, jnp.log(sat_pmid), extrapolate=False)
     dlog = jnp.log10(prof_i) - jnp.log10(apriori_profile)
     profile_component = aprior_col + _nansum0(aks[1:] * dlog)
@@ -153,6 +166,9 @@ def ak_conv_gosat_fields(ctm_pmid, ctm_profile, sat_pmid, aks, apriori_profile, 
 
     Returns model_xcol [ppbv], NaN-masked by the retrieval x_col.
     """
+    (ctm_pmid, ctm_profile, sat_pmid, aks, apriori_profile,
+     pressure_weight) = _at_least_f32(ctm_pmid, ctm_profile, sat_pmid, aks,
+                                      apriori_profile, pressure_weight)
     prof_i = interp_linear_batched(jnp.log(ctm_pmid), ctm_profile, jnp.log(sat_pmid), extrapolate=True)
     temp = apriori_profile + (prof_i - apriori_profile) * aks
     temp = temp * pressure_weight

@@ -39,6 +39,22 @@ __all__ = ["Upscaler", "make_upscaler", "regrid_granule", "regrid_ssmis_granule"
            "fast_swath_default"]
 
 
+def f16_transfer_default() -> bool:
+    """Production default for the float16 host->device transfer of
+    per-level 3-D field stacks: ON (the reference stores exactly these
+    fields in float16, reference reader.py:486-506, so f16 transfer + f32
+    device compute strictly dominates its fidelity).  ``OISAT_PARITY=1``
+    or ``OISAT_F16_TRANSFER=0`` keeps the full compute dtype end-to-end."""
+    import os
+
+    if os.environ.get("OISAT_PARITY", "0") == "1":
+        return False
+    v = os.environ.get("OISAT_F16_TRANSFER")
+    if v is not None:
+        return v == "1"
+    return True
+
+
 def fast_swath_default() -> bool:
     """Production default for the native structured-swath weight builder: ON.
 
@@ -212,7 +228,8 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None):
         up_mask = np.zeros((1,), bool)
     else:
         up_idx, up_w, up_mask = upsc.plan.idx, upsc.plan.w, upsc.plan.mask
-    lv_dtype = np.float16 if dtype == np.float32 else dtype
+    lv_dtype = (np.float16 if (dtype == np.float32 and f16_transfer_default())
+                else dtype)
     out, out_err = _regrid_device(
         jnp.asarray(batch.astype(dtype)), jnp.asarray(batch_lv.astype(lv_dtype)),
         jnp.asarray(err_batch.astype(dtype)),

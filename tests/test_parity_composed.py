@@ -31,7 +31,8 @@ def test_regrid_granule_matches_composed_reference(method):
     assert got.ctm_upscaled_needed == ref["upneeded"] == False  # noqa: E712
 
 
-def test_amf_recal_upscale_branch():
+def test_amf_recal_upscale_branch(monkeypatch):
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")  # parity-tight: full-precision transfer
     """CTM coarser than the granule grid -> ctm_upscaled_needed=True: the
     CTM pmids/partial columns must be box-filtered + KD-mapped onto the
     satellite grid before the vertical kernel (reference amf_recal.py:58-83)."""
@@ -90,7 +91,8 @@ def _eccoh_like_ctm(H, W, nz=20, seed=8):
                      "ECCOH", False)
 
 
-def test_ak_conv_mopitt_batched_orchestration():
+def test_ak_conv_mopitt_batched_orchestration(monkeypatch):
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")  # parity-tight vs f64 golden
     import datetime
 
     from oisat_tpu.datamodel import satellite_opt
@@ -136,7 +138,8 @@ def test_ak_conv_mopitt_batched_orchestration():
     assert out[3] is None
 
 
-def test_ak_conv_gosat_batched_orchestration():
+def test_ak_conv_gosat_batched_orchestration(monkeypatch):
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")  # parity-tight vs f64 golden
     import datetime
 
     from oisat_tpu.datamodel import satellite_opt

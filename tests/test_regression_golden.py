@@ -34,7 +34,8 @@ def compute():
     return obj
 
 
-def test_golden_month_reproduces():
+def test_golden_month_reproduces(monkeypatch):
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")  # golden froze full-precision numerics
     obj = compute()
     g = np.load(GOLDEN)
     np.testing.assert_allclose(obj.sat_averaged_vcd, g["sat_vcd"], rtol=1e-9, atol=1e-12)
