@@ -271,14 +271,22 @@ def bench_month(orbits=60):
     hw = clat2.shape
 
     def run_once():
+        from concurrent.futures import ThreadPoolExecutor
+
         t_start = time.perf_counter()
-        grans = []
-        for s in range(orbits):
-            g = _synthetic_orbit(s, ny=822, nx=60)  # half orbits: 30-day month pace
+
+        def one(s):
+            g = _synthetic_orbit(s, ny=822, nx=60)  # half orbits: 30-day pace
             g = regrid_granule(1, 0.25, g, clon2, clat2, flag_thresh=0.0)
             if g is not None:
                 g.time = datetime.datetime(2019, 7, 1 + (s % 28), 12)
-                grans.append(g)
+            return g
+
+        # 2 workers = the production fleet_map shape (num_job > 1): the
+        # host weight build of orbit i+1 overlaps orbit i's device
+        # transfer/compute — the same overlap readers get from num_job
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            grans = [g for g in ex.map(one, range(orbits)) if g is not None]
         t_regrid = time.perf_counter()
         rng = np.random.default_rng(0)
         pm3 = np.sort(rng.uniform(60, 1000, (nz,) + hw), axis=0)[::-1]
