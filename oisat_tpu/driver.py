@@ -230,6 +230,104 @@ class oisatgmi:
               f"OmA={float(st.oma_mean):+.3g}/{float(st.oma_rms):.3g} "
               f"chi2={float(st.chi2):.3g}")
 
+    # -- fused on-device month analysis (the parallel/ path in production) ---
+    def analyze_month_fused(self, sensor: str, gasname: str, startdate: str,
+                            enddate: str, error_ctm=50.0, mesh=None):
+        """Run the WHOLE month analysis as one jitted device program:
+        vmapped AMF recalculation over the granule stack + monthly
+        statistics + bias correction + OI — the
+        :mod:`oisat_tpu.parallel.analysis` full-month step, wired into the
+        production driver.  Replaces ``recal_amf -> average ->
+        bias_correct -> oi`` for two-step (satellite_amf) sensors whose
+        granules share one shape; under a multi-device ``mesh`` the
+        granule batch shards over 'obs' and grid rows over 'grid'
+        (single-chip: a 1x1 mesh).  Raises ValueError when the month is
+        not fusable (no scattering weights, mixed level counts, upscaled
+        CTM) — callers fall back to the staged pipeline.
+        """
+        import datetime
+
+        from oisat_tpu.datamodel import satellite_amf
+        from oisat_tpu.obs_operators import _amf_one, _ctm_times
+        from oisat_tpu.parallel.analysis import (
+            FullMonthInputs,
+            make_full_month_step,
+        )
+        from oisat_tpu.parallel.mesh import make_mesh
+
+        with stage("fused_month"):
+            ctm_data = self.reader_obj.ctm_data
+            start = datetime.date(int(startdate[0:4]), int(startdate[5:7]),
+                                  int(startdate[8:10]))
+            end = datetime.date(int(enddate[0:4]), int(enddate[5:7]),
+                                int(enddate[8:10]))
+            grans = [g for g in self.reader_obj.sat_data
+                     if g is not None and start <= g.time.date() < end]
+            if not grans:
+                raise ValueError("no valid satellite granules to fuse")
+            if not all(isinstance(g, satellite_amf) for g in grans):
+                raise ValueError("fused month path needs satellite_amf granules")
+            if any(np.size(g.scattering_weights) == 1 for g in grans):
+                raise ValueError("fused month path needs scattering weights")
+            if any(g.ctm_upscaled_needed for g in grans):
+                raise ValueError("fused month path needs CTM-grid granules")
+            shapes = {(np.shape(g.vcd), np.shape(g.pressure_mid)) for g in grans}
+            if len(shapes) != 1:
+                raise ValueError(f"fused month path needs one granule shape, got {shapes}")
+
+            time_ctm, time_hour = _ctm_times(ctm_data)
+            pmids, pcs, trops = [], [], []
+            for g in grans:
+                _, pmid, pc, trop, _has = _amf_one(ctm_data, g, time_ctm, time_hour)
+                pmids.append(pmid)
+                pcs.append(pc)
+                # no-tropopause granules pass zeros: pmid < 0 never holds,
+                # reproducing the has_trop=False branch
+                trops.append(trop)
+            f32 = np.float32
+            inputs = FullMonthInputs(
+                sat_pmid=np.stack([np.asarray(g.pressure_mid, f32) for g in grans]),
+                sat_sw=np.stack([np.asarray(g.scattering_weights, f32) for g in grans]),
+                vcd=np.stack([np.asarray(g.vcd, f32) for g in grans]),
+                amf=np.stack([np.asarray(g.amf, f32) for g in grans]),
+                uncertainty=np.stack([np.asarray(g.uncertainty, f32) for g in grans]),
+                tropopause=np.stack([np.asarray(t, f32) for t in trops]),
+                ctm_pmid=np.stack([np.asarray(p, f32) for p in pmids]),
+                ctm_pc=np.stack([np.asarray(p, f32) for p in pcs]),
+            )
+            offset, slope = BIAS_CORRECTIONS.get((sensor, gasname), (0.0, 1.0))
+            if (sensor, gasname) in BIAS_CORRECTIONS:
+                print(f"applying the bias correction for {sensor} {gasname}")
+            if mesh is None:
+                mesh = make_mesh(1)
+            fn, shard = make_full_month_step(mesh, bias_offset=offset,
+                                             bias_slope=slope,
+                                             error_ctm=float(error_ctm))
+            out = fn(shard(inputs))
+
+            self.sat_averaged_vcd = np.asarray(out.sat_vcd, np.float64)
+            self.sat_averaged_error = np.asarray(out.sat_error, np.float64)
+            self.ctm_averaged_vcd = np.asarray(out.ctm_vcd, np.float64)
+            self.aux1 = np.asarray(out.aux1, np.float64)
+            self.aux2 = np.asarray(out.aux2, np.float64)
+            self.ctm_averaged_vcd_corrected = np.asarray(out.oi.xb, np.float64)
+            self.ak_OI = np.asarray(out.oi.averaging_kernel, np.float64)
+            self.increment_OI = np.asarray(out.oi.increment, np.float64)
+            self.error_OI = np.asarray(out.oi.error, np.float64)
+            print("The regularization factor is " + str(float(out.oi.reg_factor)))
+            avg_ts = sum(g.time.timestamp() for g in grans) / len(grans)
+            self.avg_time = __import__("datetime").datetime.fromtimestamp(avg_ts)
+            from oisat_tpu.ops.diagnostics import innovation_stats
+
+            sa = (self.ctm_averaged_vcd * error_ctm / 100.0) ** 2
+            st = innovation_stats(jnp.asarray(self.ctm_averaged_vcd),
+                                  jnp.asarray(self.sat_averaged_vcd),
+                                  jnp.asarray(self.ctm_averaged_vcd_corrected),
+                                  jnp.asarray(sa),
+                                  jnp.asarray(self.sat_averaged_error**2))
+            self.oi_diagnostics = {k: float(v) for k, v in st._asdict().items()}
+            return out
+
     # -- stage-boundary checkpointing (extension; SURVEY.md §5) --------------
     def save_state(self, path):
         """Persist the processed granule list; ``average → oi →

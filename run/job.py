@@ -73,19 +73,34 @@ def run_month(ctrl, year: int, month: int):
     obj = oisatgmi()
     obj.read_data(ctm_name, Path(ctrl["ctm_dir"]), gas, ctrl["ctm_freq"],
                   sensor + "_" + gas, Path(ctrl["sat_dir"]), f"{year}{month:02}", **common)
-    if sensor in ("MOPITT", "GOSAT"):
-        obj.conv_ak(sensor)
-    elif sensor == "SSMIS":
-        obj.cal_pwv()
-    else:
-        obj.recal_amf()
-    if ctrl.get("save_daily"):
-        obj.savedaily(ctrl["output_nc_dir"], gas, f"{year}_{month:02}")
-    obj.average(start, end, gasname=gas,
-                weighting=ctrl.get("averaging_weighting"))
-    obj.bias_correct(sensor, gas)
-    obj.oi(sensor, error_ctm=ctrl["ctm_error"],
-           desroziers_iterations=ctrl.get("desroziers_iterations", 0))
+    fused = False
+    if (ctrl.get("fused_month") and sensor not in ("MOPITT", "GOSAT", "SSMIS")
+            and not ctrl.get("save_daily")
+            and not ctrl.get("averaging_weighting")
+            and not ctrl.get("desroziers_iterations")):
+        # the fused path runs AMF recal + averaging + bias + OI as ONE
+        # device program (oisat_tpu/parallel); falls back to the staged
+        # pipeline when the month isn't fusable
+        try:
+            obj.analyze_month_fused(sensor, gas, start, end,
+                                    error_ctm=ctrl["ctm_error"])
+            fused = True
+        except ValueError as e:
+            print(f"fused month not applicable ({e}); running staged pipeline")
+    if not fused:
+        if sensor in ("MOPITT", "GOSAT"):
+            obj.conv_ak(sensor)
+        elif sensor == "SSMIS":
+            obj.cal_pwv()
+        else:
+            obj.recal_amf()
+        if ctrl.get("save_daily"):
+            obj.savedaily(ctrl["output_nc_dir"], gas, f"{year}_{month:02}")
+        obj.average(start, end, gasname=gas,
+                    weighting=ctrl.get("averaging_weighting"))
+        obj.bias_correct(sensor, gas)
+        obj.oi(sensor, error_ctm=ctrl["ctm_error"],
+               desroziers_iterations=ctrl.get("desroziers_iterations", 0))
     tag = f"{gas}_{year}{month:02}"
     obj.reporting(tag, gas, ctrl["output_pdf_dir"])
     obj.write_to_nc(tag, ctrl["output_nc_dir"])

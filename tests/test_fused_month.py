@@ -1,0 +1,115 @@
+"""The fused on-device month analysis (driver.analyze_month_fused — the
+parallel/ full-month step wired into the production driver) must reproduce
+the staged recal_amf -> average -> bias_correct -> oi pipeline."""
+
+import copy
+from types import SimpleNamespace
+
+import numpy as np
+import pytest
+
+from oisat_tpu.driver import oisatgmi
+from oisat_tpu.regridder import regrid_granule
+from tests.test_pipeline import ctm_grid, synthetic_ctm, synthetic_granule
+
+
+def _month_state(nmonths_granules=4):
+    clon, clat = ctm_grid()
+    ctm = synthetic_ctm()
+    granules = [regrid_granule(1, 0.25, synthetic_granule(s, 4 + s), clon, clat,
+                               flag_thresh=0.5) for s in range(nmonths_granules)]
+    obj = oisatgmi()
+    obj.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=granules)
+    return obj
+
+
+def test_fused_matches_staged(monkeypatch):
+    # full-precision transfers on both paths so the only differences are
+    # reduction orders (f32-level)
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    staged = _month_state()
+    fused = oisatgmi()
+    fused.reader_obj = SimpleNamespace(
+        ctm_data=staged.reader_obj.ctm_data,
+        sat_data=copy.deepcopy(staged.reader_obj.sat_data))
+
+    staged.recal_amf()
+    staged.average("2019-07-01", "2019-08-01")
+    staged.bias_correct("OMI", "NO2")
+    staged.oi("OMI", error_ctm=50.0)
+
+    fused.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01",
+                              error_ctm=50.0)
+
+    for name in ("sat_averaged_vcd", "ctm_averaged_vcd", "aux1", "aux2",
+                 "sat_averaged_error", "ctm_averaged_vcd_corrected",
+                 "ak_OI", "error_OI"):
+        a = getattr(fused, name)
+        b = getattr(staged, name)
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=2e-5,
+                                   equal_nan=True, err_msg=name)
+    assert abs(fused.avg_time.timestamp() - staged.avg_time.timestamp()) < 1.0
+
+
+def test_fused_rejects_unfusable_months():
+    obj = _month_state(2)
+    # granule without scattering weights
+    obj.reader_obj.sat_data[0].scattering_weights = np.empty(1)
+    with pytest.raises(ValueError, match="scattering weights"):
+        obj.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01")
+
+    obj2 = _month_state(2)
+    obj2.reader_obj.sat_data[0].ctm_upscaled_needed = True
+    with pytest.raises(ValueError, match="CTM-grid"):
+        obj2.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01")
+
+    obj3 = _month_state(2)
+    obj3.reader_obj.sat_data = [None, None]
+    with pytest.raises(ValueError, match="no valid"):
+        obj3.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01")
+
+
+def test_job_runner_fused_month(tmp_path, monkeypatch):
+    """control.yml `fused_month: true` runs the one-program path end to end
+    and produces the standard diag; an unfusable month (FREE CTM -> no
+    scattering weights in this recipe) falls back to the staged pipeline."""
+    import importlib.util
+    import os
+
+    import yaml
+
+    from tests.test_ctm_readers import write_gmi_pair
+    from tests.test_sensors import write_omi_no2
+
+    (tmp_path / "ctm").mkdir()
+    (tmp_path / "sat").mkdir()
+    write_gmi_pair(tmp_path / "ctm" / "MERRA2_GMI.tavg3_3d_met_Nv.20190710.nc4",
+                   tmp_path / "ctm" / "MERRA2_GMI.tavg3_3d_tac_Nv.20190710.nc4", 10,
+                   nlat=16, nlon=17)
+    write_omi_no2(tmp_path / "sat" / "OMI-Aura_L2-OMNO2_2019m0710.nc")
+    ctrl = {
+        "python_bin": "python3", "debug": False, "save_daily": False, "num_job": 1,
+        "ctm_name": "GMI", "ctm_dir": str(tmp_path / "ctm"), "mcip_dir": str(tmp_path),
+        "ctm_freq": "3-hourly", "ctm_avg": True, "ctm_error": 50.0,
+        "gas": "NO2", "sensor": "OMI", "read_AK": True, "troposphere_only": True,
+        "sat_dir": str(tmp_path / "sat"),
+        "start_date": "2019-07", "end_date": "2019-07",
+        "output_pdf_dir": str(tmp_path / "report"),
+        "output_nc_dir": str(tmp_path / "diag"),
+        "fused_month": True,
+    }
+    with open(tmp_path / "control.yml", "w") as f:
+        yaml.safe_dump(ctrl, f)
+    monkeypatch.chdir(tmp_path)
+    spec = importlib.util.spec_from_file_location(
+        "run_job", os.path.join(os.path.dirname(__file__), "..", "run", "job.py"))
+    run_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_job)
+    run_job.run_month(ctrl, 2019, 7)
+    from oisat_tpu.ncwriter import read_diag_nc
+
+    fields, tstr = read_diag_nc(tmp_path / "diag" / "NO2_201907.nc")
+    assert tstr.startswith("2019-07")
+    assert np.isfinite(fields["sat_averaged_vcd"]).sum() > 10
+    assert np.isfinite(fields["scaling_factor"]).all()
+    assert np.isfinite(fields["aux1"]).sum() > 10  # new AMF computed on device
