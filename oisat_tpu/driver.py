@@ -234,25 +234,22 @@ class oisatgmi:
     def analyze_month_fused(self, sensor: str, gasname: str, startdate: str,
                             enddate: str, error_ctm=50.0, mesh=None):
         """Run the WHOLE month analysis as one jitted device program:
-        vmapped AMF recalculation over the granule stack + monthly
+        the vmapped observation operator over the granule stack + monthly
         statistics + bias correction + OI — the
-        :mod:`oisat_tpu.parallel.analysis` full-month step, wired into the
-        production driver.  Replaces ``recal_amf -> average ->
-        bias_correct -> oi`` for two-step (satellite_amf) sensors whose
-        granules share one shape; under a multi-device ``mesh`` the
-        granule batch shards over 'obs' and grid rows over 'grid'
-        (single-chip: a 1x1 mesh).  Raises ValueError when the month is
-        not fusable (no scattering weights, mixed level counts, upscaled
-        CTM) — callers fall back to the staged pipeline.
+        :mod:`oisat_tpu.parallel.analysis` month steps, wired into the
+        production driver.  Replaces ``recal_amf/conv_ak/cal_pwv ->
+        average -> bias_correct -> oi`` for months whose granules share
+        one kind and shape: satellite_amf (AMF recal), MOPITT/GOSAT
+        (AK convolution; GOSAT assimilates the xcol pair) and SSMIS
+        (PWV).  Under a multi-device ``mesh`` the granule batch shards
+        over 'obs' and grid rows over 'grid' (single-chip: a 1x1 mesh).
+        Raises ValueError when the month is not fusable (no scattering
+        weights, mixed kinds/shapes, upscaled CTM) — callers fall back to
+        the staged pipeline.
         """
         import datetime
 
-        from oisat_tpu.datamodel import satellite_amf
-        from oisat_tpu.obs_operators import _amf_one, _ctm_times
-        from oisat_tpu.parallel.analysis import (
-            FullMonthInputs,
-            make_full_month_step,
-        )
+        from oisat_tpu.datamodel import satellite_amf, satellite_opt, satellite_ssmis
         from oisat_tpu.parallel.mesh import make_mesh
 
         with stage("fused_month"):
@@ -265,44 +262,31 @@ class oisatgmi:
                      if g is not None and start <= g.time.date() < end]
             if not grans:
                 raise ValueError("no valid satellite granules to fuse")
-            if not all(isinstance(g, satellite_amf) for g in grans):
-                raise ValueError("fused month path needs satellite_amf granules")
-            if any(np.size(g.scattering_weights) == 1 for g in grans):
-                raise ValueError("fused month path needs scattering weights")
             if any(g.ctm_upscaled_needed for g in grans):
                 raise ValueError("fused month path needs CTM-grid granules")
-            shapes = {(np.shape(g.vcd), np.shape(g.pressure_mid)) for g in grans}
+
+            kinds = {satellite_amf: "amf", satellite_opt: "opt",
+                     satellite_ssmis: "ssmis"}
+            kind = kinds.get(type(grans[0]))
+            if kind is None or not all(type(g) is type(grans[0]) for g in grans):
+                raise ValueError("fused month path needs one granule kind")
+            if kind == "amf":
+                if any(np.size(g.scattering_weights) == 1 for g in grans):
+                    raise ValueError("fused month path needs scattering weights")
+                shapes = {(np.shape(g.vcd), np.shape(g.pressure_mid)) for g in grans}
+            else:
+                shapes = {np.shape(g.vcd) for g in grans}
             if len(shapes) != 1:
                 raise ValueError(f"fused month path needs one granule shape, got {shapes}")
 
-            time_ctm, time_hour = _ctm_times(ctm_data)
-            pmids, pcs, trops = [], [], []
-            for g in grans:
-                _, pmid, pc, trop, _has = _amf_one(ctm_data, g, time_ctm, time_hour)
-                pmids.append(pmid)
-                pcs.append(pc)
-                # no-tropopause granules pass zeros: pmid < 0 never holds,
-                # reproducing the has_trop=False branch
-                trops.append(trop)
-            f32 = np.float32
-            inputs = FullMonthInputs(
-                sat_pmid=np.stack([np.asarray(g.pressure_mid, f32) for g in grans]),
-                sat_sw=np.stack([np.asarray(g.scattering_weights, f32) for g in grans]),
-                vcd=np.stack([np.asarray(g.vcd, f32) for g in grans]),
-                amf=np.stack([np.asarray(g.amf, f32) for g in grans]),
-                uncertainty=np.stack([np.asarray(g.uncertainty, f32) for g in grans]),
-                tropopause=np.stack([np.asarray(t, f32) for t in trops]),
-                ctm_pmid=np.stack([np.asarray(p, f32) for p in pmids]),
-                ctm_pc=np.stack([np.asarray(p, f32) for p in pcs]),
-            )
             offset, slope = BIAS_CORRECTIONS.get((sensor, gasname), (0.0, 1.0))
             if (sensor, gasname) in BIAS_CORRECTIONS:
                 print(f"applying the bias correction for {sensor} {gasname}")
             if mesh is None:
                 mesh = make_mesh(1)
-            fn, shard = make_full_month_step(mesh, bias_offset=offset,
-                                             bias_slope=slope,
-                                             error_ctm=float(error_ctm))
+            inputs, maker = self._fused_inputs(kind, sensor, ctm_data, grans)
+            fn, shard = maker(mesh, bias_offset=offset, bias_slope=slope,
+                              error_ctm=float(error_ctm))
             out = fn(shard(inputs))
 
             self.sat_averaged_vcd = np.asarray(out.sat_vcd, np.float64)
@@ -327,6 +311,106 @@ class oisatgmi:
                                   jnp.asarray(self.sat_averaged_error**2))
             self.oi_diagnostics = {k: float(v) for k, v in st._asdict().items()}
             return out
+
+    def _fused_inputs(self, kind: str, sensor: str, ctm_data, grans):
+        """Assemble the (stacked inputs, step maker) for one granule kind —
+        the same per-granule CTM matching/slicing as the staged operators
+        (obs_operators), batched for the fused device program."""
+        from oisat_tpu.obs_operators import (
+            _amf_one,
+            _ctm_times,
+            _daily_ctm_slice,
+            _match_daily,
+        )
+        from oisat_tpu.ops.vertical import air_partial_column
+        from oisat_tpu.parallel.analysis import (
+            FullMonthInputs,
+            GosatMonthInputs,
+            MopittMonthInputs,
+            SsmisMonthInputs,
+            make_full_month_step,
+            make_gosat_month_step,
+            make_mopitt_month_step,
+            make_ssmis_month_step,
+        )
+
+        f32 = np.float32
+        stack = lambda arrs: np.stack([np.asarray(a, f32) for a in arrs])
+        time_ctm, time_hour = _ctm_times(ctm_data)
+
+        if kind == "amf":
+            pmids, pcs, trops = [], [], []
+            for g in grans:
+                _, pmid, pc, trop, _has = _amf_one(ctm_data, g, time_ctm, time_hour)
+                pmids.append(pmid)
+                pcs.append(pc)
+                # no-tropopause granules pass zeros: pmid < 0 never holds,
+                # reproducing the has_trop=False branch
+                trops.append(trop)
+            return FullMonthInputs(
+                sat_pmid=stack([g.pressure_mid for g in grans]),
+                sat_sw=stack([g.scattering_weights for g in grans]),
+                vcd=stack([g.vcd for g in grans]),
+                amf=stack([g.amf for g in grans]),
+                uncertainty=stack([g.uncertainty for g in grans]),
+                tropopause=stack(trops),
+                ctm_pmid=stack(pmids),
+                ctm_pc=stack(pcs),
+            ), make_full_month_step
+
+        if kind == "ssmis":
+            pcw = []
+            for g in grans:
+                _, day = _match_daily(g.time, ctm_data, time_ctm)
+                c = ctm_data[day]
+                if c.ctmtype in ("ECCOH", "FREE"):
+                    dp, q = np.squeeze(c.delta_p), np.squeeze(c.gas_profile)
+                else:
+                    dp = np.squeeze(np.nanmean(c.delta_p, axis=0))
+                    q = np.squeeze(np.nanmean(c.gas_profile, axis=0))
+                pcw.append(dp * q / 9.80665 / 10000.0)
+            return SsmisMonthInputs(
+                water_pc=stack(pcw),
+                vcd=stack([g.vcd for g in grans]),
+                uncertainty=stack([g.uncertainty for g in grans]),
+            ), make_ssmis_month_step
+
+        # opt sensors: MOPITT (vcd OI) vs GOSAT (xcol-pair OI)
+        pmids, profs, dps = [], [], []
+        for g in grans:
+            _, day = _match_daily(g.time, ctm_data, time_ctm)
+            pmid, prof, dp = _daily_ctm_slice(ctm_data, day)
+            pmids.append(pmid)
+            profs.append(prof)
+            dps.append(dp)
+        if sensor == "GOSAT":
+            return GosatMonthInputs(
+                ctm_pmid=stack(pmids),
+                ctm_profile=stack(profs),
+                sat_pmid=stack([g.pressure_mid for g in grans]),
+                aks=stack([g.averaging_kernels for g in grans]),
+                apriori_profile=stack([g.apriori_profile for g in grans]),
+                pressure_weight=stack([g.pressure_weight for g in grans]),
+                vcd=stack([g.vcd for g in grans]),
+                x_col=stack([g.x_col for g in grans]),
+                uncertainty=stack([g.uncertainty for g in grans]),
+            ), make_gosat_month_step
+        import jax.numpy as _jnp
+
+        return MopittMonthInputs(
+            ctm_pmid=stack(pmids),
+            ctm_profile=stack(profs),
+            ctm_airpc=stack([np.asarray(air_partial_column(_jnp.asarray(d)))
+                             for d in dps]),
+            sat_pmid=stack([g.pressure_mid for g in grans]),
+            aks=stack([g.averaging_kernels for g in grans]),
+            apriori_profile=stack([g.apriori_profile for g in grans]),
+            aprior_col=stack([g.aprior_column for g in grans]),
+            apriori_surface=stack([g.apriori_surface for g in grans]),
+            vcd=stack([g.vcd for g in grans]),
+            x_col=stack([g.x_col for g in grans]),
+            uncertainty=stack([g.uncertainty for g in grans]),
+        ), make_mopitt_month_step
 
     # -- stage-boundary checkpointing (extension; SURVEY.md §5) --------------
     def save_state(self, path):

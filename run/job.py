@@ -74,7 +74,7 @@ def run_month(ctrl, year: int, month: int):
     obj.read_data(ctm_name, Path(ctrl["ctm_dir"]), gas, ctrl["ctm_freq"],
                   sensor + "_" + gas, Path(ctrl["sat_dir"]), f"{year}{month:02}", **common)
     fused = False
-    if (ctrl.get("fused_month") and sensor not in ("MOPITT", "GOSAT", "SSMIS")
+    if (ctrl.get("fused_month")
             and not ctrl.get("save_daily")
             and not ctrl.get("averaging_weighting")
             and not ctrl.get("desroziers_iterations")):

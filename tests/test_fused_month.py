@@ -113,3 +113,139 @@ def test_job_runner_fused_month(tmp_path, monkeypatch):
     assert np.isfinite(fields["sat_averaged_vcd"]).sum() > 10
     assert np.isfinite(fields["scaling_factor"]).all()
     assert np.isfinite(fields["aux1"]).sum() > 10  # new AMF computed on device
+
+
+def _compare(fused, staged, names, rtol=2e-4, atol=2e-5):
+    for name in names:
+        np.testing.assert_allclose(getattr(fused, name), getattr(staged, name),
+                                   rtol=rtol, atol=atol, equal_nan=True,
+                                   err_msg=name)
+
+
+def test_fused_mopitt_matches_staged(monkeypatch):
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    import datetime
+
+    from tests.test_parity_composed import _eccoh_like_ctm
+
+    from oisat_tpu.datamodel import satellite_opt
+
+    H, W, Ls = 12, 14, 9
+    ctm = _eccoh_like_ctm(H, W)
+
+    def gran(seed, day):
+        r = np.random.default_rng(seed)
+        vcd = np.abs(r.normal(2, 0.5, (H, W)))
+        vcd[r.random((H, W)) < 0.2] = np.nan
+        return satellite_opt(
+            vcd=vcd, time=datetime.datetime(2019, 7, day, 12), tropopause=np.empty((1,)),
+            latitude_center=np.zeros((H, W)), longitude_center=np.zeros((H, W)),
+            uncertainty=np.abs(r.normal(0.3, 0.05, (H, W))), quality_flag=[],
+            pressure_mid=np.sort(r.uniform(100, 900, (Ls, H, W)), axis=0)[::-1].copy().astype("float32"),
+            averaging_kernels=r.uniform(0, 0.5, (Ls + 1, H, W)).astype("float32"),
+            aprior_column=np.abs(r.normal(2, 0.3, (H, W))).astype("float32"),
+            apriori_profile=np.abs(r.normal(80, 15, (Ls, H, W))).astype("float32"),
+            surface_pressure=np.full((H, W), 1000.0, "float32"),
+            apriori_surface=np.abs(r.normal(90, 10, (H, W))).astype("float32"),
+            x_col=np.abs(r.normal(0.1, 0.02, (H, W))).astype("float32"),
+            pressure_weight=[], sensor="MOPITT", ctm_upscaled_needed=False)
+
+    grans = [gran(s, 2 + s) for s in range(3)]
+    staged = oisatgmi()
+    staged.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=copy.deepcopy(grans))
+    staged.conv_ak("MOPITT")
+    staged.average("2019-07-01", "2019-08-01")
+    staged.bias_correct("MOPITT", "CO")
+    staged.oi("MOPITT", error_ctm=50.0)
+
+    fused = oisatgmi()
+    fused.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=grans)
+    fused.analyze_month_fused("MOPITT", "CO", "2019-07-01", "2019-08-01",
+                              error_ctm=50.0)
+    _compare(fused, staged, ("sat_averaged_vcd", "ctm_averaged_vcd", "aux1",
+                             "aux2", "ctm_averaged_vcd_corrected", "error_OI"))
+
+
+def test_fused_gosat_matches_staged(monkeypatch):
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    import datetime
+
+    from oisat_tpu.datamodel import satellite_opt
+    from tests.test_parity_composed import _eccoh_like_ctm
+
+    H, W, Ls = 10, 11, 6
+    ctm = _eccoh_like_ctm(H, W, nz=20, seed=9)
+
+    def gran(seed, day):
+        r = np.random.default_rng(seed)
+        x_col = np.abs(r.normal(1.8, 0.1, (H, W))).astype("float32")
+        x_col[r.random((H, W)) < 0.2] = np.nan
+        return satellite_opt(
+            vcd=x_col.copy(), time=datetime.datetime(2019, 7, day, 12),
+            tropopause=np.empty((1,)),
+            latitude_center=np.zeros((H, W)), longitude_center=np.zeros((H, W)),
+            uncertainty=np.abs(r.normal(0.05, 0.01, (H, W))).astype("float32"),
+            quality_flag=[],
+            pressure_mid=np.sort(r.uniform(100, 900, (Ls, H, W)), axis=0)[::-1].copy().astype("float32"),
+            averaging_kernels=r.uniform(0.2, 1.0, (Ls, H, W)).astype("float32"),
+            aprior_column=np.zeros((H, W), "float32"),
+            apriori_profile=np.abs(r.normal(1750, 40, (Ls, H, W))).astype("float32"),
+            surface_pressure=np.zeros((H, W), "float32"),
+            apriori_surface=np.zeros((H, W), "float32"),
+            x_col=x_col,
+            pressure_weight=np.full((Ls, H, W), 1.0 / Ls, "float32"),
+            sensor="GOSAT", ctm_upscaled_needed=False)
+
+    grans = [gran(s, 3 + s) for s in range(3)]
+    staged = oisatgmi()
+    staged.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=copy.deepcopy(grans))
+    staged.conv_ak("GOSAT")
+    staged.average("2019-07-01", "2019-08-01")
+    staged.bias_correct("GOSAT", "CH4")
+    staged.oi("GOSAT", error_ctm=50.0)
+
+    fused = oisatgmi()
+    fused.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=grans)
+    fused.analyze_month_fused("GOSAT", "CH4", "2019-07-01", "2019-08-01",
+                              error_ctm=50.0)
+    # GOSAT assimilates the xcol pair; model VCD is intentionally NaN
+    assert np.isnan(fused.ctm_averaged_vcd).all()
+    _compare(fused, staged, ("sat_averaged_vcd", "aux1", "aux2",
+                             "ctm_averaged_vcd_corrected", "error_OI"),
+             rtol=1e-3, atol=1e-3)
+
+
+def test_fused_ssmis_matches_staged(monkeypatch):
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    import datetime
+
+    from oisat_tpu.datamodel import satellite_ssmis
+    from tests.test_parity_composed import _eccoh_like_ctm
+
+    H, W = 10, 12
+    ctm = _eccoh_like_ctm(H, W, nz=15, seed=4)
+
+    def gran(seed, day):
+        r = np.random.default_rng(seed)
+        vcd = np.abs(r.normal(20, 5, (H, W))).astype("float32")
+        vcd[r.random((H, W)) < 0.2] = np.nan
+        return satellite_ssmis(
+            vcd=vcd, uncertainty=np.abs(r.normal(1, 0.2, (H, W))).astype("float32"),
+            time=datetime.datetime(2019, 7, day, 12),
+            latitude_center=np.zeros((H, W)), longitude_center=np.zeros((H, W)),
+            ctm_upscaled_needed=False, ctm_vcd=[], sensor="SSMIS")
+
+    grans = [gran(s, 5 + s) for s in range(3)]
+    staged = oisatgmi()
+    staged.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=copy.deepcopy(grans))
+    staged.cal_pwv()
+    staged.average("2019-07-01", "2019-08-01")
+    staged.bias_correct("SSMIS", "H2O")
+    staged.oi("SSMIS", error_ctm=50.0)
+
+    fused = oisatgmi()
+    fused.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=grans)
+    fused.analyze_month_fused("SSMIS", "H2O", "2019-07-01", "2019-08-01",
+                              error_ctm=50.0)
+    _compare(fused, staged, ("sat_averaged_vcd", "ctm_averaged_vcd",
+                             "ctm_averaged_vcd_corrected", "error_OI"))
