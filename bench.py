@@ -250,10 +250,12 @@ def bench_matfree(n_cells=64800):
           {"cells": H * W, **info})
 
 
-def bench_month(orbits=60):
+def bench_month(orbits=60, fused=False):
     """Synthetic-month steady state (BASELINE.md row): regrid + AMF recal +
     averaging + OI for `orbits` orbits.  vs_baseline = the reference's 12 h
-    month budget over the measured wall time."""
+    month budget over the measured wall time.  ``fused=True`` runs the
+    analysis as ONE device program (driver.analyze_month_fused) instead of
+    the staged pipeline."""
     import datetime
     from types import SimpleNamespace
 
@@ -296,22 +298,30 @@ def bench_month(orbits=60):
             pressure_mid=pm3, delta_p=np.full((nz,) + hw, 40.0),
             gas_profile=np.abs(rng.normal(2, 0.5, (nz,) + hw)),
         )
-        amf_recal([ctm], grans)
-        t_amf = time.perf_counter()
-        obj = oisatgmi()
-        obj.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=grans)
-        obj.average("2019-07-01", "2019-08-01")
-        obj.bias_correct("OMI", "NO2")
-        obj.oi("OMI")
+        if fused:
+            obj = oisatgmi()
+            obj.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=grans)
+            obj.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01")
+            t_amf = time.perf_counter()
+        else:
+            amf_recal([ctm], grans)
+            t_amf = time.perf_counter()
+            obj = oisatgmi()
+            obj.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=grans)
+            obj.average("2019-07-01", "2019-08-01")
+            obj.bias_correct("OMI", "NO2")
+            obj.oi("OMI")
         np.asarray(obj.ctm_averaged_vcd_corrected)
         t_end = time.perf_counter()
         return t_end - t_start, t_regrid - t_start, t_amf - t_regrid
 
     cold, *_ = run_once()
     steady, t_re, t_amf = run_once()
-    _emit("synthetic_month_steady", round(steady, 1), "s", round(43200.0 / steady, 0),
+    name = "synthetic_month_fused" if fused else "synthetic_month_steady"
+    _emit(name, round(steady, 1), "s", round(43200.0 / steady, 0),
           {"orbits": orbits, "cold_s": round(cold, 1),
-           "regrid_s": round(t_re, 1), "amf_s": round(t_amf, 1),
+           "regrid_s": round(t_re, 1),
+           ("analysis_s" if fused else "amf_s"): round(t_amf, 1),
            "reference_budget_s": 43200})
 
 
@@ -326,6 +336,7 @@ def run_all():
     _emit("regrid_fast_speedup", round(t_parity / t_fast, 2), "x", None, {})
     bench_matfree()
     bench_month()
+    bench_month(fused=True)
 
 
 if __name__ == "__main__":

@@ -334,8 +334,14 @@ class oisatgmi:
             make_ssmis_month_step,
         )
 
+        from oisat_tpu.regridder import f16_transfer_default
+
         f32 = np.float32
         stack = lambda arrs: np.stack([np.asarray(a, f32) for a in arrs])
+        # per-level stacks take the narrow transfer dtype, like the staged
+        # operators (obs_operators._stack16); device steps upcast to f32
+        lv = np.float16 if f16_transfer_default() else f32
+        stack_lv = lambda arrs: np.stack([np.asarray(a, lv) for a in arrs])
         time_ctm, time_hour = _ctm_times(ctm_data)
 
         if kind == "amf":
@@ -348,14 +354,14 @@ class oisatgmi:
                 # reproducing the has_trop=False branch
                 trops.append(trop)
             return FullMonthInputs(
-                sat_pmid=stack([g.pressure_mid for g in grans]),
-                sat_sw=stack([g.scattering_weights for g in grans]),
+                sat_pmid=stack_lv([g.pressure_mid for g in grans]),
+                sat_sw=stack_lv([g.scattering_weights for g in grans]),
                 vcd=stack([g.vcd for g in grans]),
                 amf=stack([g.amf for g in grans]),
                 uncertainty=stack([g.uncertainty for g in grans]),
                 tropopause=stack(trops),
-                ctm_pmid=stack(pmids),
-                ctm_pc=stack(pcs),
+                ctm_pmid=stack_lv(pmids),
+                ctm_pc=stack_lv(pcs),
             ), make_full_month_step
 
         if kind == "ssmis":
@@ -370,7 +376,7 @@ class oisatgmi:
                     q = np.squeeze(np.nanmean(c.gas_profile, axis=0))
                 pcw.append(dp * q / 9.80665 / 10000.0)
             return SsmisMonthInputs(
-                water_pc=stack(pcw),
+                water_pc=stack_lv(pcw),
                 vcd=stack([g.vcd for g in grans]),
                 uncertainty=stack([g.uncertainty for g in grans]),
             ), make_ssmis_month_step
@@ -385,12 +391,12 @@ class oisatgmi:
             dps.append(dp)
         if sensor == "GOSAT":
             return GosatMonthInputs(
-                ctm_pmid=stack(pmids),
-                ctm_profile=stack(profs),
-                sat_pmid=stack([g.pressure_mid for g in grans]),
-                aks=stack([g.averaging_kernels for g in grans]),
-                apriori_profile=stack([g.apriori_profile for g in grans]),
-                pressure_weight=stack([g.pressure_weight for g in grans]),
+                ctm_pmid=stack_lv(pmids),
+                ctm_profile=stack_lv(profs),
+                sat_pmid=stack_lv([g.pressure_mid for g in grans]),
+                aks=stack_lv([g.averaging_kernels for g in grans]),
+                apriori_profile=stack_lv([g.apriori_profile for g in grans]),
+                pressure_weight=stack_lv([g.pressure_weight for g in grans]),
                 vcd=stack([g.vcd for g in grans]),
                 x_col=stack([g.x_col for g in grans]),
                 uncertainty=stack([g.uncertainty for g in grans]),
@@ -398,13 +404,13 @@ class oisatgmi:
         import jax.numpy as _jnp
 
         return MopittMonthInputs(
-            ctm_pmid=stack(pmids),
-            ctm_profile=stack(profs),
-            ctm_airpc=stack([np.asarray(air_partial_column(_jnp.asarray(d)))
-                             for d in dps]),
-            sat_pmid=stack([g.pressure_mid for g in grans]),
-            aks=stack([g.averaging_kernels for g in grans]),
-            apriori_profile=stack([g.apriori_profile for g in grans]),
+            ctm_pmid=stack_lv(pmids),
+            ctm_profile=stack_lv(profs),
+            ctm_airpc=stack_lv([np.asarray(air_partial_column(_jnp.asarray(d)))
+                                for d in dps]),
+            sat_pmid=stack_lv([g.pressure_mid for g in grans]),
+            aks=stack_lv([g.averaging_kernels for g in grans]),
+            apriori_profile=stack_lv([g.apriori_profile for g in grans]),
             aprior_col=stack([g.aprior_column for g in grans]),
             apriori_surface=stack([g.apriori_surface for g in grans]),
             vcd=stack([g.vcd for g in grans]),

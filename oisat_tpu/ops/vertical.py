@@ -186,5 +186,6 @@ def pwv_fields(pc, vcd):
     upscaled to the satellite grid); PWV = ``nansum(pc / 1e3)``, NaN-masked
     where the satellite vcd is NaN/inf.
     """
+    (pc,) = _at_least_f32(pc)
     pwv = _nansum0(pc / 1000.0)
     return jnp.where(jnp.isnan(vcd) | jnp.isinf(vcd), jnp.nan, pwv)
