@@ -262,6 +262,12 @@ class oisatgmi:
                      if g is not None and start <= g.time.date() < end]
             if not grans:
                 raise ValueError("no valid satellite granules to fuse")
+            if gasname == "O3":
+                # the staged pipeline converts the CTM O3 column to DU
+                # between averaging and OI (reference driver.py:62-63);
+                # the fused program has no hook for that, so fall back
+                raise ValueError("fused month path does not support the O3 "
+                                 "DU conversion")
             if any(g.ctm_upscaled_needed for g in grans):
                 raise ValueError("fused month path needs CTM-grid granules")
 
@@ -303,9 +309,13 @@ class oisatgmi:
             self.avg_time = __import__("datetime").datetime.fromtimestamp(avg_ts)
             from oisat_tpu.ops.diagnostics import innovation_stats
 
-            sa = (self.ctm_averaged_vcd * error_ctm / 100.0) ** 2
-            st = innovation_stats(jnp.asarray(self.ctm_averaged_vcd),
-                                  jnp.asarray(self.sat_averaged_vcd),
+            if sensor == "GOSAT":
+                # GOSAT assimilates the xcol pair (model VCD is NaN)
+                xa_d, y_d = self.aux2, self.aux1
+            else:
+                xa_d, y_d = self.ctm_averaged_vcd, self.sat_averaged_vcd
+            sa = (np.asarray(xa_d) * error_ctm / 100.0) ** 2
+            st = innovation_stats(jnp.asarray(xa_d), jnp.asarray(y_d),
                                   jnp.asarray(self.ctm_averaged_vcd_corrected),
                                   jnp.asarray(sa),
                                   jnp.asarray(self.sat_averaged_error**2))
@@ -322,7 +332,7 @@ class oisatgmi:
             _daily_ctm_slice,
             _match_daily,
         )
-        from oisat_tpu.ops.vertical import air_partial_column
+        from oisat_tpu.ops.vertical import GRAV, MAIR, N_A
         from oisat_tpu.parallel.analysis import (
             FullMonthInputs,
             GosatMonthInputs,
@@ -337,11 +347,20 @@ class oisatgmi:
         from oisat_tpu.regridder import f16_transfer_default
 
         f32 = np.float32
-        stack = lambda arrs: np.stack([np.asarray(a, f32) for a in arrs])
-        # per-level stacks take the narrow transfer dtype, like the staged
-        # operators (obs_operators._stack16); device steps upcast to f32
-        lv = np.float16 if f16_transfer_default() else f32
-        stack_lv = lambda arrs: np.stack([np.asarray(a, lv) for a in arrs])
+        narrow = f16_transfer_default()
+
+        def stack(arrs):
+            out = np.stack([np.asarray(a) for a in arrs])
+            # preserve f64 sources (parity/tests); everything else is f32
+            return out if out.dtype == np.float64 else out.astype(f32)
+
+        def stack_lv(arrs):
+            # per-level stacks take the narrow transfer dtype, like the
+            # staged operators (obs_operators._stack16): f32 -> f16 when
+            # enabled, f64 sources keep full precision
+            out = stack(arrs)
+            return out.astype(np.float16) if (narrow and out.dtype == f32) else out
+
         time_ctm, time_hour = _ctm_times(ctm_data)
 
         if kind == "amf":
@@ -401,13 +420,13 @@ class oisatgmi:
                 x_col=stack([g.x_col for g in grans]),
                 uncertainty=stack([g.uncertainty for g in grans]),
             ), make_gosat_month_step
-        import jax.numpy as _jnp
-
         return MopittMonthInputs(
             ctm_pmid=stack_lv(pmids),
             ctm_profile=stack_lv(profs),
-            ctm_airpc=stack_lv([np.asarray(air_partial_column(_jnp.asarray(d)))
-                                for d in dps]),
+            # host NumPy (no per-granule device dispatch), and NEVER f16:
+            # air partial columns are ~1e9 per layer, beyond f16 range
+            ctm_airpc=stack([np.asarray(d, np.float64) / GRAV / MAIR
+                             * N_A * 1e-4 * 1e-15 * 100.0 for d in dps]),
             sat_pmid=stack_lv([g.pressure_mid for g in grans]),
             aks=stack_lv([g.averaging_kernels for g in grans]),
             apriori_profile=stack_lv([g.apriori_profile for g in grans]),

@@ -265,7 +265,9 @@ def ak_conv_mopitt(ctm_data: list, sat_data: list):
         model_vcd, model_xcol = _ak_mopitt_batched(
             _stack16([it[2] for it in items]),
             _stack16([it[3] for it in items]),
-            _stack16([it[4] for it in items]),
+            # air partial columns are ~1e9 per layer — far beyond f16 range
+            # (unlike the satellite-stored f16 fields); keep full precision
+            stack([it[4] for it in items]),
             _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
             _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
             stack([np.asarray(sat_data[i].aprior_column) for i in gis]),

@@ -105,7 +105,14 @@ def test_job_runner_fused_month(tmp_path, monkeypatch):
         "run_job", os.path.join(os.path.dirname(__file__), "..", "run", "job.py"))
     run_job = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(run_job)
-    run_job.run_month(ctrl, 2019, 7)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        run_job.run_month(ctrl, 2019, 7)
+    # the fused path must actually have run, not silently fallen back
+    assert "fused month not applicable" not in buf.getvalue()
     from oisat_tpu.ncwriter import read_diag_nc
 
     fields, tstr = read_diag_nc(tmp_path / "diag" / "NO2_201907.nc")
@@ -249,3 +256,57 @@ def test_fused_ssmis_matches_staged(monkeypatch):
                               error_ctm=50.0)
     _compare(fused, staged, ("sat_averaged_vcd", "ctm_averaged_vcd",
                              "ctm_averaged_vcd_corrected", "error_OI"))
+
+
+def test_mopitt_xcol_survives_default_f16_transfers():
+    """Regression: air partial columns (~1e9 per layer) must NEVER take the
+    f16 transfer path — with the production default transfers ON, the
+    MOPITT model xcol must stay finite and match the full-precision result
+    to f16 profile-quantization tolerance (an f16 airpc would turn inf and
+    zero every xcol)."""
+    import datetime
+
+    from oisat_tpu.datamodel import satellite_opt
+    from oisat_tpu.obs_operators import ak_conv_mopitt
+    from tests.test_parity_composed import _eccoh_like_ctm
+
+    H, W, Ls = 8, 9, 5
+    ctm = _eccoh_like_ctm(H, W, nz=12, seed=6)
+    r = np.random.default_rng(0)
+    g = satellite_opt(
+        vcd=np.abs(r.normal(2, 0.5, (H, W))).astype("float32"),
+        time=datetime.datetime(2019, 7, 3, 12), tropopause=np.empty((1,)),
+        latitude_center=np.zeros((H, W)), longitude_center=np.zeros((H, W)),
+        uncertainty=np.full((H, W), 0.3, "float32"), quality_flag=[],
+        pressure_mid=np.sort(r.uniform(100, 900, (Ls, H, W)), axis=0)[::-1].copy().astype("float32"),
+        averaging_kernels=r.uniform(0, 0.5, (Ls + 1, H, W)).astype("float32"),
+        aprior_column=np.abs(r.normal(2, 0.3, (H, W))).astype("float32"),
+        apriori_profile=np.abs(r.normal(80, 15, (Ls, H, W))).astype("float32"),
+        surface_pressure=np.full((H, W), 1000.0, "float32"),
+        apriori_surface=np.abs(r.normal(90, 10, (H, W))).astype("float32"),
+        x_col=np.abs(r.normal(0.1, 0.02, (H, W))).astype("float32"),
+        pressure_weight=[], sensor="MOPITT", ctm_upscaled_needed=False)
+
+    import os
+
+    assert os.environ.get("OISAT_F16_TRANSFER") != "0"
+    out = ak_conv_mopitt([ctm], [copy.deepcopy(g)])[0]
+    assert np.isfinite(out.ctm_xcol).any()
+    assert np.nanmax(np.abs(out.ctm_xcol)) > 0  # not zeroed by an inf airpc
+
+    # fused path, same default transfers
+    fused = oisatgmi()
+    fused.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=[copy.deepcopy(g)])
+    fused.analyze_month_fused("MOPITT", "CO", "2019-07-01", "2019-08-01")
+    assert np.isfinite(fused.aux2).any()
+    np.testing.assert_allclose(fused.aux2[np.isfinite(fused.aux2)],
+                               out.ctm_xcol[np.isfinite(out.ctm_xcol)],
+                               rtol=5e-3)
+
+
+def test_fused_o3_falls_back():
+    """O3 months need the DU conversion between averaging and OI, which the
+    fused program has no hook for — it must refuse (staged fallback)."""
+    obj = _month_state(2)
+    with pytest.raises(ValueError, match="O3"):
+        obj.analyze_month_fused("OMI", "O3", "2019-07-01", "2019-08-01")
