@@ -217,6 +217,10 @@ def test_fused_gosat_matches_staged(monkeypatch):
                               error_ctm=50.0)
     # GOSAT assimilates the xcol pair; model VCD is intentionally NaN
     assert np.isnan(fused.ctm_averaged_vcd).all()
+    # ... and the diagnostics must therefore use the xcol pair, not the
+    # NaN model VCD (review finding: all-NaN chi2 in the diag attributes)
+    assert np.isfinite(fused.oi_diagnostics["chi2"])
+    assert fused.oi_diagnostics["n"] > 0
     _compare(fused, staged, ("sat_averaged_vcd", "aux1", "aux2",
                              "ctm_averaged_vcd_corrected", "error_OI"),
              rtol=1e-3, atol=1e-3)
