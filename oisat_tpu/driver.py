@@ -344,7 +344,7 @@ class oisatgmi:
             make_ssmis_month_step,
         )
 
-        from oisat_tpu.regridder import f16_transfer_default
+        from oisat_tpu.regridder import f16_transfer_default, fits_f16
 
         f32 = np.float32
         narrow = f16_transfer_default()
@@ -357,9 +357,12 @@ class oisatgmi:
         def stack_lv(arrs):
             # per-level stacks take the narrow transfer dtype, like the
             # staged operators (obs_operators._stack16): f32 -> f16 when
-            # enabled, f64 sources keep full precision
+            # enabled, f64 sources keep full precision; fields beyond f16
+            # range (OMPS column-as-pressure, MOPITT air columns) keep f32
             out = stack(arrs)
-            return out.astype(np.float16) if (narrow and out.dtype == f32) else out
+            if narrow and out.dtype == f32 and fits_f16(out):
+                return out.astype(np.float16)
+            return out
 
         time_ctm, time_hour = _ctm_times(ctm_data)
 

@@ -169,11 +169,16 @@ def _stack16(arrs):
     (the reference's own storage precision for these fields — SURVEY.md §2
     precision note); f64 sources and parity mode (OISAT_PARITY=1 /
     OISAT_F16_TRANSFER=0) keep full precision.  The device kernels upcast
-    to f32 for compute (ops/vertical._at_least_f32)."""
-    from oisat_tpu.regridder import f16_transfer_default
+    to f32 for compute (ops/vertical._at_least_f32).
+
+    Range guard: a field whose finite magnitude exceeds f16 range stays at
+    full precision — an unguarded cast overflows to inf and poisons the
+    interpolation (e.g. MOPITT air columns ~1e9, the OMPS
+    column-as-pressure quirk ~1e15; reference reader.py:1089)."""
+    from oisat_tpu.regridder import f16_transfer_default, fits_f16
 
     out = np.stack(arrs)
-    if out.dtype == np.float32 and f16_transfer_default():
+    if out.dtype == np.float32 and f16_transfer_default() and fits_f16(out):
         return jnp.asarray(out.astype(np.float16))
     return jnp.asarray(out)
 

@@ -36,7 +36,29 @@ from oisat_tpu.ops.weights import (
 )
 
 __all__ = ["Upscaler", "make_upscaler", "regrid_granule", "regrid_ssmis_granule",
-           "fast_swath_default"]
+           "fast_swath_default", "fits_f16", "F16_SAFE_MAX"]
+
+# Conservative float16 range guard (f16 max is 65504).  Fields whose finite
+# magnitude can exceed this must NEVER take the narrow transfer path: the
+# cast overflows to inf, and one inf abscissa NaNs a whole interpolation
+# column (ops/vertical.py non-finite guard).  Known offender: the OMPS
+# reader preserves the reference quirk of storing the column amount (~6e15)
+# as surface pressure (reference reader.py:1089), so its pressure_mid stack
+# is far beyond f16 range.
+F16_SAFE_MAX = 6.0e4
+
+
+def fits_f16(a) -> bool:
+    """True when every finite value of ``a`` is within safe float16 range
+    (all-NaN / empty arrays fit).  The narrowing guards below call this
+    per field, so out-of-range fields ride along at full precision."""
+    a = np.asarray(a)
+    if a.size == 0:
+        return True
+    with np.errstate(invalid="ignore"), __import__("warnings").catch_warnings():
+        __import__("warnings").simplefilter("ignore", RuntimeWarning)
+        m = np.nanmax(np.abs(a))
+    return not (m >= F16_SAFE_MAX)  # NaN max (all-NaN) -> fits
 
 
 def f16_transfer_default() -> bool:
@@ -180,17 +202,21 @@ def _stack(fields):
 
 
 @partial(jax.jit, static_argnames=("fine_shape", "ky", "kx", "passthrough"))
-def _regrid_device(batch, batch_lv, err, idx, w, mask, up_idx, up_w, up_mask,
+def _regrid_device(batch, batch_lv, batch_lv_wide, err, idx, w, mask,
+                   up_idx, up_w, up_mask,
                    fine_shape, ky: int, kx: int, passthrough: bool):
     """The whole per-granule device pipeline as ONE program: interp to the
     fine grid (value batch + error-variance field), box filter, map onto
     the CTM grid.  One remote dispatch per granule instead of ~6 (dispatch
     latency through the device tunnel dominates per-op execution).
 
-    ``batch_lv`` carries the per-level 3-D field stacks, possibly in a
-    narrower transfer dtype (see ``_regrid_fused``); it is upcast to the
-    compute dtype here and concatenated with the 2-D field batch."""
-    batch = jnp.concatenate([batch, batch_lv.astype(batch.dtype)], axis=0)
+    ``batch_lv`` carries the per-level 3-D field stack rows that fit the
+    narrow transfer dtype; ``batch_lv_wide`` the rows that exceed f16
+    range and travel at the compute dtype (see ``_regrid_fused``).  Both
+    are upcast and concatenated with the 2-D field batch; the host side
+    restores the original row order after retrieval."""
+    batch = jnp.concatenate([batch, batch_lv.astype(batch.dtype),
+                             batch_lv_wide.astype(batch.dtype)], axis=0)
     fine = apply_plan_arrays(batch, idx, w, mask).reshape(batch.shape[:-1] + fine_shape)
     fine_err = apply_plan_arrays(err, idx, w, mask).reshape(err.shape[:-1] + fine_shape)
     if passthrough:
@@ -202,6 +228,18 @@ def _regrid_device(batch, batch_lv, err, idx, w, mask, up_idx, up_w, up_mask,
     return out, out_err
 
 
+def _f16_row_mask(batch_lv) -> np.ndarray:
+    """Per-row f16-range fit for a (F, Npix) level-stack batch: True where
+    every finite value in the row is under :data:`F16_SAFE_MAX` (all-NaN
+    rows fit).  Rows that don't fit keep the compute dtype."""
+    if batch_lv.shape[0] == 0:
+        return np.zeros((0,), bool)
+    with np.errstate(invalid="ignore"), __import__("warnings").catch_warnings():
+        __import__("warnings").simplefilter("ignore", RuntimeWarning)
+        rowmax = np.nanmax(np.abs(batch_lv), axis=-1)
+    return ~(rowmax >= F16_SAFE_MAX)  # NaN rowmax (all-NaN row) -> True
+
+
 def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None):
     """Host wrapper: bucket-pad, run the fused program, return numpy.
 
@@ -210,9 +248,12 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None):
     very fields (scattering weights, pressures, profiles) in float16
     (reference reader.py:486-506, SURVEY.md §2 precision note), so an
     f16 transfer + f32 device compute strictly dominates its fidelity
-    while halving the dominant host->device traffic.  Full-precision
-    (float64 / parity and test) runs transfer everything at the compute
-    dtype."""
+    while halving the dominant host->device traffic.  Rows whose finite
+    magnitude exceeds f16 range (e.g. the OMPS column-as-pressure quirk,
+    reference reader.py:1089) are split out and travel at the compute
+    dtype — an unguarded cast would overflow to inf and NaN the whole
+    downstream AMF recalculation.  Full-precision (float64 / parity and
+    test) runs transfer everything at the compute dtype."""
     if batch_lv is None:
         batch_lv = np.zeros((0, batch.shape[-1]))
     n = batch.shape[-1]
@@ -228,17 +269,36 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None):
         up_mask = np.zeros((1,), bool)
     else:
         up_idx, up_w, up_mask = upsc.plan.idx, upsc.plan.w, upsc.plan.mask
-    lv_dtype = (np.float16 if (dtype == np.float32 and f16_transfer_default())
-                else dtype)
+    narrow = dtype == np.float32 and f16_transfer_default()
+    if narrow:
+        fit = _f16_row_mask(batch_lv)
+        lv16, lv_wide = batch_lv[fit], batch_lv[~fit]
+        lv_dtype = np.float16
+    else:
+        fit = np.ones((batch_lv.shape[0],), bool)
+        lv16, lv_wide = batch_lv, batch_lv[:0]
+        lv_dtype = dtype
     out, out_err = _regrid_device(
-        jnp.asarray(batch.astype(dtype)), jnp.asarray(batch_lv.astype(lv_dtype)),
+        jnp.asarray(batch.astype(dtype)), jnp.asarray(lv16.astype(lv_dtype)),
+        jnp.asarray(lv_wide.astype(dtype)),
         jnp.asarray(err_batch.astype(dtype)),
         jnp.asarray(plan.idx), jnp.asarray(plan.w), jnp.asarray(plan.mask),
         jnp.asarray(up_idx), jnp.asarray(up_w), jnp.asarray(up_mask),
         plan.out_shape, upsc.ky, upsc.kx, upsc.needed)
+    out = np.asarray(out)
+    if not fit.all():
+        # device row order is [2-D fields, fitting rows, wide rows];
+        # restore the caller's original row order
+        f2 = batch.shape[0]
+        order = np.concatenate([np.arange(f2), f2 + np.flatnonzero(fit),
+                                f2 + np.flatnonzero(~fit)])
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.size)
+        out = out[inv]
+    out_err = np.asarray(out_err)
     hw = plan.out_shape if upsc.needed else upsc.out_lat.shape
-    return (np.asarray(out).reshape(out.shape[:-1] + hw) if not upsc.needed else np.asarray(out),
-            np.asarray(out_err).reshape(out_err.shape[:-1] + hw) if not upsc.needed else np.asarray(out_err))
+    return (out.reshape(out.shape[:-1] + hw) if not upsc.needed else out,
+            out_err.reshape(out_err.shape[:-1] + hw) if not upsc.needed else out_err)
 
 
 def regrid_granule(

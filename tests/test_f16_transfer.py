@@ -1,0 +1,188 @@
+"""Production float16-transfer mode, end-to-end (VERDICT r2 items 1/3).
+
+The default production mode transfers per-level 3-D field stacks host->device
+as float16 (the reference's own storage precision for those fields).  Fields
+whose finite magnitude exceeds f16 range must NOT be narrowed: the cast
+overflows to inf and one inf abscissa NaNs whole interpolation columns
+(ops/vertical.py guard) — the OMPS reader's column-as-surface-pressure quirk
+(reference reader.py:1089, pressure_mid ~1e15) is the live case.  These tests
+run the production default (f16 ON) and assert finiteness + closeness to the
+full-precision path for OMPS, OMI-like and TEMPO granules, with
+RuntimeWarning promoted to an error so any overflow cast fails loudly.
+"""
+
+import datetime
+import warnings
+
+import numpy as np
+import pytest
+
+from oisat_tpu.datamodel import satellite_amf
+from oisat_tpu.regridder import F16_SAFE_MAX, fits_f16, regrid_granule
+from tests.test_pipeline import ctm_grid, synthetic_ctm
+
+
+def _production_f16(monkeypatch):
+    monkeypatch.setenv("OISAT_PARITY", "0")
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "1")
+
+
+def _full_precision(monkeypatch):
+    monkeypatch.setenv("OISAT_PARITY", "0")
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+
+
+def test_fits_f16_unit():
+    assert fits_f16(np.array([1.0, 6e4 - 1, np.nan], np.float32))
+    assert not fits_f16(np.array([1.0, 1e15], np.float32))
+    assert not fits_f16(np.array([-7e4], np.float32))
+    assert fits_f16(np.array([np.nan, np.nan]))  # all-NaN fits
+    assert fits_f16(np.zeros((0,)))  # empty fits
+    assert not fits_f16(np.array([np.inf]))  # inf source never narrows
+    assert F16_SAFE_MAX < np.finfo(np.float16).max
+
+
+def _omps_like_granule(seed=0, ny=60, nx=40, nz=8):
+    """An OMPS-shaped granule: pressure_mid carries the column-as-pressure
+    quirk (~6e15, reference reader.py:1089), far beyond f16 range."""
+    rng = np.random.default_rng(seed)
+    lat = np.linspace(30.5, 45.2, ny)[:, None] * np.ones((ny, nx))
+    lon = np.ones((ny, 1)) * np.linspace(-9.8, 9.9, nx)[None, :]
+    sur = np.full((ny, nx), 6.0e15)
+    frac = np.linspace(1.0, 0.05, nz)[:, None, None]
+    return satellite_amf(
+        vcd=np.abs(rng.normal(6, 1, (ny, nx))).astype(np.float32),
+        amf=np.full((ny, nx), 1.5, np.float32),
+        time=datetime.datetime(2019, 7, 5, 13, 30),
+        tropopause=np.empty((1,)),
+        latitude_center=lat, longitude_center=lon,
+        uncertainty=np.abs(rng.normal(2, 0.3, (ny, nx))).astype(np.float32),
+        quality_flag=np.ones((ny, nx)),
+        pressure_mid=(sur[None] * frac).astype(np.float32),
+        scattering_weights=np.abs(rng.normal(1, 0.2, (nz, ny, nx))).astype(np.float32),
+    )
+
+
+def _regrid(monkeypatch, mode, granule):
+    (_production_f16 if mode == "f16" else _full_precision)(monkeypatch)
+    clon, clat = ctm_grid()
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)  # overflow cast -> fail
+        return regrid_granule(2, 0.25, granule, clon, clat, flag_thresh=0.5,
+                              dtype=np.float32)
+
+
+def test_omps_regrid_f16_default_no_overflow(monkeypatch):
+    """The production f16 mode must keep the OMPS pressure stack finite and
+    match the full-precision path (the overflow made it inf -> NaN AMFs)."""
+    got16 = _regrid(monkeypatch, "f16", _omps_like_granule())
+    got32 = _regrid(monkeypatch, "full", _omps_like_granule())
+    m = np.isfinite(got32.pressure_mid)
+    assert m.sum() > 100
+    # out-of-range rows ride at full precision: identical, not just close
+    np.testing.assert_allclose(got16.pressure_mid[m], got32.pressure_mid[m],
+                               rtol=1e-6)
+    assert np.isfinite(got16.pressure_mid).sum() == m.sum()
+    # in-range rows (scattering weights) differ only by f16 quantization
+    msw = np.isfinite(got32.scattering_weights)
+    np.testing.assert_allclose(got16.scattering_weights[msw],
+                               got32.scattering_weights[msw], rtol=2e-3, atol=1e-6)
+
+
+def test_omps_amf_recal_f16_default_end_to_end(monkeypatch):
+    """Full OMPS chain under production defaults: regrid -> amf_recal must
+    produce a real analysis input (finite ctm_vcd / new_amf), matching the
+    full-precision path (reference amf_recal.py:93-119)."""
+    from oisat_tpu.obs_operators import amf_recal
+
+    ctm = synthetic_ctm()
+    outs = {}
+    for mode in ("f16", "full"):
+        g = _regrid(monkeypatch, mode, _omps_like_granule())
+        assert g is not None
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            outs[mode] = amf_recal([ctm], [g])[0]
+    m = np.isfinite(np.asarray(outs["full"].ctm_vcd))
+    assert m.sum() > 100, "full-precision OMPS chain must produce data"
+    got = np.asarray(outs["f16"].ctm_vcd)
+    assert np.isfinite(got[m]).all(), "f16 production mode NaN'd the OMPS analysis"
+    np.testing.assert_allclose(got[m], np.asarray(outs["full"].ctm_vcd)[m],
+                               rtol=2e-2, atol=1e-7)
+    # new_amf integrates the f16-quantized scattering weights against the
+    # degenerate OMPS pseudo-pressure geometry (all-extrapolation columns),
+    # amplifying the ~5e-4 quantization to a few percent; finiteness and
+    # the analysis input (ctm_vcd, above) are the load-bearing checks
+    mn = np.isfinite(np.asarray(outs["full"].new_amf))
+    np.testing.assert_allclose(np.asarray(outs["f16"].new_amf)[mn],
+                               np.asarray(outs["full"].new_amf)[mn],
+                               rtol=0.1, atol=0.05)
+
+
+def _amf_granule_f32(seed=1, ny=70, nx=45, nz=6, trop=True):
+    """OMI/TEMPO-like granule with in-range f32 fields (narrowed in prod)."""
+    rng = np.random.default_rng(seed)
+    lat = np.linspace(30.5, 45.2, ny)[:, None] * np.ones((ny, nx))
+    lon = np.ones((ny, 1)) * np.linspace(-9.8, 9.9, nx)[None, :]
+    return satellite_amf(
+        vcd=np.abs(rng.normal(3, 1, (ny, nx))).astype(np.float32),
+        amf=np.abs(rng.normal(2, 0.3, (ny, nx))).astype(np.float32),
+        time=datetime.datetime(2019, 7, 5, 13, 30),
+        tropopause=(rng.uniform(100, 200, (ny, nx)).astype(np.float32)
+                    if trop else np.empty((1,))),
+        latitude_center=lat, longitude_center=lon,
+        uncertainty=np.abs(rng.normal(1, 0.2, (ny, nx))).astype(np.float32),
+        quality_flag=np.ones((ny, nx)),
+        pressure_mid=np.sort(rng.uniform(100, 950, (nz, ny, nx)), axis=0)[::-1]
+        .copy().astype(np.float32),
+        scattering_weights=np.abs(rng.normal(1, 0.2, (nz, ny, nx))).astype(np.float32),
+    )
+
+
+@pytest.mark.parametrize("trop", [True, False], ids=["omi_hcho", "tempo_like"])
+def test_amf_sensor_f16_default_close_to_full(monkeypatch, trop):
+    """OMI-HCHO-like (tropopause) and TEMPO-like (no tropopause granule
+    here) chains: production f16 stays within quantization (~1e-2) of the
+    full-precision path, and loses no coverage."""
+    from oisat_tpu.obs_operators import amf_recal
+
+    ctm = synthetic_ctm()
+    outs = {}
+    for mode in ("f16", "full"):
+        g = _regrid(monkeypatch, mode, _amf_granule_f32(trop=trop))
+        assert g is not None
+        with warnings.catch_warnings():
+            warnings.simplefilter("error", RuntimeWarning)
+            outs[mode] = amf_recal([ctm], [g])[0]
+    ref = np.asarray(outs["full"].ctm_vcd)
+    got = np.asarray(outs["f16"].ctm_vcd)
+    m = np.isfinite(ref)
+    assert m.sum() > 200
+    assert np.isfinite(got).sum() >= m.sum()
+    np.testing.assert_allclose(got[m], ref[m], rtol=2e-2, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(outs["f16"].vcd)[m],
+                               np.asarray(outs["full"].vcd)[m],
+                               rtol=2e-2, atol=1e-6)
+
+
+def test_fused_inputs_stack_lv_range_guard(monkeypatch):
+    """driver._fused_inputs must keep out-of-range level stacks (the OMPS
+    pressure quirk) at f32 while still narrowing in-range stacks."""
+    from types import SimpleNamespace
+
+    from oisat_tpu.driver import oisatgmi
+
+    _production_f16(monkeypatch)
+    ctm = synthetic_ctm()
+    grans = []
+    for s in range(2):
+        g = _regrid(monkeypatch, "f16", _omps_like_granule(seed=s))
+        assert g is not None
+        grans.append(g)
+    obj = oisatgmi()
+    obj.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=grans)
+    inputs, _maker = obj._fused_inputs("amf", "OMPS", [ctm], grans)
+    assert inputs.sat_pmid.dtype == np.float32  # guarded: beyond f16 range
+    assert np.isfinite(np.asarray(inputs.sat_pmid, np.float64)).any()
+    assert inputs.sat_sw.dtype == np.float16  # in-range stack still narrows
+    assert inputs.ctm_pmid.dtype == np.float16
