@@ -188,12 +188,40 @@ def full_month_step(inputs: FullMonthInputs, bias_offset: float = 0.0,
                          error_ctm=error_ctm, curve_fn=curve_fn)
 
 
+def _pad_to_mesh(inputs, fields_cls, n_obs: int, n_grid: int):
+    """NaN-pad the granule axis (G, to a multiple of the 'obs' axis) and the
+    grid-row axis (H, to a multiple of the 'grid' axis) so ANY month shards
+    — real months have arbitrary granule counts and odd grid heights, and
+    ``in_shardings`` requires mesh-divisible global shapes.  NaN is the
+    missing-data channel throughout (padded granules/rows contribute nothing
+    to the nanmean statistics or the masked mean-AK curve)."""
+    import numpy as np
+
+    arrs = [np.asarray(x) for x in inputs]
+    g, h = arrs[0].shape[0], arrs[0].shape[-2]
+    gp = -(-g // n_obs) * n_obs
+    hp = -(-h // n_grid) * n_grid
+    if (gp, hp) == (g, h):
+        return inputs, h
+    out = []
+    for a in arrs:
+        pad = [(0, 0)] * a.ndim
+        pad[0] = (0, gp - g)
+        pad[-2] = (0, hp - h)
+        out.append(np.pad(a, pad, constant_values=np.nan))
+    return fields_cls(*out), h
+
+
 def _make_month_step(step_fn, fields_cls, mesh: Mesh, curve_impl: str,
                      curve_rows_per_tile: int, kwargs):
     """Generic maker: jit a month step over the mesh with granules sharded
     on 'obs', grid rows on 'grid', levels replicated.  Input field rank
     decides the spec: (G, H, W) -> (obs, grid, None); (G, L, H, W) ->
-    (obs, None, grid, None)."""
+    (obs, None, grid, None).
+
+    ``shard_inputs`` NaN-pads non-mesh-divisible G/H shapes (see
+    :func:`_pad_to_mesh`); the returned step crops its (H, W) outputs back
+    to the unpadded height, so callers never see the padding."""
     kwargs = _resolve_curve_kwargs(mesh, curve_impl, curve_rows_per_tile, kwargs)
     g3 = NamedSharding(mesh, P("obs", "grid", None))
     g4 = NamedSharding(mesh, P("obs", None, "grid", None))
@@ -201,12 +229,24 @@ def _make_month_step(step_fn, fields_cls, mesh: Mesh, curve_impl: str,
 
     in_sh = fields_cls(*({3: g3, 4: g4}[r] for r in rank))
     fn = jax.jit(partial(step_fn, **kwargs), in_shardings=(in_sh,))
+    n_obs = mesh.shape["obs"]
+    n_grid = mesh.shape["grid"]
+    true_h = {}
 
     def shard_inputs(inputs):
+        inputs, true_h["h"] = _pad_to_mesh(inputs, fields_cls, n_obs, n_grid)
         return fields_cls(*(jax.device_put(jnp.asarray(x), s)
                             for x, s in zip(inputs, in_sh)))
 
-    return fn, shard_inputs
+    def run(inputs):
+        out = fn(inputs)
+        h = true_h.get("h", inputs[0].shape[-2])
+        if h != out.sat_vcd.shape[-2]:
+            out = jax.tree.map(
+                lambda a: a[..., :h, :] if getattr(a, "ndim", 0) >= 2 else a, out)
+        return out
+
+    return run, shard_inputs
 
 
 def make_full_month_step(mesh: Mesh, curve_impl: str = "auto",

@@ -183,3 +183,44 @@ def test_ssmis_month_step_sharded_matches_single_device():
     assert int(got.oi.reg_index) == int(ref.oi.reg_index)
     np.testing.assert_allclose(np.asarray(got.oi.xb), np.asarray(ref.oi.xb),
                                rtol=1e-5, atol=1e-6, equal_nan=True)
+
+
+def test_month_step_pads_non_divisible_shapes():
+    """A real month has an arbitrary granule count and odd grid heights;
+    shard_inputs must NaN-pad (G, H) up to mesh-divisible shapes and the
+    step must crop back — numerics identical to the unsharded step
+    (padded NaN granules/rows are invisible to the nanmean statistics and
+    the masked mean-AK curve)."""
+    import __graft_entry__ as ge
+
+    inputs = ge._synthetic_full_month(G=5, H=17, W=24)
+    ref = full_month_step(inputs)
+    mesh = make_mesh(8)  # 2x4: neither G=5 nor H=17 divides
+    fn, shard = make_full_month_step(mesh)
+    got = fn(shard(inputs))
+    assert np.asarray(got.oi.xb).shape == (17, 24)
+    # f32 inputs: sharded reductions reorder sums (~1 ulp on the curve)
+    np.testing.assert_allclose(np.asarray(got.oi.curve), np.asarray(ref.oi.curve),
+                               rtol=1e-5)
+    assert int(got.oi.reg_index) == int(ref.oi.reg_index)
+    np.testing.assert_allclose(np.asarray(got.oi.xb), np.asarray(ref.oi.xb),
+                               rtol=1e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(got.scaling_factor),
+                               np.asarray(ref.scaling_factor), rtol=1e-5, atol=1e-7)
+
+
+def test_mesh_from_ctrl_key():
+    """The production mesh_devices control key reaches a real multi-device
+    mesh (VERDICT r2 item 2)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "run"))
+    from job import mesh_from_ctrl
+
+    assert mesh_from_ctrl({}) is None
+    assert mesh_from_ctrl({"mesh_devices": 1}) is None
+    m = mesh_from_ctrl({"mesh_devices": 8})
+    assert m.devices.size == 8 and set(m.axis_names) == {"obs", "grid"}
+    m = mesh_from_ctrl({"mesh_devices": "all"})
+    assert m.devices.size == len(jax.devices())
