@@ -262,14 +262,10 @@ class oisatgmi:
                      if g is not None and start <= g.time.date() < end]
             if not grans:
                 raise ValueError("no valid satellite granules to fuse")
-            if gasname == "O3":
-                # the staged pipeline converts the CTM O3 column to DU
-                # between averaging and OI (reference driver.py:62-63);
-                # the fused program has no hook for that, so fall back
-                raise ValueError("fused month path does not support the O3 "
-                                 "DU conversion")
-            if any(g.ctm_upscaled_needed for g in grans):
-                raise ValueError("fused month path needs CTM-grid granules")
+            # CTM O3 columns convert to DU between averaging and OI in the
+            # staged pipeline (reference driver.py:62-63); the fused program
+            # applies the same scale through analysis_step's ctm_scale hook
+            ctm_scale = 1.0 / (2.69e16 * 1e-15) if gasname == "O3" else 1.0
 
             kinds = {satellite_amf: "amf", satellite_opt: "opt",
                      satellite_ssmis: "ssmis"}
@@ -292,7 +288,8 @@ class oisatgmi:
                 mesh = make_mesh(1)
             inputs, maker = self._fused_inputs(kind, sensor, ctm_data, grans)
             fn, shard = maker(mesh, bias_offset=offset, bias_slope=slope,
-                              error_ctm=float(error_ctm))
+                              error_ctm=float(error_ctm),
+                              ctm_scale=float(ctm_scale))
             out = fn(shard(inputs))
 
             self.sat_averaged_vcd = np.asarray(out.sat_vcd, np.float64)
@@ -331,6 +328,7 @@ class oisatgmi:
             _ctm_times,
             _daily_ctm_slice,
             _match_daily,
+            _maybe_upscale,
         )
         from oisat_tpu.ops.vertical import GRAV, MAIR, N_A
         from oisat_tpu.parallel.analysis import (
@@ -396,7 +394,10 @@ class oisatgmi:
                 else:
                     dp = np.squeeze(np.nanmean(c.delta_p, axis=0))
                     q = np.squeeze(np.nanmean(c.gas_profile, axis=0))
-                pcw.append(dp * q / 9.80665 / 10000.0)
+                pc = dp * q / 9.80665 / 10000.0
+                if g.ctm_upscaled_needed:
+                    (pc,) = _maybe_upscale(ctm_data, g, [pc])
+                pcw.append(pc)
             return SsmisMonthInputs(
                 water_pc=stack_lv(pcw),
                 vcd=stack([g.vcd for g in grans]),
@@ -404,13 +405,21 @@ class oisatgmi:
             ), make_ssmis_month_step
 
         # opt sensors: MOPITT (vcd OI) vs GOSAT (xcol-pair OI)
-        pmids, profs, dps = [], [], []
+        pmids, profs, airpcs = [], [], []
+        airpc_scale = 1.0 / GRAV / MAIR * N_A * 1e-4 * 1e-15 * 100.0
         for g in grans:
             _, day = _match_daily(g.time, ctm_data, time_ctm)
             pmid, prof, dp = _daily_ctm_slice(ctm_data, day)
+            # host NumPy (no per-granule device dispatch)
+            airpc = np.asarray(dp, np.float64) * airpc_scale
+            if g.ctm_upscaled_needed:
+                # upscale the matched CTM slices onto the (finer) granule
+                # grid, like the staged operators (obs_operators)
+                pmid, prof, airpc = _maybe_upscale(ctm_data, g,
+                                                   [pmid, prof, airpc])
             pmids.append(pmid)
             profs.append(prof)
-            dps.append(dp)
+            airpcs.append(airpc)
         if sensor == "GOSAT":
             return GosatMonthInputs(
                 ctm_pmid=stack_lv(pmids),
@@ -426,10 +435,9 @@ class oisatgmi:
         return MopittMonthInputs(
             ctm_pmid=stack_lv(pmids),
             ctm_profile=stack_lv(profs),
-            # host NumPy (no per-granule device dispatch), and NEVER f16:
-            # air partial columns are ~1e9 per layer, beyond f16 range
-            ctm_airpc=stack([np.asarray(d, np.float64) / GRAV / MAIR
-                             * N_A * 1e-4 * 1e-15 * 100.0 for d in dps]),
+            # NEVER f16: air partial columns are ~1e9 per layer, beyond f16
+            # range (stack_lv's fits_f16 guard would also catch this)
+            ctm_airpc=stack(airpcs),
             sat_pmid=stack_lv([g.pressure_mid for g in grans]),
             aks=stack_lv([g.averaging_kernels for g in grans]),
             apriori_profile=stack_lv([g.apriori_profile for g in grans]),

@@ -83,15 +83,21 @@ def _sharded_pallas_curve(mesh: Mesh, axis: str, rows_per_tile: int):
 
 def analysis_step(inputs: AnalysisInputs, bias_offset: float = 0.0,
                   bias_slope: float = 1.0, error_ctm: float = 50.0,
-                  gosat_mode: bool = False, curve_fn=None) -> AnalysisOutputs:
-    """Monthly average + bias correction + OI update, one fused program."""
+                  gosat_mode: bool = False, ctm_scale: float = 1.0,
+                  curve_fn=None) -> AnalysisOutputs:
+    """Monthly average + bias correction + OI update, one fused program.
+
+    ``ctm_scale`` rescales the averaged CTM column between the averaging and
+    OI stages — the O3 DU-conversion hook (reference driver.py:62-63 divides
+    by 2.69e16*1e-15; pass ``ctm_scale=1/(2.69e16*1e-15)``)."""
     stats = monthly_stats(inputs.vcd, inputs.uncertainty, inputs.ctm_vcd,
                           inputs.aux1, inputs.aux2)
     sat_vcd = (stats.sat_vcd - bias_offset) / bias_slope
+    ctm_vcd = stats.ctm_vcd * ctm_scale
     if gosat_mode:
         xa, y = stats.aux2, stats.aux1  # xcol pair (reference driver.py:112-114)
     else:
-        xa, y = stats.ctm_vcd, sat_vcd
+        xa, y = ctm_vcd, sat_vcd
     sa = (xa * error_ctm / 100.0) ** 2
     so = stats.sat_error**2
     # curve engine: XLA lax.scan by default; under a mesh the maker below
@@ -101,7 +107,7 @@ def analysis_step(inputs: AnalysisInputs, bias_offset: float = 0.0,
     sf = res.xb / xa
     sf = jnp.where(jnp.isnan(sf) | jnp.isinf(sf) | (sf == 0.0), 1.0, sf)
     return AnalysisOutputs(sat_vcd=sat_vcd, sat_error=stats.sat_error,
-                           ctm_vcd=stats.ctm_vcd, aux1=stats.aux1, aux2=stats.aux2,
+                           ctm_vcd=ctm_vcd, aux1=stats.aux1, aux2=stats.aux2,
                            oi=res, scaling_factor=sf)
 
 
@@ -169,7 +175,7 @@ class FullMonthInputs(NamedTuple):
 
 def full_month_step(inputs: FullMonthInputs, bias_offset: float = 0.0,
                     bias_slope: float = 1.0, error_ctm: float = 50.0,
-                    curve_fn=None) -> AnalysisOutputs:
+                    ctm_scale: float = 1.0, curve_fn=None) -> AnalysisOutputs:
     """Observation operator + averaging + OI for a whole month, one program.
 
     This is the complete on-device compute of a reference month-job for a
@@ -185,7 +191,8 @@ def full_month_step(inputs: FullMonthInputs, bias_offset: float = 0.0,
     ai = AnalysisInputs(vcd=vcd_corr, uncertainty=inputs.uncertainty,
                         ctm_vcd=model_vcd, aux1=new_amf, aux2=inputs.amf)
     return analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
-                         error_ctm=error_ctm, curve_fn=curve_fn)
+                         error_ctm=error_ctm, ctm_scale=ctm_scale,
+                         curve_fn=curve_fn)
 
 
 def _pad_to_mesh(inputs, fields_cls, n_obs: int, n_grid: int):
@@ -283,7 +290,7 @@ MopittMonthInputs._field_ranks = (4, 4, 4, 4, 4, 4, 3, 3, 3, 3, 3)
 
 def mopitt_month_step(inputs: MopittMonthInputs, bias_offset: float = 0.0,
                       bias_slope: float = 1.0, error_ctm: float = 50.0,
-                      curve_fn=None) -> AnalysisOutputs:
+                      ctm_scale: float = 1.0, curve_fn=None) -> AnalysisOutputs:
     """AK convolution + averaging + OI for a MOPITT month, one program
     (the opt-sensor counterpart of :func:`full_month_step`; reference
     driver.py:45-51 conv_ak + :108-111 oi)."""
@@ -296,7 +303,8 @@ def mopitt_month_step(inputs: MopittMonthInputs, bias_offset: float = 0.0,
     ai = AnalysisInputs(vcd=inputs.vcd, uncertainty=inputs.uncertainty,
                         ctm_vcd=model_vcd, aux1=inputs.x_col, aux2=model_xcol)
     return analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
-                         error_ctm=error_ctm, curve_fn=curve_fn)
+                         error_ctm=error_ctm, ctm_scale=ctm_scale,
+                         curve_fn=curve_fn)
 
 
 def make_mopitt_month_step(mesh: Mesh, curve_impl: str = "auto",
@@ -325,7 +333,7 @@ GosatMonthInputs._field_ranks = (4, 4, 4, 4, 4, 4, 3, 3, 3)
 
 def gosat_month_step(inputs: GosatMonthInputs, bias_offset: float = 0.0,
                      bias_slope: float = 1.0, error_ctm: float = 50.0,
-                     curve_fn=None) -> AnalysisOutputs:
+                     ctm_scale: float = 1.0, curve_fn=None) -> AnalysisOutputs:
     """AK convolution + averaging + xcol-pair OI for a GOSAT month
     (reference ak_conv_gosat.py:8-146; model VCD stays NaN — :138)."""
     from oisat_tpu.ops.vertical import ak_conv_gosat_fields
@@ -338,7 +346,7 @@ def gosat_month_step(inputs: GosatMonthInputs, bias_offset: float = 0.0,
                         aux1=inputs.x_col, aux2=model_xcol)
     return analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
                          error_ctm=error_ctm, gosat_mode=True,
-                         curve_fn=curve_fn)
+                         ctm_scale=ctm_scale, curve_fn=curve_fn)
 
 
 def make_gosat_month_step(mesh: Mesh, curve_impl: str = "auto",
@@ -361,7 +369,7 @@ SsmisMonthInputs._field_ranks = (4, 3, 3)
 
 def ssmis_month_step(inputs: SsmisMonthInputs, bias_offset: float = 0.0,
                      bias_slope: float = 1.0, error_ctm: float = 50.0,
-                     curve_fn=None) -> AnalysisOutputs:
+                     ctm_scale: float = 1.0, curve_fn=None) -> AnalysisOutputs:
     """PWV + averaging + OI for an SSMIS month, one program."""
     from oisat_tpu.ops.vertical import pwv_fields
 
@@ -370,7 +378,8 @@ def ssmis_month_step(inputs: SsmisMonthInputs, bias_offset: float = 0.0,
     ai = AnalysisInputs(vcd=inputs.vcd, uncertainty=inputs.uncertainty,
                         ctm_vcd=pwv, aux1=nanlike, aux2=nanlike)
     return analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
-                         error_ctm=error_ctm, curve_fn=curve_fn)
+                         error_ctm=error_ctm, ctm_scale=ctm_scale,
+                         curve_fn=curve_fn)
 
 
 def make_ssmis_month_step(mesh: Mesh, curve_impl: str = "auto",

@@ -68,14 +68,9 @@ def run_month(ctrl, year: int, month: int):
                 obj.read_data(ctm_name, Path(ctrl["ctm_dir"]), gas, ctrl["ctm_freq"],
                               sensor + "_" + gas, Path(ctrl["sat_dir"]),
                               f"{year}{month:02}", tempo_hour=hour, **common)
-                obj.recal_amf()
-                if ctrl.get("save_daily"):
-                    obj.savedaily("./diag_mat/", gas, f"{year}{month:02}_{hour}UTC")
-                obj.average(start, end, gasname=gas,
-                            weighting=ctrl.get("averaging_weighting"))
-                obj.bias_correct(sensor, gas)
-                obj.oi(sensor, error_ctm=ctrl["ctm_error"],
-                       desroziers_iterations=ctrl.get("desroziers_iterations", 0))
+                # each TEMPO hour is just another fusable month of granules
+                _analyze(obj, ctrl, sensor, gas, start, end,
+                         savedaily=("./diag_mat/", f"{year}{month:02}_{hour}UTC"))
                 tag = f"{gas}_{year}{month:02}_{hour}UTC"
                 obj.reporting(tag, gas, ctrl["output_pdf_dir"])
                 obj.write_to_nc(tag, ctrl["output_nc_dir"])
@@ -86,38 +81,43 @@ def run_month(ctrl, year: int, month: int):
     obj = oisatgmi()
     obj.read_data(ctm_name, Path(ctrl["ctm_dir"]), gas, ctrl["ctm_freq"],
                   sensor + "_" + gas, Path(ctrl["sat_dir"]), f"{year}{month:02}", **common)
-    fused = False
+    _analyze(obj, ctrl, sensor, gas, start, end,
+             savedaily=(ctrl["output_nc_dir"], f"{year}_{month:02}"))
+    tag = f"{gas}_{year}{month:02}"
+    obj.reporting(tag, gas, ctrl["output_pdf_dir"])
+    obj.write_to_nc(tag, ctrl["output_nc_dir"])
+
+
+def _analyze(obj, ctrl, sensor, gas, start, end, savedaily):
+    """Fused-or-staged analysis for one batch of granules (a month, or one
+    TEMPO UTC hour).  The fused path runs the observation operator +
+    averaging + bias + OI as ONE device program (oisat_tpu/parallel) under
+    the control-selected mesh; months it can't express (mixed granule
+    shapes, no scattering weights) fall back to the staged pipeline."""
     if (ctrl.get("fused_month")
             and not ctrl.get("save_daily")
             and not ctrl.get("averaging_weighting")
             and not ctrl.get("desroziers_iterations")):
-        # the fused path runs AMF recal + averaging + bias + OI as ONE
-        # device program (oisat_tpu/parallel); falls back to the staged
-        # pipeline when the month isn't fusable
         try:
             obj.analyze_month_fused(sensor, gas, start, end,
                                     error_ctm=ctrl["ctm_error"],
                                     mesh=mesh_from_ctrl(ctrl))
-            fused = True
+            return
         except ValueError as e:
             print(f"fused month not applicable ({e}); running staged pipeline")
-    if not fused:
-        if sensor in ("MOPITT", "GOSAT"):
-            obj.conv_ak(sensor)
-        elif sensor == "SSMIS":
-            obj.cal_pwv()
-        else:
-            obj.recal_amf()
-        if ctrl.get("save_daily"):
-            obj.savedaily(ctrl["output_nc_dir"], gas, f"{year}_{month:02}")
-        obj.average(start, end, gasname=gas,
-                    weighting=ctrl.get("averaging_weighting"))
-        obj.bias_correct(sensor, gas)
-        obj.oi(sensor, error_ctm=ctrl["ctm_error"],
-               desroziers_iterations=ctrl.get("desroziers_iterations", 0))
-    tag = f"{gas}_{year}{month:02}"
-    obj.reporting(tag, gas, ctrl["output_pdf_dir"])
-    obj.write_to_nc(tag, ctrl["output_nc_dir"])
+    if sensor in ("MOPITT", "GOSAT"):
+        obj.conv_ak(sensor)
+    elif sensor == "SSMIS":
+        obj.cal_pwv()
+    else:
+        obj.recal_amf()
+    if ctrl.get("save_daily"):
+        obj.savedaily(savedaily[0], gas, savedaily[1])
+    obj.average(start, end, gasname=gas,
+                weighting=ctrl.get("averaging_weighting"))
+    obj.bias_correct(sensor, gas)
+    obj.oi(sensor, error_ctm=ctrl["ctm_error"],
+           desroziers_iterations=ctrl.get("desroziers_iterations", 0))
 
 
 if __name__ == "__main__":
