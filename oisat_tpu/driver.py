@@ -109,7 +109,7 @@ class oisatgmi:
             print("NOT applying the bias correction for satellite VCDs")
 
     def oi(self, sensor: str, error_ctm=50.0, method="scalar", length_scale_km=300.0,
-           desroziers_iterations=0):
+           desroziers_iterations=0, desroziers_bins=1):
         """The analysis update.
 
         ``method="scalar"`` (default) is the reference's per-cell diagonal
@@ -122,16 +122,19 @@ class oisatgmi:
         variances from the innovation/residual cross-moments (Desroziers
         2005) and re-run the update that many times; the diagnosed scales
         land in ``oi_diagnostics``.  The total innovation variance is
-        matched exactly (chi^2 -> 1); the Sa/So *split* inherits the
-        first-pass gain, the known identifiability limit of the scalar
-        diagonal case.
+        matched exactly (chi^2 -> 1); with one global bin the Sa/So *split*
+        inherits the first-pass gain, the known identifiability limit of
+        the scalar diagonal case.  ``desroziers_bins`` > 1 estimates the
+        scales per latitude band instead, breaking that degeneracy when the
+        true errors vary spatially (the per-bin scale range lands in
+        ``oi_diagnostics``).
         """
         with stage("oi"):
             self._oi_impl(sensor, error_ctm, method, length_scale_km,
-                          desroziers_iterations)
+                          desroziers_iterations, desroziers_bins)
 
     def _oi_impl(self, sensor, error_ctm, method="scalar", length_scale_km=300.0,
-                 desroziers_iterations=0):
+                 desroziers_iterations=0, desroziers_bins=1):
         if sensor != "GOSAT":
             xa, y = self.ctm_averaged_vcd, self.sat_averaged_vcd
         else:
@@ -190,27 +193,58 @@ class oisatgmi:
                     regularization_on=True)
         desroziers = None
         if desroziers_iterations:
-            from oisat_tpu.ops.diagnostics import desroziers_estimates
+            from oisat_tpu.ops.diagnostics import (
+                desroziers_binned,
+                desroziers_estimates,
+                lat_band_index,
+            )
 
-            sa_scale_total, so_scale_total = 1.0, 1.0
+            nb = int(desroziers_bins)
+            bins = None
+            if nb > 1:
+                lat = self.reader_obj.sat_data[self._first_valid()].latitude_center
+                bins = lat_band_index(lat, nb)
+            # scale maps start as 1 (global: scalars; binned: per-cell maps)
+            sa_scale_total = np.ones(()) if bins is None else np.ones_like(np.asarray(xa, np.float64))
+            so_scale_total = np.ones_like(sa_scale_total)
             # moments must see the innovation the solver assimilated (the
             # OI clips negative observations to 0)
             y_clip = np.where(np.asarray(y, np.float64) < 0, 0.0,
                               np.asarray(y, np.float64))
             for _ in range(int(desroziers_iterations)):
-                est = desroziers_estimates(jnp.asarray(xa), jnp.asarray(y_clip),
-                                           res.xb, jnp.asarray(sa), jnp.asarray(so))
-                sa = sa * float(est.sa_scale)
-                so = so * float(est.so_scale)
-                sa_scale_total *= float(est.sa_scale)
-                so_scale_total *= float(est.so_scale)
+                if bins is None:
+                    est = desroziers_estimates(jnp.asarray(xa), jnp.asarray(y_clip),
+                                               res.xb, jnp.asarray(sa), jnp.asarray(so))
+                    sa_step = float(est.sa_scale)
+                    so_step = float(est.so_scale)
+                else:
+                    est = desroziers_binned(jnp.asarray(xa), jnp.asarray(y_clip),
+                                            res.xb, jnp.asarray(sa), jnp.asarray(so),
+                                            bins, nb)
+                    sa_step = np.asarray(est.sa_scale, np.float64)[bins]
+                    so_step = np.asarray(est.so_scale, np.float64)[bins]
+                sa = sa * sa_step
+                so = so * so_step
+                sa_scale_total = sa_scale_total * sa_step
+                so_scale_total = so_scale_total * so_step
                 res = oi_op(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa),
                             jnp.asarray(so), regularization_on=True)
-            desroziers = {"desroziers_sa_scale": sa_scale_total,
-                          "desroziers_so_scale": so_scale_total,
-                          "desroziers_iterations": int(desroziers_iterations)}
-            print(f"Desroziers re-estimation: Sa x{sa_scale_total:.3g}, "
-                  f"So x{so_scale_total:.3g}")
+            desroziers = {
+                "desroziers_sa_scale": float(np.nanmean(sa_scale_total)),
+                "desroziers_so_scale": float(np.nanmean(so_scale_total)),
+                "desroziers_iterations": int(desroziers_iterations)}
+            if bins is not None:
+                desroziers.update({
+                    "desroziers_bins": nb,
+                    "desroziers_sa_scale_min": float(np.nanmin(sa_scale_total)),
+                    "desroziers_sa_scale_max": float(np.nanmax(sa_scale_total)),
+                    "desroziers_so_scale_min": float(np.nanmin(so_scale_total)),
+                    "desroziers_so_scale_max": float(np.nanmax(so_scale_total))})
+                self.desroziers_sa_scale_map = sa_scale_total
+                self.desroziers_so_scale_map = so_scale_total
+            print(f"Desroziers re-estimation ({nb} bin(s)): "
+                  f"Sa x{float(np.nanmean(sa_scale_total)):.3g}, "
+                  f"So x{float(np.nanmean(so_scale_total)):.3g}")
         print("The regularization factor is " + str(float(res.reg_factor)))
         self.ctm_averaged_vcd_corrected = np.asarray(res.xb)
         self.ak_OI = np.asarray(res.averaging_kernel)

@@ -13,13 +13,15 @@ NaN-aware, shard-friendly reductions.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
 __all__ = ["InnovationStats", "innovation_stats", "DesroziersEstimate",
-           "desroziers_estimates"]
+           "desroziers_estimates", "desroziers_binned", "lat_band_index"]
 
 
 class InnovationStats(NamedTuple):
@@ -105,3 +107,63 @@ def desroziers_estimates(xa, y, xb, sa, so) -> DesroziersEstimate:
                               so_scale=scale(so_hat, so_mean),
                               sa_scale=scale(sa_hat, sa_mean),
                               n=jnp.sum(m))
+
+
+def lat_band_index(lat2d, n_bins: int) -> np.ndarray:
+    """Uniform latitude-band labels (int32, same shape as ``lat2d``) for
+    :func:`desroziers_binned` — host NumPy, built once per analysis."""
+    lat = np.asarray(lat2d, np.float64)
+    lo = np.nanmin(lat)
+    span = max(float(np.nanmax(lat) - lo), 1e-12)
+    idx = np.floor((lat - lo) / span * n_bins).astype(np.int32)
+    return np.clip(idx, 0, n_bins - 1)
+
+
+@partial(jax.jit, static_argnames=("n_bins",))
+def desroziers_binned(xa, y, xb, sa, so, bins, n_bins: int) -> DesroziersEstimate:
+    """Spatially-binned Desroziers diagnostics: the cross-moments of
+    :func:`desroziers_estimates` evaluated per region label (e.g. latitude
+    bands from :func:`lat_band_index`), returning per-bin (B,) diagnosed
+    variances and scale factors.
+
+    What binning identifies — and what it cannot: for the scalar H=I
+    analysis, ``d_oa = (1-K) d_ob`` holds cell-by-cell, so the Sa/So
+    *split within a bin* is gain-determined (same identifiability limit as
+    the global estimator).  What the bins DO recover is the spatial
+    structure of the total error: each bin's diagnosed ``sa_hat + so_hat``
+    equals that bin's innovation variance exactly, so a north/south error
+    contrast shows up in the per-bin scales and per-band chi^2 converges
+    to 1 everywhere — the global estimator leaves the prescribed variances
+    spatially flat and per-band chi^2 wrong wherever the truth varies
+    (see tests/test_desroziers.py).  Segment-sum reductions — one pass,
+    shard-friendly.
+    """
+    xa, y, xb = jnp.asarray(xa), jnp.asarray(y), jnp.asarray(xb)
+    sa, so = jnp.asarray(sa), jnp.asarray(so)
+    bins = jnp.asarray(bins, jnp.int32).ravel()
+    m = (jnp.isfinite(xa) & jnp.isfinite(y) & jnp.isfinite(xb)
+         & jnp.isfinite(sa) & jnp.isfinite(so)).ravel()
+    w = m.astype(xa.dtype)
+    c = jax.ops.segment_sum(w, bins, num_segments=n_bins)
+
+    def bmean(v):
+        s = jax.ops.segment_sum(jnp.where(m, v.ravel(), 0.0), bins,
+                                num_segments=n_bins)
+        return jnp.where(c > 0, s / c, jnp.nan)
+
+    d_ob = (y - xa).ravel()
+    d_oa = (y - xb).ravel()
+    d_ab = (xb - xa).ravel()
+    so_hat = bmean(d_oa * d_ob)
+    sa_hat = bmean(d_ab * d_ob)
+    so_mean = bmean(so)
+    sa_mean = bmean(sa)
+
+    def scale(hat, mean):
+        s = hat / mean
+        ok = jnp.isfinite(s) & (s > 0)
+        return jnp.clip(jnp.where(ok, s, 1.0), 1e-4, 1e4)
+
+    return DesroziersEstimate(so_hat=so_hat, sa_hat=sa_hat,
+                              so_scale=scale(so_hat, so_mean),
+                              sa_scale=scale(sa_hat, sa_mean), n=c)

@@ -117,7 +117,8 @@ def _analyze(obj, ctrl, sensor, gas, start, end, savedaily):
                 weighting=ctrl.get("averaging_weighting"))
     obj.bias_correct(sensor, gas)
     obj.oi(sensor, error_ctm=ctrl["ctm_error"],
-           desroziers_iterations=ctrl.get("desroziers_iterations", 0))
+           desroziers_iterations=ctrl.get("desroziers_iterations", 0),
+           desroziers_bins=ctrl.get("desroziers_bins", 1))
 
 
 if __name__ == "__main__":

@@ -187,3 +187,92 @@ def test_inverse_variance_excludes_zero_uncertainty():
     w = _granule_weights(sel, "inverse_variance")
     got = monthly_stats_weighted(*map(jnp.asarray, (v, e, v, v, v, w)))
     np.testing.assert_allclose(np.asarray(got.sat_vcd), 2.0)  # granule 2 out
+
+
+def _north_south_analysis(H=64, W=96, seed=11):
+    """Truth + unbiased noise whose TRUE observation error std is 3x larger
+    in the north half; the prescribed So is uniform (wrong in both halves)."""
+    rng = np.random.default_rng(seed)
+    truth = np.abs(rng.normal(5, 0.5, (H, W)))
+    sig_b = 0.4
+    sig_o = np.where(np.arange(H)[:, None] >= H // 2, 0.6, 0.2) * np.ones((H, W))
+    xa = truth + rng.normal(0, sig_b, (H, W))
+    y = truth + rng.normal(0, 1.0, (H, W)) * sig_o
+    sa = np.full((H, W), sig_b**2)
+    so = np.full((H, W), 0.16)  # uniform prescription
+    lat = np.linspace(-45.0, 45.0, H)[:, None] * np.ones((H, W))
+    return xa, y, sa, so, lat
+
+
+def test_binned_desroziers_recovers_spatial_contrast():
+    """VERDICT r2 item 7: per-lat-band moments recover a prescribed
+    north/south error contrast the global estimator cannot (it rescales
+    uniformly by construction).  Identifiability honesty: for the scalar
+    H=I analysis the within-bin Sa/So split stays gain-determined
+    (d_oa = (1-K) d_ob cell-by-cell) — what the bins recover is the
+    spatial structure of the TOTAL error (per-band sa+so = per-band
+    innovation variance, per-band chi^2 -> 1)."""
+    from oisat_tpu.ops.diagnostics import desroziers_binned, lat_band_index
+
+    xa, y, sa, so, lat = _north_south_analysis()
+    bins = lat_band_index(lat, 2)
+    assert bins.min() == 0 and bins.max() == 1
+    res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so))
+    for _ in range(3):
+        est = desroziers_binned(xa, y, np.asarray(res.xb), sa, so, bins, 2)
+        sa = sa * np.asarray(est.sa_scale)[bins]
+        so = so * np.asarray(est.so_scale)[bins]
+        res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so))
+    south, north = slice(0, 32), slice(32, 64)
+    # the north/south contrast IS recovered (true totals: 0.20 vs 0.52)
+    tot_south = float(np.mean((sa + so)[south]))
+    tot_north = float(np.mean((sa + so)[north]))
+    assert tot_south == pytest.approx(0.4**2 + 0.2**2, rel=0.15)
+    assert tot_north == pytest.approx(0.4**2 + 0.6**2, rel=0.15)
+    assert float(np.mean(so[north])) / float(np.mean(so[south])) > 2.0
+    # per-band chi^2 consistency after the binned re-estimation
+    for half, sl in (("south", south), ("north", north)):
+        chi = float(innovation_stats(xa[sl], y[sl], np.asarray(res.xb)[sl],
+                                     sa[sl], so[sl]).chi2)
+        assert abs(chi - 1.0) < 0.15, (half, chi)
+
+
+def test_global_desroziers_cannot_recover_contrast():
+    """The degeneracy the binned estimator breaks: the global scalar scale
+    keeps the prescribed (uniform) So spatially flat, so per-band chi^2
+    stays wrong wherever the true errors vary."""
+    xa, y, sa, so, _lat = _north_south_analysis()
+    res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so))
+    for _ in range(3):
+        est = desroziers_estimates(xa, y, np.asarray(res.xb), sa, so)
+        sa = sa * float(est.sa_scale)
+        so = so * float(est.so_scale)
+        res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so))
+    assert float(np.std(so)) < 1e-12  # still uniform: no spatial structure
+    chi_s = float(innovation_stats(xa[:32], y[:32], np.asarray(res.xb)[:32],
+                                   sa[:32], so[:32]).chi2)
+    chi_n = float(innovation_stats(xa[32:], y[32:], np.asarray(res.xb)[32:],
+                                   sa[32:], so[32:]).chi2)
+    assert abs(chi_s - 1.0) > 0.25 and abs(chi_n - 1.0) > 0.25
+
+
+def test_driver_desroziers_bins_option():
+    """Driver plumbing: desroziers_bins estimates per-lat-band scales and
+    records the spread in oi_diagnostics."""
+    from types import SimpleNamespace
+
+    xa, y, sa, so, lat = _north_south_analysis()
+    obj = oisatgmi()
+    obj.ctm_averaged_vcd = xa
+    obj.sat_averaged_vcd = y
+    e = 100.0 * np.sqrt(np.mean(sa)) / np.mean(xa)
+    obj.sat_averaged_error = np.sqrt(so)
+    obj.aux1 = obj.aux2 = np.full_like(xa, np.nan)
+    obj.reader_obj = SimpleNamespace(
+        sat_data=[SimpleNamespace(latitude_center=lat)])
+    obj.oi("OMI", error_ctm=e, desroziers_iterations=3, desroziers_bins=2)
+    d = obj.oi_diagnostics
+    assert d["desroziers_bins"] == 2
+    assert d["desroziers_so_scale_max"] / d["desroziers_so_scale_min"] > 2.0
+    assert abs(d["chi2"] - 1.0) < 0.15
+    assert obj.desroziers_so_scale_map.shape == xa.shape

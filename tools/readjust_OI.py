@@ -8,7 +8,9 @@ broken (missing comma, readjust_OI.py:45-46) and it reads ``old_amf``/
 ``aux1``/``aux2``) — we read the aux pair and pass it through.
 
 Usage: python readjust_OI.py <diag_folder> <out_folder> [error_ctm_percent]
-       [--desroziers N]   (N passes of So/Sa re-estimation, extension)
+       [--desroziers N]       (N passes of So/Sa re-estimation, extension)
+       [--desroziers-bins B]  (estimate per latitude band, extension:
+                               recovers spatially-varying total error)
 """
 
 import glob
@@ -26,7 +28,8 @@ from oisat_tpu.ncwriter import read_diag_nc, write_diag_nc  # noqa: E402
 from oisat_tpu.ops.oi import oi  # noqa: E402
 
 
-def readjust(diag_folder, out_folder, error_ctm=50.0, desroziers_iterations=0):
+def readjust(diag_folder, out_folder, error_ctm=50.0, desroziers_iterations=0,
+             desroziers_bins=1):
     os.makedirs(out_folder, exist_ok=True)
     outputs = []
     for fname in sorted(glob.glob(os.path.join(str(diag_folder), "*.nc"))):
@@ -38,12 +41,27 @@ def readjust(diag_folder, out_folder, error_ctm=50.0, desroziers_iterations=0):
         sa = (xa * error_ctm / 100.0) ** 2
         res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so))
         y_clip = np.where(y < 0, 0.0, y)  # the innovation the OI assimilated
-        for _ in range(int(desroziers_iterations)):
-            from oisat_tpu.ops.diagnostics import desroziers_estimates
+        nb = int(desroziers_bins)
+        bins = None
+        if nb > 1:
+            from oisat_tpu.ops.diagnostics import lat_band_index
 
-            est = desroziers_estimates(xa, y_clip, np.asarray(res.xb), sa, so)
-            sa = sa * float(est.sa_scale)
-            so = so * float(est.so_scale)
+            bins = lat_band_index(np.asarray(fields["lat"], np.float64), nb)
+        for _ in range(int(desroziers_iterations)):
+            from oisat_tpu.ops.diagnostics import (
+                desroziers_binned,
+                desroziers_estimates,
+            )
+
+            if bins is None:
+                est = desroziers_estimates(xa, y_clip, np.asarray(res.xb), sa, so)
+                sa = sa * float(est.sa_scale)
+                so = so * float(est.so_scale)
+            else:
+                est = desroziers_binned(xa, y_clip, np.asarray(res.xb), sa, so,
+                                        bins, nb)
+                sa = sa * np.asarray(est.sa_scale, np.float64)[bins]
+                so = so * np.asarray(est.so_scale, np.float64)[bins]
             res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa),
                      jnp.asarray(so))
         xb = np.asarray(res.xb)
@@ -66,6 +84,7 @@ def readjust(diag_folder, out_folder, error_ctm=50.0, desroziers_iterations=0):
 if __name__ == "__main__":
     args = []
     des = 0
+    bins = 1
     it = iter(sys.argv[1:])
     for a in it:
         if a == "--desroziers":
@@ -75,9 +94,17 @@ if __name__ == "__main__":
             des = int(nxt)
         elif a.startswith("--desroziers="):
             des = int(a.split("=", 1)[1])
+        elif a == "--desroziers-bins":
+            nxt = next(it, None)
+            if nxt is None:
+                sys.exit("--desroziers-bins needs a value (number of bands)")
+            bins = int(nxt)
+        elif a.startswith("--desroziers-bins="):
+            bins = int(a.split("=", 1)[1])
         else:
             args.append(a)
     if len(args) < 2:
         sys.exit(__doc__)
     err = float(args[2]) if len(args) > 2 else 50.0
-    readjust(args[0], args[1], err, desroziers_iterations=des)
+    readjust(args[0], args[1], err, desroziers_iterations=des,
+             desroziers_bins=bins)
