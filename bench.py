@@ -115,7 +115,12 @@ def main(curve_impl="auto", metric_name="oi_analysis_throughput"):
     out = step(*fields32)
     np.asarray(out.xb)  # compile + settle
 
-    t_tpu = _marginal(lambda: step(*fields32), lambda o: np.asarray(o.xb))
+    # tunnel contention makes single measurements swing ~40% (787M vs
+    # 1.09G across rounds); measure 3 independent estimates and report
+    # the median with the spread (VERDICT r2 item 8)
+    ts = sorted(_marginal(lambda: step(*fields32), lambda o: np.asarray(o.xb))
+                for _ in range(3))
+    t_tpu = ts[1]
 
     # sanity: same knee, fields agree where finite
     xb_t = np.asarray(out.xb, np.float64)
@@ -126,6 +131,8 @@ def main(curve_impl="auto", metric_name="oi_analysis_throughput"):
     _emit(metric_name, round(value, 1), "grid-cells/sec", round(vs_baseline, 2), {
         "grid": [H, W],
         "tpu_ms": round(t_tpu * 1e3, 2),
+        "tpu_ms_spread": [round(t * 1e3, 2) for t in ts],
+        "cells_per_s_range": [round(cells / ts[2], 1), round(cells / ts[0], 1)],
         "numpy_ms": round(t_np * 1e3, 2),
         "curve_impl": curve_impl,
         "max_rel_diff_vs_f64_reference": float(agree),
@@ -228,6 +235,32 @@ def bench_regrid(fast: bool, orbits=8):
     return t
 
 
+def bench_regrid_pipelined(orbits=8):
+    """The PRODUCTION regrid path: orbits dispatched through
+    readers.sensors.common.fleet_map, which pipelines 2-deep (granule k+1's
+    host build overlaps granule k's device transfer/collect — VERDICT r2
+    item 4).  Effective s/orbit should drop materially below the
+    sequential fast row on a transfer-bound link."""
+    clat = np.arange(20.0, 60.0, 0.25)
+    clon = np.arange(-20.0, 10.0, 0.25)
+    clon2, clat2 = np.meshgrid(clon, clat)
+
+    from oisat_tpu.readers.sensors.common import fleet_map
+    from oisat_tpu.regridder import regrid_granule
+
+    reader = lambda s: regrid_granule(1, 0.25, _synthetic_orbit(s), clon2, clat2,
+                                      flag_thresh=0.0, fast_swath=True)
+    reader(0)  # compile + warm caches
+    t0 = time.perf_counter()
+    outs = fleet_map(reader, list(range(1, orbits + 1)), 1, "bench")
+    t = (time.perf_counter() - t0) / orbits
+    assert all(o is not None for o in outs)
+    _emit("regrid_orbit_fast_pipelined", round(t * 1e3, 1), "ms/orbit", None,
+          {"fields": 74, "swath": [1644, 60], "grid_deg": 0.25,
+           "orbits": orbits, "pipeline": "fleet_map 2-deep"})
+    return t
+
+
 def bench_matfree(n_cells=64800):
     """64k-cell matrix-free full-covariance OI (VERDICT r1 item 6): one CG
     solve + colored-probing posterior diagonal on a 1-deg global grid."""
@@ -325,6 +358,142 @@ def bench_month(orbits=60, fused=False):
            "reference_budget_s": 43200})
 
 
+def bench_year(orbits=60):
+    """The BASELINE north star measured, not projected (VERDICT r2 item 3):
+    a full synthetic year — 12 months x all FOUR granule kinds (OMI-like
+    AMF sensor with the real swath regrid, MOPITT CO AK-convolution, GOSAT
+    XCH4, SSMIS PWV) — in ONE process.  Months 2..12 reuse month 1's
+    compiled programs: this in-process sweep replaces the reference's 48
+    independent cluster jobs (4 sensors x 12 months, 12 h/month budget —
+    reference run/job_submitter_sbatch.py:45-68).  Emits ONE JSON row:
+    total wall seconds, with per-kind month medians and the month-1
+    (compile) vs steady-month split (the claimed campaign.py benefit,
+    now measured)."""
+    import datetime
+    from concurrent.futures import ThreadPoolExecutor
+    from types import SimpleNamespace
+
+    from oisat_tpu.datamodel import satellite_opt, satellite_ssmis
+    from oisat_tpu.driver import oisatgmi
+    from oisat_tpu.regridder import regrid_granule
+
+    clat = np.arange(20.0, 60.0, 0.25)
+    clon = np.arange(-20.0, 10.0, 0.25)
+    clon2, clat2 = np.meshgrid(clon, clat)
+    hw = clat2.shape
+    nz, ls = 20, 9
+    rng = np.random.default_rng(0)
+    pm3 = np.sort(rng.uniform(60, 1000, (nz,) + hw), axis=0)[::-1]
+
+    def ctm(month):
+        return SimpleNamespace(
+            ctmtype="FREE", averaged=True, latitude=clat2, longitude=clon2,
+            time=[datetime.datetime(2019, month, 15, h) for h in range(0, 24, 3)],
+            pressure_mid=pm3, delta_p=np.full((nz,) + hw, 40.0),
+            gas_profile=np.abs(rng.normal(2, 0.5, (nz,) + hw)))
+
+    def omi_month(month):
+        def one(s):
+            g = _synthetic_orbit(s + 100 * month, ny=822, nx=60)
+            g = regrid_granule(1, 0.25, g, clon2, clat2, flag_thresh=0.0)
+            if g is not None:
+                g.time = datetime.datetime(2019, month, 1 + (s % 28), 12)
+            return g
+
+        # the production fleet_map pipeline shape: 2-deep overlap
+        with ThreadPoolExecutor(max_workers=2) as ex:
+            return [g for g in ex.map(one, range(orbits)) if g is not None]
+
+    def mopitt_month(month, G=28):
+        r = np.random.default_rng(1000 + month)
+        f32 = "float32"
+
+        def gran(day):
+            vcd = np.abs(r.normal(2, 0.5, hw))
+            vcd[r.random(hw) < 0.2] = np.nan
+            return satellite_opt(
+                vcd=vcd.astype(f32), time=datetime.datetime(2019, month, 1 + day, 12),
+                tropopause=np.empty((1,)), latitude_center=clat2, longitude_center=clon2,
+                uncertainty=np.abs(r.normal(0.3, 0.05, hw)).astype(f32), quality_flag=[],
+                pressure_mid=np.sort(r.uniform(100, 900, (ls,) + hw), axis=0)[::-1].copy().astype(f32),
+                averaging_kernels=r.uniform(0, 0.5, (ls + 1,) + hw).astype(f32),
+                aprior_column=np.abs(r.normal(2, 0.3, hw)).astype(f32),
+                apriori_profile=np.abs(r.normal(80, 15, (ls,) + hw)).astype(f32),
+                surface_pressure=np.full(hw, 1000.0, f32),
+                apriori_surface=np.abs(r.normal(90, 10, hw)).astype(f32),
+                x_col=np.abs(r.normal(0.1, 0.02, hw)).astype(f32),
+                pressure_weight=[], sensor="MOPITT", ctm_upscaled_needed=False)
+
+        return [gran(d) for d in range(G)]
+
+    def gosat_month(month, G=28):
+        r = np.random.default_rng(2000 + month)
+        f32 = "float32"
+
+        def gran(day):
+            x_col = np.abs(r.normal(1.8, 0.1, hw))
+            x_col[r.random(hw) < 0.3] = np.nan
+            return satellite_opt(
+                vcd=np.abs(r.normal(2, 0.5, hw)).astype(f32),
+                time=datetime.datetime(2019, month, 1 + day, 12),
+                tropopause=np.empty((1,)), latitude_center=clat2, longitude_center=clon2,
+                uncertainty=np.abs(r.normal(0.05, 0.01, hw)).astype(f32), quality_flag=[],
+                pressure_mid=np.sort(r.uniform(100, 900, (ls,) + hw), axis=0)[::-1].copy().astype(f32),
+                averaging_kernels=r.uniform(0.2, 1.0, (ls,) + hw).astype(f32),
+                aprior_column=np.zeros(hw, f32),
+                apriori_profile=np.abs(r.normal(1.7, 0.1, (ls,) + hw)).astype(f32),
+                surface_pressure=np.zeros(hw, f32), apriori_surface=np.zeros(hw, f32),
+                x_col=x_col.astype(f32),
+                pressure_weight=np.full((ls,) + hw, 1.0 / ls, f32),
+                sensor="GOSAT", ctm_upscaled_needed=False)
+
+        return [gran(d) for d in range(G)]
+
+    def ssmis_month(month, G=28):
+        r = np.random.default_rng(3000 + month)
+
+        def gran(day):
+            vcd = np.abs(r.normal(20, 5, hw))
+            vcd[r.random(hw) < 0.2] = np.nan
+            return satellite_ssmis(
+                vcd=vcd.astype("float32"),
+                uncertainty=np.abs(r.normal(1.0, 0.2, hw)).astype("float32"),
+                time=datetime.datetime(2019, month, 1 + day, 12),
+                latitude_center=clat2, longitude_center=clon2,
+                ctm_upscaled_needed=False, ctm_vcd=[], sensor="SSMIS")
+
+        return [gran(d) for d in range(G)]
+
+    plan = [("OMI", "NO2", omi_month), ("MOPITT", "CO", mopitt_month),
+            ("GOSAT", "CH4", gosat_month), ("SSMIS", "PWV", ssmis_month)]
+    month_times = {sensor: [] for sensor, *_ in plan}
+    t_year0 = time.perf_counter()
+    for month in range(1, 13):
+        c = [ctm(month)]
+        end = f"2019-{month + 1:02}-01" if month < 12 else "2020-01-01"
+        for sensor, gas, maker in plan:
+            t0 = time.perf_counter()
+            grans = maker(month)
+            obj = oisatgmi()
+            obj.reader_obj = SimpleNamespace(ctm_data=c, sat_data=grans)
+            obj.analyze_month_fused(sensor, gas, f"2019-{month:02}-01", end)
+            np.asarray(obj.ctm_averaged_vcd_corrected)
+            month_times[sensor].append(time.perf_counter() - t0)
+    total = time.perf_counter() - t_year0
+    med = {k: round(sorted(v)[len(v) // 2], 2) for k, v in month_times.items()}
+    first = round(sum(v[0] for v in month_times.values()), 1)
+    steady = round(sum(med.values()), 2)
+    # reference budget: 4 sensors x 12 months x 12 h cluster jobs
+    _emit("full_year_all_sensor", round(total, 1), "s",
+          round(48 * 43200.0 / total, 0),
+          {"months": 12, "kinds": 4, "omi_orbits_per_month": orbits,
+           "median_month_s_per_kind": med,
+           "first_month_all_kinds_s": first,
+           "steady_month_all_kinds_s": steady,
+           "compile_amortization_x": round(first / max(steady, 1e-9), 2),
+           "reference_budget_s": 48 * 43200})
+
+
 def run_all():
     main()  # headline: auto curve engine
     main(curve_impl="xla", metric_name="oi_analysis_throughput_xla")
@@ -334,6 +503,7 @@ def run_all():
     t_parity = bench_regrid(fast=False)
     t_fast = bench_regrid(fast=True)
     _emit("regrid_fast_speedup", round(t_parity / t_fast, 2), "x", None, {})
+    bench_regrid_pipelined()
     bench_matfree()
     bench_month()
     bench_month(fused=True)
@@ -346,5 +516,7 @@ if __name__ == "__main__":
         run_all()
     elif "--month" in sys.argv:
         bench_month()
+    elif "--year" in sys.argv:
+        bench_year()
     else:
         main()

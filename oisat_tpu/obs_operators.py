@@ -111,6 +111,7 @@ def _geom_key(lon2d, lat2d):
 _UPSCALER_CACHE_MAX = 32  # regular-grid sensors key-collapse to ~1 entry;
 # per-granule geometries (e.g. a TEMPO L2 campaign) churn through, so bound it.
 _upscaler_cache = __import__("collections").OrderedDict()
+_upscaler_lock = __import__("threading").Lock()  # fleet_map runs 2-deep
 
 
 def _ctm_to_sat_upscaler(ctm_data, granule):
@@ -120,9 +121,10 @@ def _ctm_to_sat_upscaler(ctm_data, granule):
     cache = _upscaler_cache
     key = (_geom_key(ctm_data[0].longitude, ctm_data[0].latitude),
            _geom_key(granule.longitude_center, granule.latitude_center))
-    if key in cache:
-        cache.move_to_end(key)
-        return cache[key]
+    with _upscaler_lock:
+        if key in cache:
+            cache.move_to_end(key)
+            return cache[key]
     sat_lon, sat_lat = granule.longitude_center, granule.latitude_center
     threshold_sat = diag_threshold(sat_lon, sat_lat)
     gridsize_ctm = diag_threshold(ctm_data[0].longitude, ctm_data[0].latitude)
@@ -130,9 +132,10 @@ def _ctm_to_sat_upscaler(ctm_data, granule):
         ctm_data[0].longitude, ctm_data[0].latitude, sat_lon, sat_lat,
         gridsize_ctm, threshold_sat, method=4, far_factor=2.0,
     )
-    cache[key] = up
-    while len(cache) > _UPSCALER_CACHE_MAX:
-        cache.popitem(last=False)
+    with _upscaler_lock:
+        cache[key] = up
+        while len(cache) > _UPSCALER_CACHE_MAX:
+            cache.popitem(last=False)
     return up
 
 

@@ -41,7 +41,15 @@ def pmid_from_eta_edges(eta_a, eta_b, ps):
 def fleet_map(reader, files, num_job, label):
     """Per-granule fault-tolerant fan-out (the reference's joblib role,
     reader.py:1327-1463): any failing file becomes None and the month
-    continues."""
+    continues.
+
+    Pipelining: even with ``num_job=1`` the map runs 2-deep — granule k
+    blocks inside its device transfer/collect (``np.asarray`` releases the
+    GIL) while granule k+1's file read + host weight build proceed.  On a
+    tunnel-attached chip the regrid path is H2D/D2H-transfer-bound
+    (BASELINE.md), so this submit/collect overlap, not host parallelism,
+    is what shortens the month; ``num_job > 2`` widens the pool for real
+    multi-core hosts as before."""
 
     def safe(f):
         try:
@@ -51,9 +59,9 @@ def fleet_map(reader, files, num_job, label):
             traceback.print_exc()
             return None
 
-    if num_job <= 1 or len(files) <= 1:
+    if len(files) <= 1:
         return [safe(f) for f in files]
-    with ThreadPoolExecutor(max_workers=num_job) as ex:
+    with ThreadPoolExecutor(max_workers=max(2, num_job)) as ex:
         return list(ex.map(safe, files))
 
 

@@ -134,6 +134,9 @@ def _geom_key(lon2d, lat2d):
 
 _UPSCALER_CACHE_MAX = 16
 _upscaler_cache = __import__("collections").OrderedDict()
+# fleet_map runs readers 2-deep (transfer/compute overlap), so the LRU
+# bookkeeping below must be guarded
+_upscaler_lock = __import__("threading").Lock()
 
 
 def make_upscaler(
@@ -164,10 +167,11 @@ def make_upscaler(
             fast = fast_swath_default()
         key = (_geom_key(src_lon2d, src_lat2d), _geom_key(tgt_lon2d, tgt_lat2d),
                float(grid_size), float(threshold), method, float(far_factor), fast)
-        cached = _upscaler_cache.get(key)
-        if cached is not None:
-            _upscaler_cache.move_to_end(key)
-            return cached
+        with _upscaler_lock:
+            cached = _upscaler_cache.get(key)
+            if cached is not None:
+                _upscaler_cache.move_to_end(key)
+                return cached
         kx = max(int(np.floor(tgt_dlon / grid_size)), 1)
         ky = max(int(np.floor(tgt_dlat / grid_size)), 1)
         plan = None
@@ -181,9 +185,10 @@ def make_upscaler(
                 method=method, threshold=threshold, far_factor=far_factor,
             )
         up = Upscaler(False, ky, kx, plan, tgt_lon2d, tgt_lat2d)
-        _upscaler_cache[key] = up
-        while len(_upscaler_cache) > _UPSCALER_CACHE_MAX:
-            _upscaler_cache.popitem(last=False)
+        with _upscaler_lock:
+            _upscaler_cache[key] = up
+            while len(_upscaler_cache) > _UPSCALER_CACHE_MAX:
+                _upscaler_cache.popitem(last=False)
         return up
     return Upscaler(True, 1, 1, None, src_lon2d, src_lat2d)
 

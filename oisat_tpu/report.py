@@ -3,8 +3,10 @@
 Same report content and layout — a title page followed by one map per
 field, with the reference's per-gas color ranges and units — but built on
 matplotlib's PdfPages instead of Basemap+fpdf (Basemap is deprecated and
-fpdf is unavailable; coastlines are drawn from matplotlib's built-in data
-when cartopy exists, otherwise omitted).
+fpdf is unavailable).  Every panel gets coastlines like the reference's
+Basemap maps, drawn from the vendored polylines in
+:mod:`oisat_tpu.data` (survey-grade ``coastlines.npz`` when present —
+see tools/make_coastlines.py — otherwise the built-in approximate set).
 """
 
 from __future__ import annotations
@@ -21,7 +23,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 from matplotlib.backends.backend_pdf import PdfPages  # noqa: E402
 from matplotlib.ticker import FormatStrFormatter  # noqa: E402
 
-__all__ = ["plotter", "report"]
+__all__ = ["plotter", "report", "draw_coastlines"]
 
 _UNIT_LABELS = {
     1: r"$[\times 10^{15} molec.cm^{-2}]$",
@@ -52,12 +54,41 @@ _GAS_RANGES = {
 }
 
 
+def draw_coastlines(ax, lon_min, lon_max, lat_min, lat_max):
+    """Overlay the vendored coastline polylines on one panel, clipped to
+    the map extent (the reference drew every panel on a coastline Basemap,
+    reference report.py:33-38)."""
+    from oisat_tpu.data import coastline_segments
+
+    pad_x = 0.02 * max(lon_max - lon_min, 1e-9)
+    pad_y = 0.02 * max(lat_max - lat_min, 1e-9)
+    for seg in coastline_segments():
+        inside = ((seg[:, 0] >= lon_min - pad_x) & (seg[:, 0] <= lon_max + pad_x)
+                  & (seg[:, 1] >= lat_min - pad_y) & (seg[:, 1] <= lat_max + pad_y))
+        if not inside.any():
+            continue
+        # keep vertices adjacent to in-extent ones so lines run off-frame
+        # instead of stopping at the last inside vertex
+        keep = inside.copy()
+        keep[:-1] |= inside[1:]
+        keep[1:] |= inside[:-1]
+        x = np.where(keep, seg[:, 0], np.nan)
+        y = np.where(keep, seg[:, 1], np.nan)
+        ax.plot(x, y, color="black", linewidth=0.8, solid_capstyle="round",
+                zorder=3)
+    ax.set_xlim(lon_min, lon_max)
+    ax.set_ylim(lat_min, lat_max)
+
+
 def plotter(X, Y, Z, ax, title: str, unit: int, vmin, vmax):
     """One map panel (reference report.py:13-59)."""
+    lon_min, lon_max = float(np.nanmin(X)), float(np.nanmax(X))
+    lat_min, lat_max = float(np.nanmin(Y)), float(np.nanmax(Y))
     im = ax.imshow(np.asarray(Z, float), origin="lower",
-                   extent=[np.nanmin(X), np.nanmax(X), np.nanmin(Y), np.nanmax(Y)],
+                   extent=[lon_min, lon_max, lat_min, lat_max],
                    interpolation="nearest", aspect="auto", vmin=vmin, vmax=vmax,
                    cmap="rainbow")
+    draw_coastlines(ax, lon_min, lon_max, lat_min, lat_max)
     ax.set_xlabel("Lon", fontsize=14)
     ax.set_ylabel("Lat", fontsize=14)
     ax.xaxis.set_major_formatter(FormatStrFormatter("%.1f"))
