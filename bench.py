@@ -306,22 +306,22 @@ def bench_month(orbits=60, fused=False):
     hw = clat2.shape
 
     def run_once():
-        from concurrent.futures import ThreadPoolExecutor
+        from oisat_tpu.readers.sensors.common import fleet_map
 
         t_start = time.perf_counter()
 
         def one(s):
             g = _synthetic_orbit(s, ny=822, nx=60)  # half orbits: 30-day pace
-            g = regrid_granule(1, 0.25, g, clon2, clat2, flag_thresh=0.0)
+            return regrid_granule(1, 0.25, g, clon2, clat2, flag_thresh=0.0)
+
+        # the production path: fleet_map's single-threaded submit/collect
+        # double-buffer (device computes orbit k while the host builds k+1)
+        outs = fleet_map(one, list(range(orbits)), 1, "bench-month")
+        grans = []
+        for s, g in enumerate(outs):
             if g is not None:
                 g.time = datetime.datetime(2019, 7, 1 + (s % 28), 12)
-            return g
-
-        # 2 workers = the production fleet_map shape (num_job > 1): the
-        # host weight build of orbit i+1 overlaps orbit i's device
-        # transfer/compute — the same overlap readers get from num_job
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            grans = [g for g in ex.map(one, range(orbits)) if g is not None]
+                grans.append(g)
         t_regrid = time.perf_counter()
         rng = np.random.default_rng(0)
         pm3 = np.sort(rng.uniform(60, 1000, (nz,) + hw), axis=0)[::-1]
@@ -370,7 +370,6 @@ def bench_year(orbits=60):
     (compile) vs steady-month split (the claimed campaign.py benefit,
     now measured)."""
     import datetime
-    from concurrent.futures import ThreadPoolExecutor
     from types import SimpleNamespace
 
     from oisat_tpu.datamodel import satellite_opt, satellite_ssmis
@@ -393,16 +392,20 @@ def bench_year(orbits=60):
             gas_profile=np.abs(rng.normal(2, 0.5, (nz,) + hw)))
 
     def omi_month(month):
+        from oisat_tpu.readers.sensors.common import fleet_map
+
         def one(s):
             g = _synthetic_orbit(s + 100 * month, ny=822, nx=60)
-            g = regrid_granule(1, 0.25, g, clon2, clat2, flag_thresh=0.0)
+            return regrid_granule(1, 0.25, g, clon2, clat2, flag_thresh=0.0)
+
+        # the production fleet_map submit/collect pipeline
+        outs = fleet_map(one, list(range(orbits)), 1, "bench-year")
+        grans = []
+        for s, g in enumerate(outs):
             if g is not None:
                 g.time = datetime.datetime(2019, month, 1 + (s % 28), 12)
-            return g
-
-        # the production fleet_map pipeline shape: 2-deep overlap
-        with ThreadPoolExecutor(max_workers=2) as ex:
-            return [g for g in ex.map(one, range(orbits)) if g is not None]
+                grans.append(g)
+        return grans
 
     def mopitt_month(month, G=28):
         r = np.random.default_rng(1000 + month)

@@ -43,13 +43,16 @@ def fleet_map(reader, files, num_job, label):
     reader.py:1327-1463): any failing file becomes None and the month
     continues.
 
-    Pipelining: even with ``num_job=1`` the map runs 2-deep — granule k
-    blocks inside its device transfer/collect (``np.asarray`` releases the
-    GIL) while granule k+1's file read + host weight build proceed.  On a
-    tunnel-attached chip the regrid path is H2D/D2H-transfer-bound
-    (BASELINE.md), so this submit/collect overlap, not host parallelism,
-    is what shortens the month; ``num_job > 2`` widens the pool for real
-    multi-core hosts as before."""
+    Pipelining (``num_job <= 1``, the transfer-bound single-core case):
+    a single-threaded submit/collect double-buffer.  The reader runs under
+    :class:`~oisat_tpu.regridder.lazy_collection`, so its regrid returns a
+    :class:`~oisat_tpu.regridder.PendingGranule` with the device program
+    already dispatched; granule k is resolved only AFTER granule k+1's
+    file read + host weight build + H2D dispatch — the device computes k
+    while the host builds k+1.  (A 2-thread pool was measured SLOWER here:
+    on one core the threads contend for the GIL instead of overlapping —
+    bench.py regrid_orbit_fast_pipelined.)  ``num_job > 1`` keeps the
+    thread pool for real multi-core hosts."""
 
     def safe(f):
         try:
@@ -59,9 +62,34 @@ def fleet_map(reader, files, num_job, label):
             traceback.print_exc()
             return None
 
-    if len(files) <= 1:
-        return [safe(f) for f in files]
-    with ThreadPoolExecutor(max_workers=max(2, num_job)) as ex:
+    def resolve(p):
+        if not hasattr(p, "resolve"):
+            return p
+        try:
+            return p.resolve()
+        except Exception:
+            print(f"[{label}] failed resolving a pending granule:")
+            traceback.print_exc()
+            return None
+
+    if num_job <= 1 or len(files) <= 1:
+        from oisat_tpu.regridder import lazy_collection
+
+        results = []
+        pending_idx = None
+        for f in files:
+            with lazy_collection():
+                cur = safe(f)
+            if pending_idx is not None:
+                results[pending_idx] = resolve(results[pending_idx])
+                pending_idx = None
+            results.append(cur)
+            if hasattr(cur, "resolve"):
+                pending_idx = len(results) - 1
+        if pending_idx is not None:
+            results[pending_idx] = resolve(results[pending_idx])
+        return results
+    with ThreadPoolExecutor(max_workers=num_job) as ex:
         return list(ex.map(safe, files))
 
 

@@ -36,7 +36,46 @@ from oisat_tpu.ops.weights import (
 )
 
 __all__ = ["Upscaler", "make_upscaler", "regrid_granule", "regrid_ssmis_granule",
-           "fast_swath_default", "fits_f16", "F16_SAFE_MAX"]
+           "fast_swath_default", "fits_f16", "F16_SAFE_MAX", "PendingGranule",
+           "lazy_collection"]
+
+
+class PendingGranule:
+    """A regrid in flight: the device program is dispatched but the host
+    collection (D2H ``np.asarray`` + granule assembly) is deferred to
+    :meth:`resolve`.  This is the submit/collect pipeline unit — the caller
+    dispatches granule k+1 BEFORE resolving granule k, so the device works
+    on k while the host builds k+1 (readers.sensors.common.fleet_map does
+    this; single-threaded, so it needs no GIL release from the backend)."""
+
+    __slots__ = ("_finish",)
+
+    def __init__(self, finish):
+        self._finish = finish
+
+    def resolve(self):
+        return self._finish()
+
+
+_lazy_local = __import__("threading").local()
+
+
+class lazy_collection:
+    """Context manager: regrid calls inside return :class:`PendingGranule`
+    instead of collecting inline (used by fleet_map's sequential pipeline)."""
+
+    def __enter__(self):
+        self._prev = getattr(_lazy_local, "on", False)
+        _lazy_local.on = True
+        return self
+
+    def __exit__(self, *exc):
+        _lazy_local.on = self._prev
+        return False
+
+
+def _lazy_default() -> bool:
+    return getattr(_lazy_local, "on", False)
 
 # Conservative float16 range guard (f16 max is 65504).  Fields whose finite
 # magnitude can exceed this must NEVER take the narrow transfer path: the
@@ -193,6 +232,57 @@ def make_upscaler(
     return Upscaler(True, 1, 1, None, src_lon2d, src_lat2d)
 
 
+_PLAN_CACHE_MAX = 4  # device-resident (T,K) idx/w can be tens of MB each
+_plan_cache = __import__("collections").OrderedDict()
+_plan_lock = __import__("threading").Lock()
+
+
+def _granule_plan(sat_lon, sat_lat, lons_fine, lats_fine, grid_size,
+                  method: int, far_factor: float, fast: bool):
+    """Build (or fetch) the pixel→fine-grid SparsePlan for one granule
+    geometry.
+
+    Fixed-geometry sensors repeat the exact same geometry every granule —
+    SSMIS files are one global 0.25° grid, MOPITT L3 one fixed grid, the
+    GOSAT filler one map — yet the reference rebuilds its triangulation
+    per file (reference interpolator.py:145-159).  The LRU caches the
+    plan with its index/weight arrays already ON DEVICE, so a repeat
+    granule skips both the host weight build (the costliest host step:
+    ~1.1 s for an SSMIS global grid) and the per-granule H2D transfer of
+    the weights (the regrid path is transfer-bound through a
+    network-attached chip).  Swath sensors (OMI/TEMPO/TROPOMI) have
+    per-orbit geometry and simply churn the small LRU."""
+    key = (_geom_key(np.atleast_2d(np.asarray(sat_lon)),
+                     np.atleast_2d(np.asarray(sat_lat))),
+           _geom_key(lons_fine, lats_fine),
+           float(grid_size), int(method), float(far_factor), bool(fast))
+    with _plan_lock:
+        hit = _plan_cache.get(key)
+        if hit is not None:
+            _plan_cache.move_to_end(key)
+            return hit
+    plan = None
+    if fast and method in (1, 2, 4) and np.ndim(sat_lon) == 2:
+        plan = build_plan_structured(sat_lon, sat_lat, lons_fine, lats_fine,
+                                     threshold=grid_size,
+                                     far_factor=far_factor, method=method)
+    if plan is None:
+        plan = build_plan(np.asarray(sat_lon).ravel(),
+                          np.asarray(sat_lat).ravel(),
+                          lons_fine, lats_fine, method=method,
+                          threshold=grid_size, far_factor=far_factor)
+    if plan is None:
+        return None  # untriangulatable granule: not cached
+    plan = dataclasses.replace(plan, idx=jnp.asarray(plan.idx),
+                               w=jnp.asarray(plan.w),
+                               mask=jnp.asarray(plan.mask))
+    with _plan_lock:
+        _plan_cache[key] = plan
+        while len(_plan_cache) > _PLAN_CACHE_MAX:
+            _plan_cache.popitem(last=False)
+    return plan
+
+
 def _quality_mask(quality_flag, flag_thresh: float) -> np.ndarray:
     """QA mask as the reference builds it: 1.0 where flag > thresh else NaN
     (interpolator.py:124-127)."""
@@ -245,7 +335,8 @@ def _f16_row_mask(batch_lv) -> np.ndarray:
     return ~(rowmax >= F16_SAFE_MAX)  # NaN rowmax (all-NaN row) -> True
 
 
-def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None):
+def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
+                  lazy: bool = False):
     """Host wrapper: bucket-pad, run the fused program, return numpy.
 
     ``batch_lv``: the per-level (3-D field) rows.  In float32 production
@@ -290,20 +381,26 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None):
         jnp.asarray(plan.idx), jnp.asarray(plan.w), jnp.asarray(plan.mask),
         jnp.asarray(up_idx), jnp.asarray(up_w), jnp.asarray(up_mask),
         plan.out_shape, upsc.ky, upsc.kx, upsc.needed)
-    out = np.asarray(out)
-    if not fit.all():
-        # device row order is [2-D fields, fitting rows, wide rows];
-        # restore the caller's original row order
-        f2 = batch.shape[0]
-        order = np.concatenate([np.arange(f2), f2 + np.flatnonzero(fit),
-                                f2 + np.flatnonzero(~fit)])
-        inv = np.empty_like(order)
-        inv[order] = np.arange(order.size)
-        out = out[inv]
-    out_err = np.asarray(out_err)
-    hw = plan.out_shape if upsc.needed else upsc.out_lat.shape
-    return (out.reshape(out.shape[:-1] + hw) if not upsc.needed else out,
-            out_err.reshape(out_err.shape[:-1] + hw) if not upsc.needed else out_err)
+    f2 = batch.shape[0]
+
+    def collect():
+        """Host collection (D2H + row reorder + reshape) — deferred when
+        ``lazy`` so the caller can dispatch the next granule first."""
+        o = np.asarray(out)
+        if not fit.all():
+            # device row order is [2-D fields, fitting rows, wide rows];
+            # restore the caller's original row order
+            order = np.concatenate([np.arange(f2), f2 + np.flatnonzero(fit),
+                                    f2 + np.flatnonzero(~fit)])
+            inv = np.empty_like(order)
+            inv[order] = np.arange(order.size)
+            o = o[inv]
+        oe = np.asarray(out_err)
+        hw = plan.out_shape if upsc.needed else upsc.out_lat.shape
+        return (o.reshape(o.shape[:-1] + hw) if not upsc.needed else o,
+                oe.reshape(oe.shape[:-1] + hw) if not upsc.needed else oe)
+
+    return collect if lazy else collect()
 
 
 def regrid_granule(
@@ -315,12 +412,18 @@ def regrid_granule(
     flag_thresh: float = 0.75,
     dtype=np.float32,
     fast_swath: bool | None = None,
+    lazy: bool | None = None,
 ):
     """Regrid one granule onto the CTM grid (reference ``interpolator``).
 
     Returns a gridded ``satellite_amf`` / ``satellite_opt`` (NumPy leaves),
     or None when the granule can't be triangulated or misses the domain
     (interpolator.py:151-155, :165-167).
+
+    ``lazy`` (default: the ambient :class:`lazy_collection` context, off
+    otherwise) returns a :class:`PendingGranule` whose ``resolve()``
+    performs the host collection — the fleet pipeline dispatches granule
+    k+1 before resolving granule k so device work and host builds overlap.
 
     ``fast_swath`` (production default: ON) replaces the scipy weight
     builders for 2-D structured swaths with the native builder: linear
@@ -337,19 +440,10 @@ def regrid_granule(
     threshold_ctm = diag_threshold(ctm_lon2d, ctm_lat2d)
     lons_fine, lats_fine = fine_grid(ctm_lon2d, ctm_lat2d, grid_size)
 
-    plan = None
-    if (fast_swath and interpolator_type in (1, 2, 4)
-            and np.ndim(sat_data.longitude_center) == 2):
-        plan = build_plan_structured(
-            sat_data.longitude_center, sat_data.latitude_center,
-            lons_fine, lats_fine, threshold=grid_size, far_factor=2.0,
-            method=interpolator_type)
-    if plan is None:
-        plan = build_plan(
-            sat_data.longitude_center.ravel(), sat_data.latitude_center.ravel(),
-            lons_fine, lats_fine, method=interpolator_type,
-            threshold=grid_size, far_factor=2.0,
-        )
+    plan = _granule_plan(sat_data.longitude_center, sat_data.latitude_center,
+                         lons_fine, lats_fine, grid_size,
+                         method=interpolator_type, far_factor=2.0,
+                         fast=fast_swath)
     if plan is None:
         return None
     upsc = make_upscaler(lons_fine, lats_fine, ctm_lon2d, ctm_lat2d,
@@ -406,45 +500,49 @@ def regrid_granule(
     batch = _stack(cols)  # (F2, Npix)
     batch_lv = _stack(cols_lv) if cols_lv else None  # (F3, Npix)
     err_batch = _stack([np.asarray(sat_data.uncertainty, np.float64) ** 2 * mask])
-    gridded, err_gridded = _regrid_fused(plan, upsc, batch, err_batch, dtype,
-                                         batch_lv=batch_lv)
-    out = {n: gridded[i] for i, n in enumerate(names + names_lv)}
-    # error path: variance in, squared kernel, sqrt at the end
-    with np.errstate(invalid="ignore"):  # RBF variance can overshoot < 0 -> NaN
-        uncertainty = np.sqrt(err_gridded[0])
+    if not (is_amf or is_opt):
+        raise TypeError(f"unsupported granule type {type(sat_data)!r}")
+    collect = _regrid_fused(plan, upsc, batch, err_batch, dtype,
+                            batch_lv=batch_lv, lazy=True)
 
-    vcd = out["vcd"]
-    import warnings as _warnings
+    def finish():
+        gridded, err_gridded = collect()
+        out = {n: gridded[i] for i, n in enumerate(names + names_lv)}
+        # error path: variance in, squared kernel, sqrt at the end
+        with np.errstate(invalid="ignore"):  # RBF variance can overshoot < 0 -> NaN
+            uncertainty = np.sqrt(err_gridded[0])
 
-    with _warnings.catch_warnings():
-        _warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN mean
-        if np.isnan(np.nanmean(vcd)):
-            return None  # granule misses the analysis domain
+        vcd = out["vcd"]
+        import warnings as _warnings
 
-    def collect3d(name, nz):
-        return np.stack([out[f"{name}:{z}"] for z in range(nz)])
+        with _warnings.catch_warnings():
+            _warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN mean
+            if np.isnan(np.nanmean(vcd)):
+                return None  # granule misses the analysis domain
 
-    tropopause = out.get("tropopause", np.empty((1,)))
-    lat_c, lon_c = upsc.out_lat, upsc.out_lon
-    hw = vcd.shape
+        def collect3d(name, nz):
+            return np.stack([out[f"{name}:{z}"] for z in range(nz)])
 
-    if is_amf:
-        nz = np.asarray(sat_data.pressure_mid).shape[0] if np.size(sat_data.pressure_mid) > 1 else 0
-        if has_sw:
-            sw = collect3d("scattering_weights", nz)
-            pmid = collect3d("pressure_mid", nz)
-        else:
-            sw = np.empty((1,))
-            pmid = np.zeros((nz,) + hw)
-        return satellite_amf(
-            vcd=vcd, amf=out.get("amf"), time=sat_data.time, tropopause=tropopause,
-            latitude_center=lat_c, longitude_center=lon_c,
-            latitude_corner=[], longitude_corner=[],
-            uncertainty=uncertainty, quality_flag=[], pressure_mid=pmid,
-            scattering_weights=sw, ctm_upscaled_needed=upsc.needed,
-            ctm_vcd=[], ctm_time_at_sat=[], old_amf=[], new_amf=[],
-        )
-    if is_opt:
+        tropopause = out.get("tropopause", np.empty((1,)))
+        lat_c, lon_c = upsc.out_lat, upsc.out_lon
+        hw = vcd.shape
+
+        if is_amf:
+            nz = np.asarray(sat_data.pressure_mid).shape[0] if np.size(sat_data.pressure_mid) > 1 else 0
+            if has_sw:
+                sw = collect3d("scattering_weights", nz)
+                pmid = collect3d("pressure_mid", nz)
+            else:
+                sw = np.empty((1,))
+                pmid = np.zeros((nz,) + hw)
+            return satellite_amf(
+                vcd=vcd, amf=out.get("amf"), time=sat_data.time, tropopause=tropopause,
+                latitude_center=lat_c, longitude_center=lon_c,
+                latitude_corner=[], longitude_corner=[],
+                uncertainty=uncertainty, quality_flag=[], pressure_mid=pmid,
+                scattering_weights=sw, ctm_upscaled_needed=upsc.needed,
+                ctm_vcd=[], ctm_time_at_sat=[], old_amf=[], new_amf=[],
+            )
         nz = np.asarray(sat_data.pressure_mid).shape[0]
         nak = np.asarray(sat_data.averaging_kernels).shape[0]
         aks = collect3d("averaging_kernels", nak)
@@ -464,7 +562,10 @@ def regrid_granule(
             x_col=out["x_col"],
             pressure_weight=pw, sensor=sat_data.sensor,
         )
-    raise TypeError(f"unsupported granule type {type(sat_data)!r}")
+
+    if lazy is None:
+        lazy = _lazy_default()
+    return PendingGranule(finish) if lazy else finish()
 
 
 def regrid_ssmis_granule(
@@ -474,6 +575,7 @@ def regrid_ssmis_granule(
     ctm_lat2d: np.ndarray,
     dtype=np.float32,
     fast_swath: bool | None = None,
+    lazy: bool | None = None,
 ):
     """SSMIS variant (reference interpolator_ssmis.py:96-168).
 
@@ -496,27 +598,28 @@ def regrid_ssmis_granule(
         fast_swath = fast_swath_default()
     threshold_ctm = diag_threshold(ctm_lon2d, ctm_lat2d)
     lons_fine, lats_fine = fine_grid(ctm_lon2d, ctm_lat2d, grid_size)
-    plan = None
-    if fast_swath and np.ndim(sat_data.longitude_center) == 2:
-        plan = build_plan_structured(
-            sat_data.longitude_center, sat_data.latitude_center,
-            lons_fine, lats_fine, threshold=grid_size, far_factor=1.0)
-    if plan is None:
-        plan = build_plan(
-            sat_data.longitude_center.ravel(), sat_data.latitude_center.ravel(),
-            lons_fine, lats_fine, method=1, threshold=grid_size, far_factor=1.0,
-        )
+    plan = _granule_plan(sat_data.longitude_center, sat_data.latitude_center,
+                         lons_fine, lats_fine, grid_size, method=1,
+                         far_factor=1.0, fast=fast_swath)
     if plan is None:
         return None
     upsc = make_upscaler(lons_fine, lats_fine, ctm_lon2d, ctm_lat2d,
                          grid_size, threshold_ctm, method=1, far_factor=1.0,
                          fast=fast_swath)
-    gridded, err_gridded = _regrid_fused(
-        plan, upsc, _stack([sat_data.vcd]), _stack([sat_data.uncertainty]), dtype)
-    vcd = gridded[0]
-    uncertainty = err_gridded[0]  # raw value through the squared kernel, no sqrt
-    return satellite_ssmis(
-        vcd=vcd, uncertainty=uncertainty, time=sat_data.time,
-        latitude_center=upsc.out_lat, longitude_center=upsc.out_lon,
-        ctm_upscaled_needed=upsc.needed, ctm_vcd=[], sensor="SSMIS",
-    )
+    collect = _regrid_fused(
+        plan, upsc, _stack([sat_data.vcd]), _stack([sat_data.uncertainty]),
+        dtype, lazy=True)
+
+    def finish():
+        gridded, err_gridded = collect()
+        return satellite_ssmis(
+            vcd=gridded[0],
+            # raw value through the squared kernel, no sqrt
+            uncertainty=err_gridded[0], time=sat_data.time,
+            latitude_center=upsc.out_lat, longitude_center=upsc.out_lon,
+            ctm_upscaled_needed=upsc.needed, ctm_vcd=[], sensor="SSMIS",
+        )
+
+    if lazy is None:
+        lazy = _lazy_default()
+    return PendingGranule(finish) if lazy else finish()

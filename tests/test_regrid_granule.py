@@ -101,3 +101,33 @@ def test_regrid_opt_granule():
     assert out.apriori_profile.shape == (nz,) + clon.shape
     assert out.x_col.shape == clon.shape
     assert out.sensor == "MOPITT"
+
+
+def test_fleet_map_lazy_pipeline_order_and_faults():
+    """fleet_map's single-threaded submit/collect pipeline (num_job=1):
+    regrids inside the reader return PendingGranule (device dispatched,
+    collection deferred one step), results come back in file order with
+    per-file fault tolerance intact, and values match the eager path."""
+    import numpy as np
+
+    from oisat_tpu.readers.sensors.common import fleet_map
+    from oisat_tpu.regridder import regrid_granule
+    from tests.test_pipeline import ctm_grid, synthetic_granule
+
+    clon, clat = ctm_grid()
+
+    def reader(s):
+        if s == 2:
+            raise RuntimeError("synthetic corrupt file")
+        return regrid_granule(1, 0.25, synthetic_granule(s, 4 + s), clon, clat,
+                              flag_thresh=0.5)
+
+    out = fleet_map(reader, [0, 1, 2, 3], 1, "test")
+    assert len(out) == 4
+    assert out[2] is None  # fault tolerance preserved
+    for s in (0, 1, 3):
+        assert out[s] is not None and not hasattr(out[s], "resolve")
+        eager = regrid_granule(1, 0.25, synthetic_granule(s, 4 + s), clon, clat,
+                               flag_thresh=0.5)
+        np.testing.assert_array_equal(out[s].vcd, eager.vcd)
+        np.testing.assert_array_equal(out[s].pressure_mid, eager.pressure_mid)
