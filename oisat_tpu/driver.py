@@ -135,6 +135,9 @@ class oisatgmi:
 
     def _oi_impl(self, sensor, error_ctm, method="scalar", length_scale_km=300.0,
                  desroziers_iterations=0, desroziers_bins=1):
+        # never leak a previous run's binned scale maps from this object
+        self.desroziers_sa_scale_map = None
+        self.desroziers_so_scale_map = None
         if sensor != "GOSAT":
             xa, y = self.ctm_averaged_vcd, self.sat_averaged_vcd
         else:
@@ -156,21 +159,39 @@ class oisatgmi:
             # optimal_interpolation.py:14)
             y_clip = np.where(np.asarray(y, np.float64) < 0, 0.0,
                               np.asarray(y, np.float64))
+            nb = int(desroziers_bins)
+            bins = None
+            if nb > 1:
+                from oisat_tpu.ops.diagnostics import lat_band_index
+
+                bins = lat_band_index(sat.latitude_center, nb)
+                sa_scale_total = np.ones_like(np.asarray(xa, np.float64))
+                so_scale_total = np.ones_like(sa_scale_total)
             for _ in range(int(desroziers_iterations)):
                 # Desroziers moments are gain-agnostic: rescale the error
                 # std-devs and re-solve with the full covariance
-                from oisat_tpu.ops.diagnostics import desroziers_estimates
+                from oisat_tpu.ops.diagnostics import (
+                    desroziers_binned,
+                    desroziers_estimates,
+                )
 
-                est = desroziers_estimates(
-                    jnp.asarray(np.asarray(xa, np.float64)),
-                    jnp.asarray(y_clip),
-                    jnp.asarray(np.asarray(res.xb, np.float64)),
-                    jnp.asarray(sigma_b.astype(np.float64) ** 2),
-                    jnp.asarray(sigma_o.astype(np.float64) ** 2))
-                sigma_b = sigma_b * np.sqrt(float(est.sa_scale))
-                sigma_o = sigma_o * np.sqrt(float(est.so_scale))
-                sa_scale_total *= float(est.sa_scale)
-                so_scale_total *= float(est.so_scale)
+                args = (jnp.asarray(np.asarray(xa, np.float64)),
+                        jnp.asarray(y_clip),
+                        jnp.asarray(np.asarray(res.xb, np.float64)),
+                        jnp.asarray(sigma_b.astype(np.float64) ** 2),
+                        jnp.asarray(sigma_o.astype(np.float64) ** 2))
+                if bins is None:
+                    est = desroziers_estimates(*args)
+                    sa_step = float(est.sa_scale)
+                    so_step = float(est.so_scale)
+                else:
+                    est = desroziers_binned(*args, bins, nb)
+                    sa_step = np.asarray(est.sa_scale, np.float64)[bins]
+                    so_step = np.asarray(est.so_scale, np.float64)[bins]
+                sigma_b = sigma_b * np.sqrt(sa_step)
+                sigma_o = sigma_o * np.sqrt(so_step)
+                sa_scale_total = sa_scale_total * sa_step
+                so_scale_total = so_scale_total * so_step
                 res = oi_full(xa, y, sigma_b, sigma_o, sat.latitude_center,
                               sat.longitude_center, length_scale_km,
                               regularization_on=True)
@@ -183,9 +204,18 @@ class oisatgmi:
             self.oi_diagnostics = dict(res.info or {})
             if desroziers_iterations:
                 self.oi_diagnostics.update({
-                    "desroziers_sa_scale": sa_scale_total,
-                    "desroziers_so_scale": so_scale_total,
+                    "desroziers_sa_scale": float(np.nanmean(sa_scale_total)),
+                    "desroziers_so_scale": float(np.nanmean(so_scale_total)),
                     "desroziers_iterations": int(desroziers_iterations)})
+                if bins is not None:
+                    self.oi_diagnostics.update({
+                        "desroziers_bins": nb,
+                        "desroziers_sa_scale_min": float(np.nanmin(sa_scale_total)),
+                        "desroziers_sa_scale_max": float(np.nanmax(sa_scale_total)),
+                        "desroziers_so_scale_min": float(np.nanmin(so_scale_total)),
+                        "desroziers_so_scale_max": float(np.nanmax(so_scale_total))})
+                    self.desroziers_sa_scale_map = sa_scale_total
+                    self.desroziers_so_scale_map = so_scale_total
             return
         sa = (np.asarray(xa) * error_ctm / 100.0) ** 2
         so = np.asarray(self.sat_averaged_error) ** 2
@@ -276,10 +306,13 @@ class oisatgmi:
         one kind and shape: satellite_amf (AMF recal), MOPITT/GOSAT
         (AK convolution; GOSAT assimilates the xcol pair) and SSMIS
         (PWV).  Under a multi-device ``mesh`` the granule batch shards
-        over 'obs' and grid rows over 'grid' (single-chip: a 1x1 mesh).
+        over 'obs' and grid rows over 'grid' (single-chip: a 1x1 mesh);
+        non-mesh-divisible months are NaN-padded automatically.  O3 months
+        apply the DU conversion in-program (ctm_scale) and upscaled-CTM
+        months upscale the matched CTM slices through the cached plans.
         Raises ValueError when the month is not fusable (no scattering
-        weights, mixed kinds/shapes, upscaled CTM) — callers fall back to
-        the staged pipeline.
+        weights, mixed kinds or shapes, no granules) — callers fall back
+        to the staged pipeline.
         """
         import datetime
 

@@ -96,35 +96,24 @@ def _daily_ctm_slice(ctm_data, day):
     )
 
 
-def _geom_key(lon2d, lat2d):
-    """Content-based geometry key (an id() key could collide after GC);
-    includes coordinate sums so same-bounds grids with different interior
-    spacing cannot collide."""
-    lon2d = np.asarray(lon2d, np.float64)
-    lat2d = np.asarray(lat2d, np.float64)
-    return (lon2d.shape, float(lon2d[0, 0]), float(lon2d[-1, -1]),
-            float(lat2d[0, 0]), float(lat2d[-1, -1]),
-            float(lon2d.sum()), float(lat2d.sum()),
-            float(np.abs(lon2d).sum()), float(np.abs(lat2d).sum()))
+# content-based geometry key shared with the regrid caches
+from oisat_tpu.regridder import _geom_key  # noqa: E402
+from oisat_tpu.utils.lru import LockedLRU  # noqa: E402
 
-
-_UPSCALER_CACHE_MAX = 32  # regular-grid sensors key-collapse to ~1 entry;
-# per-granule geometries (e.g. a TEMPO L2 campaign) churn through, so bound it.
-_upscaler_cache = __import__("collections").OrderedDict()
-_upscaler_lock = __import__("threading").Lock()  # fleet_map runs 2-deep
+# regular-grid sensors key-collapse to ~1 entry; per-granule geometries
+# (e.g. a TEMPO L2 campaign) churn through, so bound it.
+_upscaler_cache = LockedLRU(32)
 
 
 def _ctm_to_sat_upscaler(ctm_data, granule):
     """Upscaler mapping CTM-grid (L, H, W) fields onto the satellite grid
     (reference amf_recal.py:58-83; KD-nearest, 2x cutoff).  LRU-cached per
     geometry — the reference rebuilds the KD tree per granule per level."""
-    cache = _upscaler_cache
     key = (_geom_key(ctm_data[0].longitude, ctm_data[0].latitude),
            _geom_key(granule.longitude_center, granule.latitude_center))
-    with _upscaler_lock:
-        if key in cache:
-            cache.move_to_end(key)
-            return cache[key]
+    hit = _upscaler_cache.get(key)
+    if hit is not None:
+        return hit
     sat_lon, sat_lat = granule.longitude_center, granule.latitude_center
     threshold_sat = diag_threshold(sat_lon, sat_lat)
     gridsize_ctm = diag_threshold(ctm_data[0].longitude, ctm_data[0].latitude)
@@ -132,10 +121,7 @@ def _ctm_to_sat_upscaler(ctm_data, granule):
         ctm_data[0].longitude, ctm_data[0].latitude, sat_lon, sat_lat,
         gridsize_ctm, threshold_sat, method=4, far_factor=2.0,
     )
-    with _upscaler_lock:
-        cache[key] = up
-        while len(cache) > _UPSCALER_CACHE_MAX:
-            cache.popitem(last=False)
+    _upscaler_cache.put(key, up)
     return up
 
 

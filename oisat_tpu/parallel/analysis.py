@@ -238,22 +238,37 @@ def _make_month_step(step_fn, fields_cls, mesh: Mesh, curve_impl: str,
     fn = jax.jit(partial(step_fn, **kwargs), in_shardings=(in_sh,))
     n_obs = mesh.shape["obs"]
     n_grid = mesh.shape["grid"]
-    true_h = {}
 
     def shard_inputs(inputs):
-        inputs, true_h["h"] = _pad_to_mesh(inputs, fields_cls, n_obs, n_grid)
-        return fields_cls(*(jax.device_put(jnp.asarray(x), s)
-                            for x, s in zip(inputs, in_sh)))
+        inputs, h = _pad_to_mesh(inputs, fields_cls, n_obs, n_grid)
+        sharded = fields_cls(*(jax.device_put(jnp.asarray(x), s)
+                               for x, s in zip(inputs, in_sh)))
+        # the unpadded height travels WITH the sharded batch (a shared
+        # mutable slot would go stale when one maker serves several
+        # months — the compile-reuse pattern campaign.py relies on)
+        return _ShardedMonth(sharded, h)
 
     def run(inputs):
+        if isinstance(inputs, _ShardedMonth):
+            h = inputs.true_h
+            inputs = inputs.fields
+        else:
+            h = inputs[0].shape[-2]  # unsharded call: nothing was padded
         out = fn(inputs)
-        h = true_h.get("h", inputs[0].shape[-2])
         if h != out.sat_vcd.shape[-2]:
             out = jax.tree.map(
                 lambda a: a[..., :h, :] if getattr(a, "ndim", 0) >= 2 else a, out)
         return out
 
     return run, shard_inputs
+
+
+class _ShardedMonth(NamedTuple):
+    """shard_inputs output: the device-put month fields plus the unpadded
+    grid height the step must crop back to."""
+
+    fields: tuple
+    true_h: int
 
 
 def make_full_month_step(mesh: Mesh, curve_impl: str = "auto",

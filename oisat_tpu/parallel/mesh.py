@@ -26,6 +26,10 @@ def make_mesh(n_devices: int | None = None, axis_names=("obs", "grid")) -> Mesh:
     """
     devs = jax.devices()
     n = len(devs) if n_devices is None else n_devices
+    if n > len(devs):
+        raise RuntimeError(
+            f"mesh requested {n} devices but the host has {len(devs)} "
+            f"(check the mesh_devices control key)")
     a, b = factor2(n)
     mesh_devs = np.array(devs[:n]).reshape(a, b)
     return Mesh(mesh_devs, axis_names)

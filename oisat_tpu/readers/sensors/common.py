@@ -43,16 +43,21 @@ def fleet_map(reader, files, num_job, label):
     reader.py:1327-1463): any failing file becomes None and the month
     continues.
 
-    Pipelining (``num_job <= 1``, the transfer-bound single-core case):
-    a single-threaded submit/collect double-buffer.  The reader runs under
+    Pipelining (the transfer-bound case): a single-threaded submit/collect
+    double-buffer.  The reader runs under
     :class:`~oisat_tpu.regridder.lazy_collection`, so its regrid returns a
     :class:`~oisat_tpu.regridder.PendingGranule` with the device program
     already dispatched; granule k is resolved only AFTER granule k+1's
     file read + host weight build + H2D dispatch — the device computes k
     while the host builds k+1.  (A 2-thread pool was measured SLOWER here:
     on one core the threads contend for the GIL instead of overlapping —
-    bench.py regrid_orbit_fast_pipelined.)  ``num_job > 1`` keeps the
-    thread pool for real multi-core hosts."""
+    bench.py regrid_orbit_fast_pipelined.)  The thread pool is used only
+    when the host actually has cores for it (``num_job > 1`` AND
+    ``os.cpu_count() > 2``) — production control files ship ``num_job:
+    24-36`` for the reference's multi-core nodes, and on a 1-core
+    TPU-attached host that must still take the pipeline, not a
+    GIL-contended pool."""
+    import os
 
     def safe(f):
         try:
@@ -72,7 +77,7 @@ def fleet_map(reader, files, num_job, label):
             traceback.print_exc()
             return None
 
-    if num_job <= 1 or len(files) <= 1:
+    if num_job <= 1 or (os.cpu_count() or 1) <= 2 or len(files) <= 1:
         from oisat_tpu.regridder import lazy_collection
 
         results = []
@@ -90,7 +95,9 @@ def fleet_map(reader, files, num_job, label):
             results[pending_idx] = resolve(results[pending_idx])
         return results
     with ThreadPoolExecutor(max_workers=num_job) as ex:
-        return list(ex.map(safe, files))
+        # readers normally collect inline here (no lazy context), but a
+        # PendingGranule from a nested context must never escape the map
+        return [resolve(r) for r in ex.map(safe, files)]
 
 
 # GEOS-5 47-layer hybrid-eta edge coefficients (hPa / unitless), the

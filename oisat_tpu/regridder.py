@@ -171,11 +171,9 @@ def _geom_key(lon2d, lat2d):
             float(np.abs(lon2d).sum()), float(np.abs(lat2d).sum()))
 
 
-_UPSCALER_CACHE_MAX = 16
-_upscaler_cache = __import__("collections").OrderedDict()
-# fleet_map runs readers 2-deep (transfer/compute overlap), so the LRU
-# bookkeeping below must be guarded
-_upscaler_lock = __import__("threading").Lock()
+from oisat_tpu.utils.lru import LockedLRU
+
+_upscaler_cache = LockedLRU(16)
 
 
 def make_upscaler(
@@ -206,11 +204,9 @@ def make_upscaler(
             fast = fast_swath_default()
         key = (_geom_key(src_lon2d, src_lat2d), _geom_key(tgt_lon2d, tgt_lat2d),
                float(grid_size), float(threshold), method, float(far_factor), fast)
-        with _upscaler_lock:
-            cached = _upscaler_cache.get(key)
-            if cached is not None:
-                _upscaler_cache.move_to_end(key)
-                return cached
+        cached = _upscaler_cache.get(key)
+        if cached is not None:
+            return cached
         kx = max(int(np.floor(tgt_dlon / grid_size)), 1)
         ky = max(int(np.floor(tgt_dlat / grid_size)), 1)
         plan = None
@@ -223,18 +219,20 @@ def make_upscaler(
                 src_lon2d.ravel(), src_lat2d.ravel(), tgt_lon2d, tgt_lat2d,
                 method=method, threshold=threshold, far_factor=far_factor,
             )
+        # cache the upscale weights ON DEVICE: the same fine→coarse map is
+        # applied every granule of a run, and re-uploading it per granule
+        # wastes the transfer budget the granule-plan cache just saved
+        plan = dataclasses.replace(plan, idx=jnp.asarray(plan.idx),
+                                   w=jnp.asarray(plan.w),
+                                   mask=jnp.asarray(plan.mask))
         up = Upscaler(False, ky, kx, plan, tgt_lon2d, tgt_lat2d)
-        with _upscaler_lock:
-            _upscaler_cache[key] = up
-            while len(_upscaler_cache) > _UPSCALER_CACHE_MAX:
-                _upscaler_cache.popitem(last=False)
+        _upscaler_cache.put(key, up)
         return up
     return Upscaler(True, 1, 1, None, src_lon2d, src_lat2d)
 
 
-_PLAN_CACHE_MAX = 4  # device-resident (T,K) idx/w can be tens of MB each
-_plan_cache = __import__("collections").OrderedDict()
-_plan_lock = __import__("threading").Lock()
+# device-resident (T,K) idx/w can be tens of MB each — keep the LRU small
+_plan_cache = LockedLRU(4)
 
 
 def _granule_plan(sat_lon, sat_lat, lons_fine, lats_fine, grid_size,
@@ -256,11 +254,9 @@ def _granule_plan(sat_lon, sat_lat, lons_fine, lats_fine, grid_size,
                      np.atleast_2d(np.asarray(sat_lat))),
            _geom_key(lons_fine, lats_fine),
            float(grid_size), int(method), float(far_factor), bool(fast))
-    with _plan_lock:
-        hit = _plan_cache.get(key)
-        if hit is not None:
-            _plan_cache.move_to_end(key)
-            return hit
+    hit = _plan_cache.get(key)
+    if hit is not None:
+        return hit
     plan = None
     if fast and method in (1, 2, 4) and np.ndim(sat_lon) == 2:
         plan = build_plan_structured(sat_lon, sat_lat, lons_fine, lats_fine,
@@ -276,10 +272,7 @@ def _granule_plan(sat_lon, sat_lat, lons_fine, lats_fine, grid_size,
     plan = dataclasses.replace(plan, idx=jnp.asarray(plan.idx),
                                w=jnp.asarray(plan.w),
                                mask=jnp.asarray(plan.mask))
-    with _plan_lock:
-        _plan_cache[key] = plan
-        while len(_plan_cache) > _PLAN_CACHE_MAX:
-            _plan_cache.popitem(last=False)
+    _plan_cache.put(key, plan)
     return plan
 
 

@@ -98,10 +98,13 @@ def _analyze(obj, ctrl, sensor, gas, start, end, savedaily):
             and not ctrl.get("save_daily")
             and not ctrl.get("averaging_weighting")
             and not ctrl.get("desroziers_iterations")):
+        # resolve the mesh OUTSIDE the fused-month fallback: an invalid
+        # mesh_devices (more chips than the host has, a typo) must fail
+        # loudly, not silently degrade the job to one chip
+        mesh = mesh_from_ctrl(ctrl)
         try:
             obj.analyze_month_fused(sensor, gas, start, end,
-                                    error_ctm=ctrl["ctm_error"],
-                                    mesh=mesh_from_ctrl(ctrl))
+                                    error_ctm=ctrl["ctm_error"], mesh=mesh)
             return
         except ValueError as e:
             print(f"fused month not applicable ({e}); running staged pipeline")

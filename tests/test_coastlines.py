@@ -105,3 +105,29 @@ def test_report_panels_have_coastlines(tmp_path):
     import os
 
     assert os.path.getsize(path) > 10_000
+
+
+def test_make_coastlines_splits_dateline(tmp_path):
+    """Polylines that jump across the dateline are split so the overlay
+    never draws a spurious line across the whole map."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "mkc2", os.path.join(os.path.dirname(__file__), "..", "tools",
+                             "make_coastlines.py"))
+    mkc = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mkc)
+    gj = {"type": "Feature", "geometry": {
+        "type": "LineString",
+        "coordinates": [[170.0, 65.0], [178.0, 66.0], [-178.0, 66.5],
+                        [-170.0, 66.0]]}}
+    src = tmp_path / "d.geojson"
+    src.write_text(json.dumps(gj))
+    dst = tmp_path / "d.npz"
+    n = mkc.convert(str(src), str(dst))
+    assert n == 2  # split at the +178 -> -178 jump
+    with np.load(dst) as d:
+        lon = d["lon"]
+    finite = lon[np.isfinite(lon)]
+    assert np.max(np.abs(np.diff(finite[:2]))) < 180.0

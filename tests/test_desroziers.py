@@ -276,3 +276,29 @@ def test_driver_desroziers_bins_option():
     assert d["desroziers_so_scale_max"] / d["desroziers_so_scale_min"] > 2.0
     assert abs(d["chi2"] - 1.0) < 0.15
     assert obj.desroziers_so_scale_map.shape == xa.shape
+
+
+def test_driver_desroziers_bins_full_covariance():
+    """method='full' honours desroziers_bins too (per-band scales applied to
+    the sigma fields before the covariance solve)."""
+    from types import SimpleNamespace
+
+    xa, y, sa, so, lat = _north_south_analysis(H=24, W=32, seed=21)
+    lon = np.linspace(-100.0, -60.0, 32)[None, :] * np.ones((24, 1))
+    obj = oisatgmi()
+    obj.ctm_averaged_vcd = xa
+    obj.sat_averaged_vcd = y
+    obj.sat_averaged_error = np.sqrt(so)
+    obj.aux1 = obj.aux2 = np.full_like(xa, np.nan)
+    obj.reader_obj = SimpleNamespace(sat_data=[SimpleNamespace(
+        latitude_center=lat[:24, :32], longitude_center=lon)])
+    e = 100.0 * np.sqrt(np.mean(sa)) / np.mean(xa)
+    obj.oi("OMI", error_ctm=e, method="full", length_scale_km=150.0,
+           desroziers_iterations=2, desroziers_bins=2)
+    d = obj.oi_diagnostics
+    assert d["desroziers_bins"] == 2
+    assert d["desroziers_so_scale_max"] > d["desroziers_so_scale_min"]
+    assert obj.desroziers_so_scale_map.shape == xa[:24, :32].shape
+    # a following global run must not carry the stale maps
+    obj.oi("OMI", error_ctm=e, desroziers_iterations=1)
+    assert obj.desroziers_so_scale_map is None

@@ -159,6 +159,6 @@ def test_upscaler_cache_reuse_and_bound():
     u1 = R.make_upscaler(src_lon, src_lat, tgt_lon, tgt_lat, 0.1, 0.7)
     u2 = R.make_upscaler(src_lon, src_lat, tgt_lon, tgt_lat, 0.1, 0.7)
     assert u1 is u2  # cache hit for the repeated geometry
-    for k in range(R._UPSCALER_CACHE_MAX + 5):
+    for k in range(R._upscaler_cache.maxsize + 5):
         R.make_upscaler(src_lon + 0.001 * (k + 1), src_lat, tgt_lon, tgt_lat, 0.1, 0.7)
-        assert len(R._upscaler_cache) <= R._UPSCALER_CACHE_MAX
+        assert len(R._upscaler_cache) <= R._upscaler_cache.maxsize

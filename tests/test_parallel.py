@@ -224,3 +224,28 @@ def test_mesh_from_ctrl_key():
     assert m.devices.size == 8 and set(m.axis_names) == {"obs", "grid"}
     m = mesh_from_ctrl({"mesh_devices": "all"})
     assert m.devices.size == len(jax.devices())
+
+
+def test_shard_inputs_interleaved_months_crop_correctly():
+    """One compiled maker serving several months (the campaign compile-reuse
+    pattern) must crop each month to ITS OWN height — interleaved shard()
+    calls must not leak one month's padding into another's output."""
+    import __graft_entry__ as ge
+
+    mesh = make_mesh(8)  # 2x4
+    fn, shard = make_full_month_step(mesh)
+    a = shard(ge._synthetic_full_month(G=5, H=17, W=24))
+    b = shard(ge._synthetic_full_month(G=6, H=20, W=24, seed=1))
+    out_a = fn(a)
+    out_b = fn(b)
+    assert np.asarray(out_a.oi.xb).shape == (17, 24)
+    assert np.asarray(out_b.oi.xb).shape == (20, 24)
+
+
+def test_make_mesh_rejects_overrequest():
+    import pytest
+
+    from oisat_tpu.parallel.mesh import make_mesh as mm
+
+    with pytest.raises(RuntimeError, match="mesh_devices"):
+        mm(len(jax.devices()) + 1)

@@ -54,7 +54,7 @@ def test_upscaler_cache_bounded():
                                    np.arange(30.0, 50.0, 2.0))
     ctm = [SimpleNamespace(longitude=ctm_lon, latitude=ctm_lat)]
     oo._upscaler_cache.clear()
-    for k in range(oo._UPSCALER_CACHE_MAX + 20):
+    for k in range(oo._upscaler_cache.maxsize + 20):
         # distinct geometry per granule: shifted fine sat grids
         s = 0.01 * k
         slon, slat = np.meshgrid(np.arange(-5.0 + s, 5.0 + s, 0.5),
@@ -62,7 +62,7 @@ def test_upscaler_cache_bounded():
         g = SimpleNamespace(longitude_center=slon, latitude_center=slat)
         up = oo._ctm_to_sat_upscaler(ctm, g)
         assert up is not None
-        assert len(oo._upscaler_cache) <= oo._UPSCALER_CACHE_MAX
+        assert len(oo._upscaler_cache) <= oo._upscaler_cache.maxsize
     # LRU: re-requesting the most recent geometry hits the cache
     before = len(oo._upscaler_cache)
     assert oo._ctm_to_sat_upscaler(ctm, g) is up

@@ -42,6 +42,14 @@ def _rings(geom):
     return []
 
 
+def _split_dateline(pts):
+    """Split a polyline wherever consecutive longitudes jump > 180 deg —
+    the loader's contract is that no segment crosses the dateline (a
+    crossing segment would draw a spurious line across the whole map)."""
+    jumps = np.flatnonzero(np.abs(np.diff(pts[:, 0])) > 180.0) + 1
+    return np.split(pts, jumps) if jumps.size else [pts]
+
+
 def convert(geojson_path, npz_path):
     with open(geojson_path) as f:
         doc = json.load(f)
@@ -54,11 +62,14 @@ def convert(geojson_path, npz_path):
             pts = np.asarray(ring, np.float64)
             if pts.shape[0] < 2:
                 continue
-            lon.extend(pts[:, 0].tolist())
-            lat.extend(pts[:, 1].tolist())
-            lon.append(np.nan)
-            lat.append(np.nan)
-            n += 1
+            for part in _split_dateline(pts):
+                if part.shape[0] < 2:
+                    continue
+                lon.extend(part[:, 0].tolist())
+                lat.extend(part[:, 1].tolist())
+                lon.append(np.nan)
+                lat.append(np.nan)
+                n += 1
     if not n:
         sys.exit(f"no line geometry found in {geojson_path}")
     np.savez_compressed(npz_path,
