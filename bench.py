@@ -189,7 +189,10 @@ def bench_kalman(n=8192):
 
 def _synthetic_orbit(seed=0, ny=1644, nx=60, nz=35):
     """An OMI-NO2-shaped orbit: 74 interpolated fields (vcd, amf, trop,
-    err + 35 SW + 35 pmid levels) over a 1644x60 swath."""
+    err + 35 SW + 35 pmid levels) over a 1644x60 swath.  The pressure
+    stack is hybrid-eta structured (A + B*psurf) like every real product
+    (reference reader.py:954-957) — which also exercises the regridder's
+    affine carrier-level fast path."""
     from oisat_tpu.datamodel import satellite_amf
 
     rng = np.random.default_rng(seed)
@@ -197,7 +200,10 @@ def _synthetic_orbit(seed=0, ny=1644, nx=60, nz=35):
     across = np.linspace(-15.0, 5.0, nx)[None, :]
     lat = along + 0.02 * rng.standard_normal((ny, nx))
     lon = across + 3.0 * np.sin(np.linspace(0, 2.0, ny))[:, None] + 0.02 * rng.standard_normal((ny, nx))
-    pm = np.sort(rng.uniform(100, 1000, (nz, ny, nx)), axis=0)[::-1]
+    eta_a = np.linspace(0.0, 100.0, nz)
+    eta_b = np.linspace(1.0, 0.02, nz)
+    psurf = 1000.0 + 30.0 * rng.standard_normal((ny, nx))
+    pm = eta_a[:, None, None] + eta_b[:, None, None] * psurf[None]
     return satellite_amf(
         vcd=2.0 + np.sin(lon / 5.0) * np.cos(lat / 7.0),
         amf=np.full((ny, nx), 1.5), time=None, tropopause=np.full((ny, nx), 150.0),

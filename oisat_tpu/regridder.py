@@ -276,6 +276,55 @@ def _granule_plan(sat_lon, sat_lat, lons_fine, lats_fine, grid_size,
     return plan
 
 
+def _affine_stack(stack, rtol: float = 1e-5):
+    """Detect per-level affine structure ``stack[l] == a[l] + b[l] *
+    stack[carrier]`` (exact NaN-pattern match required).
+
+    Every supported sensor builds its pressure grid this way — hybrid-eta
+    tables times one surface-pressure field (OMI HCHO / OMPS / TEMPO /
+    TROPOMI; reference reader.py:954-957, :1091-1100) or a fixed 1-D
+    pressure table (OMI NO2, MOPITT).  Because the regrid, box filter and
+    upscale all use partition-of-unity weights and the levels share one
+    NaN pattern, ``regrid(a + b*ps) == a + b*regrid(ps)`` to rounding —
+    so only the carrier level needs the host->device->host trip.  On a
+    transfer-bound link that removes ~45% of the per-granule traffic.
+
+    Returns (a, b, carrier_index) as float64 arrays, or None when the
+    stack is not affine (then every level travels, as before)."""
+    s = np.asarray(stack, np.float64)
+    L = s.shape[0]
+    if L < 3:
+        return None  # nothing worth compressing
+    flat = s.reshape(L, -1)
+    nan0 = np.isnan(flat[0])
+    for l in range(1, L):
+        if not np.array_equal(np.isnan(flat[l]), nan0):
+            return None
+    finite = ~nan0
+    if finite.sum() < 2:
+        return None
+    ff = flat[:, finite]
+    # carrier: first level with spread (a constant stack uses level 0, b=0)
+    spreads = ff.max(axis=1) - ff.min(axis=1)
+    carriers = np.flatnonzero(spreads > 0)
+    ci = int(carriers[0]) if carriers.size else 0
+    p0 = ff[ci]
+    i = int(np.argmin(p0))
+    j = int(np.argmax(p0))
+    dp = p0[j] - p0[i]
+    a = np.empty(L)
+    b = np.empty(L)
+    scale = np.maximum(np.abs(ff).max(axis=1), 1e-300)
+    for l in range(L):
+        bl = (ff[l, j] - ff[l, i]) / dp if dp > 0 else 0.0
+        al = ff[l, i] - bl * p0[i]
+        if np.max(np.abs(ff[l] - (al + bl * p0))) > rtol * scale[l]:
+            return None
+        a[l] = al
+        b[l] = bl
+    return a, b, ci
+
+
 def _quality_mask(quality_flag, flag_thresh: float) -> np.ndarray:
     """QA mask as the reference builds it: 1.0 where flag > thresh else NaN
     (interpolator.py:124-127)."""
@@ -468,10 +517,29 @@ def regrid_granule(
             names_lv.append(f"{name}:{z}")
             cols_lv.append(np.squeeze(a[z]) * mask)
 
+    pmid_affine = None
+
+    def add3d_pmid(arr):
+        """Pressure stacks are affine in ONE field for every supported
+        sensor (see _affine_stack) — regrid only the carrier level and
+        reconstruct the rest on the output grid; non-affine stacks take
+        the full per-level path.  Affine commutes with the regrid only
+        for partition-of-unity weights: linear/nearest (methods 1/2/4),
+        not RBF (method 3)."""
+        nonlocal pmid_affine
+        ab = _affine_stack(arr) if interpolator_type in (1, 2, 4) else None
+        if ab is None:
+            add3d("pressure_mid", arr)
+            return
+        a_, b_, ci = ab
+        pmid_affine = (a_, b_)
+        names_lv.append("pressure_mid:carrier")
+        cols_lv.append(np.squeeze(np.asarray(arr)[ci]) * mask)
+
     has_sw = is_amf and np.size(sat_data.scattering_weights) != 1
     if has_sw:
         add3d("scattering_weights", sat_data.scattering_weights)
-        add3d("pressure_mid", sat_data.pressure_mid)
+        add3d_pmid(sat_data.pressure_mid)
     if is_opt:
         if np.asarray(sat_data.aprior_column).any():
             names.append("aprior_column")
@@ -487,7 +555,7 @@ def regrid_granule(
         add3d("averaging_kernels", sat_data.averaging_kernels)
         if sat_data.sensor == "GOSAT":
             add3d("pressure_weight", sat_data.pressure_weight)
-        add3d("pressure_mid", sat_data.pressure_mid)
+        add3d_pmid(sat_data.pressure_mid)
         add3d("apriori_profile", sat_data.apriori_profile)
 
     batch = _stack(cols)  # (F2, Npix)
@@ -516,6 +584,16 @@ def regrid_granule(
         def collect3d(name, nz):
             return np.stack([out[f"{name}:{z}"] for z in range(nz)])
 
+        def collect_pmid(nz):
+            if pmid_affine is None:
+                return collect3d("pressure_mid", nz)
+            a_, b_ = pmid_affine
+            carrier = out["pressure_mid:carrier"]
+            # NaN rides along for b==0 too (IEEE: 0*NaN is NaN); keep the
+            # compute dtype of the regridded fields
+            return (a_[:, None, None]
+                    + b_[:, None, None] * carrier).astype(carrier.dtype)
+
         tropopause = out.get("tropopause", np.empty((1,)))
         lat_c, lon_c = upsc.out_lat, upsc.out_lon
         hw = vcd.shape
@@ -524,7 +602,7 @@ def regrid_granule(
             nz = np.asarray(sat_data.pressure_mid).shape[0] if np.size(sat_data.pressure_mid) > 1 else 0
             if has_sw:
                 sw = collect3d("scattering_weights", nz)
-                pmid = collect3d("pressure_mid", nz)
+                pmid = collect_pmid(nz)
             else:
                 sw = np.empty((1,))
                 pmid = np.zeros((nz,) + hw)
@@ -545,7 +623,7 @@ def regrid_granule(
             latitude_center=lat_c, longitude_center=lon_c,
             latitude_corner=[], longitude_corner=[],
             uncertainty=uncertainty, quality_flag=[],
-            pressure_mid=collect3d("pressure_mid", nz), averaging_kernels=aks,
+            pressure_mid=collect_pmid(nz), averaging_kernels=aks,
             ctm_upscaled_needed=upsc.needed, ctm_vcd=[], ctm_xcol=[],
             ctm_time_at_sat=[],
             aprior_column=out.get("aprior_column", np.zeros((1,))),

@@ -131,3 +131,54 @@ def test_fleet_map_lazy_pipeline_order_and_faults():
                                flag_thresh=0.5)
         np.testing.assert_array_equal(out[s].vcd, eager.vcd)
         np.testing.assert_array_equal(out[s].pressure_mid, eager.pressure_mid)
+
+
+def test_affine_pressure_stack_fast_path_matches_full():
+    """Eta-structured pressure stacks (pmid = A + B*psurf, how every
+    supported sensor builds them) regrid via ONE carrier level +
+    reconstruction; the result must match the full per-level transfer to
+    float rounding, NaN pattern included."""
+    import dataclasses
+    import datetime
+
+    import numpy as np
+
+    import oisat_tpu.regridder as R
+    from oisat_tpu.datamodel import satellite_amf
+    from tests.test_pipeline import ctm_grid, synthetic_granule
+
+    clon, clat = ctm_grid()
+    g = synthetic_granule(3, 7)
+    nz = 6
+    eta_a = np.linspace(5.0, 900.0, nz)[::-1].copy()
+    eta_b = np.linspace(1.0, 0.01, nz)
+    ps = np.abs(np.random.default_rng(5).normal(1000, 30, g.vcd.shape))
+    g.pressure_mid = (eta_a[:, None, None]
+                      + eta_b[:, None, None] * ps[None]).astype(np.float64)
+    assert R._affine_stack(g.pressure_mid) is not None
+
+    got = R.regrid_granule(1, 0.25, g, clon, clat, flag_thresh=0.5,
+                           dtype=np.float64)
+    # force the full per-level path by disabling detection
+    orig = R._affine_stack
+    R._affine_stack = lambda *a, **k: None
+    try:
+        g2 = synthetic_granule(3, 7)
+        g2.pressure_mid = g.pressure_mid.copy()
+        ref = R.regrid_granule(1, 0.25, g2, clon, clat, flag_thresh=0.5,
+                               dtype=np.float64)
+    finally:
+        R._affine_stack = orig
+    np.testing.assert_array_equal(np.isnan(got.pressure_mid),
+                                  np.isnan(ref.pressure_mid))
+    np.testing.assert_allclose(got.pressure_mid, ref.pressure_mid,
+                               rtol=1e-12, atol=1e-9, equal_nan=True)
+    # and the non-pressure fields are untouched by the fast path
+    np.testing.assert_array_equal(got.vcd, ref.vcd)
+
+    # a genuinely unstructured stack must NOT take the fast path
+    assert R._affine_stack(np.asarray(synthetic_granule(0, 4).pressure_mid)) is None
+    # a constant-per-level stack (OMI NO2 / MOPITT pressure tables) does
+    const = np.linspace(900, 100, nz)[:, None, None] * np.ones_like(ps)[None]
+    ab = R._affine_stack(const)
+    assert ab is not None and np.allclose(ab[1], 0.0)
