@@ -399,10 +399,12 @@ class oisatgmi:
         )
         from oisat_tpu.ops.vertical import GRAV, MAIR, N_A
         from oisat_tpu.parallel.analysis import (
+            FullMonthEtaInputs,
             FullMonthInputs,
             GosatMonthInputs,
             MopittMonthInputs,
             SsmisMonthInputs,
+            make_full_month_eta_step,
             make_full_month_step,
             make_gosat_month_step,
             make_mopitt_month_step,
@@ -432,14 +434,54 @@ class oisatgmi:
         time_ctm, time_hour = _ctm_times(ctm_data)
 
         if kind == "amf":
+            from oisat_tpu.regridder import _affine_stack, _geom_key
+
             pmids, pcs, trops = [], [], []
+            slice_idx, slice_order, idxs = {}, [], []
             for g in grans:
-                _, pmid, pc, trop, _has = _amf_one(ctm_data, g, time_ctm, time_hour)
+                closest, pmid, pc, trop, _has = _amf_one(ctm_data, g, time_ctm,
+                                                         time_hour)
                 pmids.append(pmid)
                 pcs.append(pc)
                 # no-tropopause granules pass zeros: pmid < 0 never holds,
                 # reproducing the has_trop=False branch
                 trops.append(trop)
+                # CTM slice dedup key: the matched time index (+ the
+                # granule grid when the slice was upscaled onto it)
+                k = closest
+                if g.ctm_upscaled_needed:
+                    k = (closest,
+                         _geom_key(np.atleast_2d(np.asarray(g.longitude_center)),
+                                   np.atleast_2d(np.asarray(g.latitude_center))))
+                if k not in slice_idx:
+                    slice_idx[k] = len(slice_order)
+                    slice_order.append(len(pmids) - 1)
+                idxs.append(slice_idx[k])
+
+            afs = [_affine_stack(np.asarray(g.pressure_mid)) for g in grans]
+            if all(af is not None for af in afs):
+                # transfer-compressed month: pmid carrier + tables, and one
+                # copy of each distinct CTM slice (+ a trailing NaN slice
+                # for mesh padding) gathered on device
+                nan_pmid = np.full(np.asarray(pmids[0]).shape, np.nan,
+                                   dtype=np.asarray(pmids[0]).dtype)
+                u_pmids = [pmids[i] for i in slice_order] + [nan_pmid]
+                u_pcs = [pcs[i] for i in slice_order] + [nan_pmid]
+                return FullMonthEtaInputs(
+                    sat_pmid_carrier=stack_lv(
+                        [np.asarray(g.pressure_mid)[af[2]]
+                         for g, af in zip(grans, afs)]),
+                    sat_pmid_a=stack([af[0] for af in afs]),
+                    sat_pmid_b=stack([af[1] for af in afs]),
+                    sat_sw=stack_lv([g.scattering_weights for g in grans]),
+                    vcd=stack([g.vcd for g in grans]),
+                    amf=stack([g.amf for g in grans]),
+                    uncertainty=stack([g.uncertainty for g in grans]),
+                    tropopause=stack(trops),
+                    ctm_pmid=stack_lv(u_pmids),
+                    ctm_pc=stack_lv(u_pcs),
+                    ctm_idx=np.asarray(idxs, np.int32),
+                ), make_full_month_eta_step
             return FullMonthInputs(
                 sat_pmid=stack_lv([g.pressure_mid for g in grans]),
                 sat_sw=stack_lv([g.scattering_weights for g in grans]),

@@ -24,6 +24,7 @@ from oisat_tpu.ops.oi import OIResult, oi
 __all__ = [
     "AnalysisInputs", "AnalysisOutputs", "analysis_step", "make_analysis_step",
     "FullMonthInputs", "full_month_step", "make_full_month_step",
+    "FullMonthEtaInputs", "full_month_eta_step", "make_full_month_eta_step",
     "MopittMonthInputs", "mopitt_month_step", "make_mopitt_month_step",
     "GosatMonthInputs", "gosat_month_step", "make_gosat_month_step",
     "SsmisMonthInputs", "ssmis_month_step", "make_ssmis_month_step",
@@ -224,23 +225,31 @@ def _make_month_step(step_fn, fields_cls, mesh: Mesh, curve_impl: str,
     """Generic maker: jit a month step over the mesh with granules sharded
     on 'obs', grid rows on 'grid', levels replicated.  Input field rank
     decides the spec: (G, H, W) -> (obs, grid, None); (G, L, H, W) ->
-    (obs, None, grid, None).
+    (obs, None, grid, None) — unless the class carries explicit
+    ``_field_specs`` (the transfer-compressed Eta inputs do).
 
     ``shard_inputs`` NaN-pads non-mesh-divisible G/H shapes (see
-    :func:`_pad_to_mesh`); the returned step crops its (H, W) outputs back
-    to the unpadded height, so callers never see the padding."""
+    :func:`_pad_to_mesh`, or the class's own ``_pad_fn``); the returned
+    step crops its (H, W) outputs back to the unpadded height, so callers
+    never see the padding."""
     kwargs = _resolve_curve_kwargs(mesh, curve_impl, curve_rows_per_tile, kwargs)
-    g3 = NamedSharding(mesh, P("obs", "grid", None))
-    g4 = NamedSharding(mesh, P("obs", None, "grid", None))
-    rank = fields_cls._field_ranks
-
-    in_sh = fields_cls(*({3: g3, 4: g4}[r] for r in rank))
+    if hasattr(fields_cls, "_field_specs"):
+        in_sh = fields_cls(*(NamedSharding(mesh, P(*s))
+                             for s in fields_cls._field_specs))
+    else:
+        g3 = NamedSharding(mesh, P("obs", "grid", None))
+        g4 = NamedSharding(mesh, P("obs", None, "grid", None))
+        in_sh = fields_cls(*({3: g3, 4: g4}[r] for r in fields_cls._field_ranks))
     fn = jax.jit(partial(step_fn, **kwargs), in_shardings=(in_sh,))
     n_obs = mesh.shape["obs"]
     n_grid = mesh.shape["grid"]
+    pad_fn = getattr(fields_cls, "_pad_fn", None)
 
     def shard_inputs(inputs):
-        inputs, h = _pad_to_mesh(inputs, fields_cls, n_obs, n_grid)
+        if pad_fn is not None:
+            inputs, h = pad_fn(inputs, n_obs, n_grid)
+        else:
+            inputs, h = _pad_to_mesh(inputs, fields_cls, n_obs, n_grid)
         sharded = fields_cls(*(jax.device_put(jnp.asarray(x), s)
                                for x, s in zip(inputs, in_sh)))
         # the unpadded height travels WITH the sharded batch (a shared
@@ -281,6 +290,110 @@ def make_full_month_step(mesh: Mesh, curve_impl: str = "auto",
 
 
 FullMonthInputs._field_ranks = (4, 4, 3, 3, 3, 3, 4, 4)
+
+
+class FullMonthEtaInputs(NamedTuple):
+    """Transfer-compressed month for AMF sensors: every real product's
+    pressure stack is affine in one field (hybrid-eta tables x surface
+    pressure — a structure the regrid preserves), so only the per-granule
+    CARRIER level travels plus two (G, Ls) tables; and granules matched
+    to the same CTM time slice share ONE copy of it, gathered on device.
+    Through a transfer-bound link this removes most of the fused month's
+    analysis-leg H2D (the pmid stack is ~half the bytes, and the CTM
+    slices repeat ~8x)."""
+
+    sat_pmid_carrier: jax.Array  # (G, H, W)
+    sat_pmid_a: jax.Array  # (G, Ls): pmid[g,l] = a[g,l] + b[g,l]*carrier[g]
+    sat_pmid_b: jax.Array  # (G, Ls)
+    sat_sw: jax.Array  # (G, Ls, H, W)
+    vcd: jax.Array  # (G, H, W)
+    amf: jax.Array  # (G, H, W)
+    uncertainty: jax.Array  # (G, H, W)
+    tropopause: jax.Array  # (G, H, W)
+    ctm_pmid: jax.Array  # (U+1, Lc, H, W): unique slices + final all-NaN slice
+    ctm_pc: jax.Array  # (U+1, Lc, H, W)
+    ctm_idx: jax.Array  # (G,) int32 into the unique slices
+
+
+FullMonthEtaInputs._field_specs = (
+    ("obs", "grid", None), ("obs", None), ("obs", None),
+    ("obs", None, "grid", None),
+    ("obs", "grid", None), ("obs", "grid", None), ("obs", "grid", None),
+    ("obs", "grid", None),
+    (None, None, "grid", None), (None, None, "grid", None),
+    ("obs",),
+)
+
+
+def _pad_eta(inputs, n_obs: int, n_grid: int):
+    """NaN-pad (G, H) like :func:`_pad_to_mesh`, with the Eta twists: the
+    unique-CTM axis is never G-padded, and padded granules' ctm_idx points
+    at the trailing all-NaN slice (a real-slice index would let a padded
+    granule's operator output leak finite values into the month means)."""
+    import numpy as np
+
+    arrs = [np.asarray(x) for x in inputs]
+    g, h = arrs[0].shape[0], arrs[0].shape[-2]
+    gp = -(-g // n_obs) * n_obs
+    hp = -(-h // n_grid) * n_grid
+    if (gp, hp) == (g, h):
+        return inputs, h
+
+    def pad(a, pad_g, h_axis, fill=np.nan):
+        pads = [(0, 0)] * a.ndim
+        if pad_g:
+            pads[0] = (0, gp - g)
+        if h_axis is not None:
+            pads[h_axis] = (0, hp - h)
+        return np.pad(a, pads, constant_values=fill)
+
+    nan_slice = arrs[8].shape[0] - 1
+    return FullMonthEtaInputs(
+        sat_pmid_carrier=pad(arrs[0], True, -2),
+        sat_pmid_a=pad(arrs[1], True, None),
+        sat_pmid_b=pad(arrs[2], True, None),
+        sat_sw=pad(arrs[3], True, -2),
+        vcd=pad(arrs[4], True, -2),
+        amf=pad(arrs[5], True, -2),
+        uncertainty=pad(arrs[6], True, -2),
+        tropopause=pad(arrs[7], True, -2),
+        ctm_pmid=pad(arrs[8], False, -2),
+        ctm_pc=pad(arrs[9], False, -2),
+        ctm_idx=pad(arrs[10], True, None, fill=nan_slice).astype(np.int32),
+    ), h
+
+
+FullMonthEtaInputs._pad_fn = staticmethod(_pad_eta)
+
+
+def full_month_eta_step(inputs: FullMonthEtaInputs, bias_offset: float = 0.0,
+                        bias_slope: float = 1.0, error_ctm: float = 50.0,
+                        ctm_scale: float = 1.0,
+                        curve_fn=None) -> AnalysisOutputs:
+    """Decompress on device (pmid reconstruction + CTM slice gather), then
+    run the standard :func:`full_month_step` body."""
+    # reconstruct at >= f32 (a narrow f16 transfer dtype must not clip the
+    # tables, and an out-of-f16-range carrier arrives as f32 already)
+    dt = jnp.promote_types(inputs.sat_pmid_carrier.dtype, jnp.float32)
+    carrier = inputs.sat_pmid_carrier.astype(dt)
+    sat_pmid = (inputs.sat_pmid_a[:, :, None, None].astype(dt)
+                + inputs.sat_pmid_b[:, :, None, None].astype(dt)
+                * carrier[:, None, :, :])
+    full = FullMonthInputs(
+        sat_pmid=sat_pmid, sat_sw=inputs.sat_sw, vcd=inputs.vcd,
+        amf=inputs.amf, uncertainty=inputs.uncertainty,
+        tropopause=inputs.tropopause,
+        ctm_pmid=jnp.take(inputs.ctm_pmid, inputs.ctm_idx, axis=0),
+        ctm_pc=jnp.take(inputs.ctm_pc, inputs.ctm_idx, axis=0))
+    return full_month_step(full, bias_offset=bias_offset,
+                           bias_slope=bias_slope, error_ctm=error_ctm,
+                           ctm_scale=ctm_scale, curve_fn=curve_fn)
+
+
+def make_full_month_eta_step(mesh: Mesh, curve_impl: str = "auto",
+                             curve_rows_per_tile: int = 512, **kwargs):
+    return _make_month_step(full_month_eta_step, FullMonthEtaInputs, mesh,
+                            curve_impl, curve_rows_per_tile, kwargs)
 
 
 class MopittMonthInputs(NamedTuple):

@@ -182,7 +182,9 @@ def test_fused_inputs_stack_lv_range_guard(monkeypatch):
     obj = oisatgmi()
     obj.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=grans)
     inputs, _maker = obj._fused_inputs("amf", "OMPS", [ctm], grans)
-    assert inputs.sat_pmid.dtype == np.float32  # guarded: beyond f16 range
-    assert np.isfinite(np.asarray(inputs.sat_pmid, np.float64)).any()
+    # OMPS' eta-structured pressure quirk takes the compressed Eta path:
+    # the carrier level (~1e15) must keep f32, in-range stacks narrow
+    assert inputs.sat_pmid_carrier.dtype == np.float32  # beyond f16 range
+    assert np.isfinite(np.asarray(inputs.sat_pmid_carrier, np.float64)).any()
     assert inputs.sat_sw.dtype == np.float16  # in-range stack still narrows
     assert inputs.ctm_pmid.dtype == np.float16

@@ -417,3 +417,51 @@ def test_job_runner_tempo_hours_fused(tmp_path, monkeypatch):
     assert buf.getvalue().count("fused month not applicable") == 23
     assert (tmp_path / "diag" / "NO2_202309_18UTC.nc").exists()
     assert not (tmp_path / "diag" / "NO2_202309_17UTC.nc").exists()
+
+
+def _eta_granules(n=3):
+    """Granules with hybrid-eta pressure stacks (like every real product),
+    regridded — the affine structure survives the regrid, so the fused
+    month takes the transfer-compressed Eta path."""
+    clon, clat = ctm_grid()
+    nz = 6
+    eta_a = np.linspace(5.0, 900.0, nz)[::-1].copy()
+    eta_b = np.linspace(1.0, 0.01, nz)
+    grans = []
+    for s in range(n):
+        g = synthetic_granule(s, 4 + s, nz=nz)
+        ps = np.abs(np.random.default_rng(50 + s).normal(1000, 30, g.vcd.shape))
+        g.pressure_mid = (eta_a[:, None, None] + eta_b[:, None, None] * ps[None])
+        grans.append(regrid_granule(1, 0.25, g, clon, clat, flag_thresh=0.5))
+    return grans
+
+
+def test_fused_eta_compressed_matches_staged(monkeypatch):
+    """The Eta-compressed fused month (carrier pmid + deduplicated CTM
+    slices, decompressed on device) must reproduce the staged pipeline."""
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    from oisat_tpu.parallel.analysis import FullMonthEtaInputs
+
+    ctm = synthetic_ctm()
+    grans = _eta_granules()
+    staged = oisatgmi()
+    staged.reader_obj = SimpleNamespace(ctm_data=[ctm],
+                                        sat_data=copy.deepcopy(grans))
+    fused = oisatgmi()
+    fused.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=grans)
+
+    # the compressed input class is actually selected, with slice dedup
+    inputs, _maker = fused._fused_inputs("amf", "OMI", [ctm], grans)
+    assert isinstance(inputs, FullMonthEtaInputs)
+    assert inputs.ctm_pmid.shape[0] <= len(grans) + 1  # unique slices + NaN pad
+    assert inputs.ctm_idx.shape == (len(grans),)
+
+    staged.recal_amf()
+    staged.average("2019-07-01", "2019-08-01")
+    staged.bias_correct("OMI", "NO2")
+    staged.oi("OMI", error_ctm=50.0)
+    fused.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01",
+                              error_ctm=50.0)
+    _compare(fused, staged, ("sat_averaged_vcd", "ctm_averaged_vcd", "aux1",
+                             "aux2", "ctm_averaged_vcd_corrected", "ak_OI",
+                             "error_OI"))

@@ -249,3 +249,47 @@ def test_make_mesh_rejects_overrequest():
 
     with pytest.raises(RuntimeError, match="mesh_devices"):
         mm(len(jax.devices()) + 1)
+
+
+def test_eta_month_step_sharded_pads_non_divisible():
+    """The transfer-compressed Eta month step shards with its explicit
+    field specs and the Eta-aware padding (G=5, H=17 on a 2x4 mesh; padded
+    granules gather the trailing NaN CTM slice, so they are invisible)."""
+    from oisat_tpu.parallel.analysis import (
+        FullMonthEtaInputs,
+        full_month_eta_step,
+        make_full_month_eta_step,
+    )
+
+    rng = np.random.default_rng(9)
+    G, Ls, Lc, H, W, U = 5, 6, 12, 17, 24, 3
+    f32 = np.float32
+    carrier = np.abs(rng.normal(1000, 30, (G, H, W))).astype(f32)
+    a = np.linspace(5, 800, Ls)[::-1].astype(f32) * np.ones((G, 1), f32)
+    b = np.linspace(1.0, 0.01, Ls).astype(f32) * np.ones((G, 1), f32)
+    vcd = np.abs(rng.normal(3, 1, (G, H, W))).astype(f32)
+    vcd[rng.random((G, H, W)) < 0.1] = np.nan
+    ctm_pmid = np.sort(rng.uniform(60, 1000, (U + 1, Lc, H, W)),
+                       axis=1)[:, ::-1].astype(f32)
+    ctm_pmid[-1] = np.nan  # trailing pad slice
+    ctm_pc = np.abs(rng.normal(5, 1, (U + 1, Lc, H, W))).astype(f32)
+    ctm_pc[-1] = np.nan
+    inputs = FullMonthEtaInputs(
+        sat_pmid_carrier=carrier, sat_pmid_a=a, sat_pmid_b=b,
+        sat_sw=np.abs(rng.normal(1, 0.2, (G, Ls, H, W))).astype(f32),
+        vcd=vcd, amf=np.abs(rng.normal(2, 0.3, (G, H, W))).astype(f32),
+        uncertainty=np.abs(rng.normal(1, 0.2, (G, H, W))).astype(f32),
+        tropopause=rng.uniform(100, 200, (G, H, W)).astype(f32),
+        ctm_pmid=ctm_pmid, ctm_pc=ctm_pc,
+        ctm_idx=(np.arange(G) % U).astype(np.int32),
+    )
+    ref = full_month_eta_step(inputs)
+    mesh = make_mesh(8)  # 2x4: neither G=5 nor H=17 divides
+    fn, shard = make_full_month_eta_step(mesh)
+    got = fn(shard(inputs))
+    assert np.asarray(got.oi.xb).shape == (H, W)
+    assert int(got.oi.reg_index) == int(ref.oi.reg_index)
+    np.testing.assert_allclose(np.asarray(got.oi.xb), np.asarray(ref.oi.xb),
+                               rtol=1e-5, atol=1e-7, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(got.ctm_vcd), np.asarray(ref.ctm_vcd),
+                               rtol=1e-5, atol=1e-7, equal_nan=True)
