@@ -178,14 +178,39 @@ _amf_recal_batched = jax.jit(
 )
 
 
+def _amf_recal_eta(carrier, a_tab, b_tab, sw, ctm_pmid_u, ctm_pc_u, idx,
+                   trop, vcd, amf, has_trop):
+    """Transfer-compressed batched AMF recal: the per-granule pressure
+    stack travels as one carrier level + (G, Ls) affine tables, and the
+    matched CTM slices travel once each, gathered by index on device —
+    the same decompression the fused month step uses
+    (parallel.analysis.full_month_eta_step)."""
+    dt = jnp.promote_types(carrier.dtype, jnp.float32)
+    sat_pmid = (a_tab[:, :, None, None].astype(dt)
+                + b_tab[:, :, None, None].astype(dt)
+                * carrier[:, None, :, :].astype(dt))
+    ctm_pmid = jnp.take(ctm_pmid_u, idx, axis=0)
+    ctm_pc = jnp.take(ctm_pc_u, idx, axis=0)
+    return jax.vmap(amf_recal_fields,
+                    in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
+        sat_pmid, sw, ctm_pmid, ctm_pc, trop, vcd, amf, has_trop)
+
+
+_amf_recal_batched_eta = jax.jit(_amf_recal_eta, static_argnums=(10,))
+
+
 def amf_recal(ctm_data: list, sat_data: list):
     """Recalculate AMFs / model VCDs for every granule (reference amf_recal.py:121-185).
 
     TPU shape: granules sharing a (shape, tropopause) signature are stacked
     and run through one vmapped device call — a month of orbits is a couple
     of dispatches instead of hundreds (remote-dispatch latency dominates
-    per-granule calls).
+    per-granule calls).  When every granule's pressure stack is affine in
+    one field (all real products) the batch travels compressed: carrier
+    level + tables, plus one copy of each distinct CTM slice.
     """
+    from oisat_tpu.regridder import _affine_stack, _geom_key
+
     print("AMF Recal begins...")
     time_ctm, time_hour = _ctm_times(ctm_data)
     groups = {}
@@ -209,16 +234,48 @@ def amf_recal(ctm_data: list, sat_data: list):
     for (vshape, sshape, cshape, has_trop), items in groups.items():
         gis = [it[0] for it in items]
         stack = lambda f: jnp.asarray(np.stack(f))
-        new_amf, vcd_corr, model_vcd = _amf_recal_batched(
-            _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
-            _stack16([np.asarray(sat_data[i].scattering_weights) for i in gis]),
-            _stack16([it[2] for it in items]),
-            _stack16([it[3] for it in items]),
-            stack([it[4] for it in items]),
-            stack([np.asarray(sat_data[i].vcd) for i in gis]),
-            stack([np.asarray(sat_data[i].amf) for i in gis]),
-            has_trop,
-        )
+        afs = [_affine_stack(np.asarray(sat_data[i].pressure_mid)) for i in gis]
+        if all(af is not None for af in afs):
+            # dedup the matched CTM slices (key: matched time index, plus
+            # the granule grid when the slice was upscaled onto it)
+            slice_idx, u_items, idxs = {}, [], []
+            for it in items:
+                gi_, closest = it[0], it[1]
+                g = sat_data[gi_]
+                k = closest
+                if g.ctm_upscaled_needed:
+                    k = (closest,
+                         _geom_key(np.atleast_2d(np.asarray(g.longitude_center)),
+                                   np.atleast_2d(np.asarray(g.latitude_center))))
+                if k not in slice_idx:
+                    slice_idx[k] = len(u_items)
+                    u_items.append(it)
+                idxs.append(slice_idx[k])
+            new_amf, vcd_corr, model_vcd = _amf_recal_batched_eta(
+                _stack16([np.asarray(sat_data[i].pressure_mid)[af[2]]
+                          for i, af in zip(gis, afs)]),
+                stack([af[0] for af in afs]),
+                stack([af[1] for af in afs]),
+                _stack16([np.asarray(sat_data[i].scattering_weights) for i in gis]),
+                _stack16([it[2] for it in u_items]),
+                _stack16([it[3] for it in u_items]),
+                jnp.asarray(np.asarray(idxs, np.int32)),
+                stack([it[4] for it in items]),
+                stack([np.asarray(sat_data[i].vcd) for i in gis]),
+                stack([np.asarray(sat_data[i].amf) for i in gis]),
+                has_trop,
+            )
+        else:
+            new_amf, vcd_corr, model_vcd = _amf_recal_batched(
+                _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
+                _stack16([np.asarray(sat_data[i].scattering_weights) for i in gis]),
+                _stack16([it[2] for it in items]),
+                _stack16([it[3] for it in items]),
+                stack([it[4] for it in items]),
+                stack([np.asarray(sat_data[i].vcd) for i in gis]),
+                stack([np.asarray(sat_data[i].amf) for i in gis]),
+                has_trop,
+            )
         new_amf = np.asarray(new_amf)
         vcd_corr = np.asarray(vcd_corr)
         model_vcd = np.asarray(model_vcd)

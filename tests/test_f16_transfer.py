@@ -188,3 +188,32 @@ def test_fused_inputs_stack_lv_range_guard(monkeypatch):
     assert np.isfinite(np.asarray(inputs.sat_pmid_carrier, np.float64)).any()
     assert inputs.sat_sw.dtype == np.float16  # in-range stack still narrows
     assert inputs.ctm_pmid.dtype == np.float16
+
+
+def test_staged_amf_recal_eta_matches_full(monkeypatch):
+    """The staged amf_recal's transfer-compressed batch (carrier + tables +
+    deduplicated CTM slices) must reproduce the full-stack batch."""
+    import copy
+
+    import oisat_tpu.obs_operators as oo
+    import oisat_tpu.regridder as R
+    from tests.test_fused_month import _eta_granules
+
+    _full_precision(monkeypatch)
+    ctm = synthetic_ctm()
+    grans = _eta_granules()
+    assert all(R._affine_stack(np.asarray(g.pressure_mid)) is not None
+               for g in grans)
+    got = oo.amf_recal([ctm], copy.deepcopy(grans))
+    monkeypatch.setattr(R, "_affine_stack", lambda *a, **k: None)
+    ref = oo.amf_recal([ctm], copy.deepcopy(grans))
+    for g1, g0 in zip(got, ref):
+        m = np.isfinite(np.asarray(g0.ctm_vcd))
+        assert m.sum() > 50
+        np.testing.assert_allclose(np.asarray(g1.ctm_vcd)[m],
+                                   np.asarray(g0.ctm_vcd)[m],
+                                   rtol=1e-6, atol=1e-9)
+        mn = np.isfinite(np.asarray(g0.new_amf))
+        np.testing.assert_allclose(np.asarray(g1.new_amf)[mn],
+                                   np.asarray(g0.new_amf)[mn],
+                                   rtol=1e-6, atol=1e-9)
