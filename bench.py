@@ -318,7 +318,10 @@ def bench_month(orbits=60, fused=False):
 
         def one(s):
             g = _synthetic_orbit(s, ny=822, nx=60)  # half orbits: 30-day pace
-            return regrid_granule(1, 0.25, g, clon2, clat2, flag_thresh=0.0)
+            # fused: regrid leaves the granule on device (the production
+            # fused_month configuration — no D2H/H2D round trip)
+            return regrid_granule(1, 0.25, g, clon2, clat2, flag_thresh=0.0,
+                                  device=fused)
 
         # the production path: fleet_map's single-threaded submit/collect
         # double-buffer (device computes orbit k while the host builds k+1)
@@ -402,7 +405,9 @@ def bench_year(orbits=60):
 
         def one(s):
             g = _synthetic_orbit(s + 100 * month, ny=822, nx=60)
-            return regrid_granule(1, 0.25, g, clon2, clat2, flag_thresh=0.0)
+            # device granules: the fused month stacks them in place
+            return regrid_granule(1, 0.25, g, clon2, clat2, flag_thresh=0.0,
+                                  device=True)
 
         # the production fleet_map submit/collect pipeline
         outs = fleet_map(one, list(range(orbits)), 1, "bench-year")

@@ -12,6 +12,7 @@ from __future__ import annotations
 import os
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -327,6 +328,14 @@ class oisatgmi:
                                 int(enddate[8:10]))
             grans = [g for g in self.reader_obj.sat_data
                      if g is not None and start <= g.time.date() < end]
+            # device-granule months defer the off-domain check (regridder
+            # device mode); settle ALL the validity scalars with one pull
+            dv = [getattr(g, "_device_valid", None) for g in grans]
+            if any(v is not None for v in dv):
+                flags = iter(np.asarray(jnp.stack(
+                    [v for v in dv if v is not None])))
+                grans = [g for g, v in zip(grans, dv)
+                         if v is None or bool(next(flags))]
             if not grans:
                 raise ValueError("no valid satellite granules to fuse")
             # CTM O3 columns convert to DU between averaging and OI in the
@@ -417,6 +426,9 @@ class oisatgmi:
         narrow = f16_transfer_default()
 
         def stack(arrs):
+            if arrs and all(isinstance(a, jax.Array) for a in arrs):
+                # device granules: stack in place, nothing to transfer
+                return jnp.stack(arrs)
             out = np.stack([np.asarray(a) for a in arrs])
             # preserve f64 sources (parity/tests); everything else is f32
             return out if out.dtype == np.float64 else out.astype(f32)
@@ -425,9 +437,11 @@ class oisatgmi:
             # per-level stacks take the narrow transfer dtype, like the
             # staged operators (obs_operators._stack16): f32 -> f16 when
             # enabled, f64 sources keep full precision; fields beyond f16
-            # range (OMPS column-as-pressure, MOPITT air columns) keep f32
+            # range (OMPS column-as-pressure, MOPITT air columns) keep f32.
+            # Device leaves stack in place — narrowing would only cost.
             out = stack(arrs)
-            if narrow and out.dtype == f32 and fits_f16(out):
+            if (narrow and not isinstance(out, jax.Array)
+                    and out.dtype == f32 and fits_f16(out)):
                 return out.astype(np.float16)
             return out
 
@@ -458,8 +472,21 @@ class oisatgmi:
                     slice_order.append(len(pmids) - 1)
                 idxs.append(slice_idx[k])
 
-            afs = [_affine_stack(np.asarray(g.pressure_mid)) for g in grans]
-            if all(af is not None for af in afs):
+            if any(isinstance(g.vcd, jax.Array) for g in grans):
+                # device granules carry their carrier + tables from the
+                # regrid (detecting afresh would pull every stack back)
+                tabs = [getattr(g, "_pmid_ab", None) for g in grans]
+                carriers = ([g._pmid_carrier for g in grans]
+                            if all(t is not None for t in tabs) else None)
+            else:
+                afs = [_affine_stack(np.asarray(g.pressure_mid)) for g in grans]
+                if all(af is not None for af in afs):
+                    carriers = [np.asarray(g.pressure_mid)[af[2]]
+                                for g, af in zip(grans, afs)]
+                    tabs = [(af[0], af[1]) for af in afs]
+                else:
+                    carriers = None
+            if carriers is not None:
                 # transfer-compressed month: pmid carrier + tables, and one
                 # copy of each distinct CTM slice (+ a trailing NaN slice
                 # for mesh padding) gathered on device
@@ -468,11 +495,9 @@ class oisatgmi:
                 u_pmids = [pmids[i] for i in slice_order] + [nan_pmid]
                 u_pcs = [pcs[i] for i in slice_order] + [nan_pmid]
                 return FullMonthEtaInputs(
-                    sat_pmid_carrier=stack_lv(
-                        [np.asarray(g.pressure_mid)[af[2]]
-                         for g, af in zip(grans, afs)]),
-                    sat_pmid_a=stack([af[0] for af in afs]),
-                    sat_pmid_b=stack([af[1] for af in afs]),
+                    sat_pmid_carrier=stack_lv(carriers),
+                    sat_pmid_a=stack([t[0] for t in tabs]),
+                    sat_pmid_b=stack([t[1] for t in tabs]),
                     sat_sw=stack_lv([g.scattering_weights for g in grans]),
                     vcd=stack([g.vcd for g in grans]),
                     amf=stack([g.amf for g in grans]),

@@ -148,7 +148,9 @@ def _amf_one(ctm_data, granule, time_ctm, time_hour):
     if granule.ctm_upscaled_needed:
         pmid, pc = _maybe_upscale(ctm_data, granule, [pmid, pc])
     has_trop = np.size(granule.tropopause) != 1
-    trop = np.asarray(granule.tropopause) if has_trop else np.zeros_like(granule.vcd)
+    # keep the granule's own leaf type: device-granule months must not
+    # pull the tropopause back to host here
+    trop = granule.tropopause if has_trop else np.zeros(np.shape(granule.vcd))
     return closest, np.asarray(pmid), pc, trop, has_trop
 
 

@@ -205,14 +205,15 @@ def _pad_to_mesh(inputs, fields_cls, n_obs: int, n_grid: int):
     to the nanmean statistics or the masked mean-AK curve)."""
     import numpy as np
 
-    arrs = [np.asarray(x) for x in inputs]
-    g, h = arrs[0].shape[0], arrs[0].shape[-2]
+    g, h = np.shape(inputs[0])[0], np.shape(inputs[0])[-2]
     gp = -(-g // n_obs) * n_obs
     hp = -(-h // n_grid) * n_grid
     if (gp, hp) == (g, h):
+        # no conversion either: device-granule months must stay on device
         return inputs, h
     out = []
-    for a in arrs:
+    for x in inputs:
+        a = np.asarray(x)
         pad = [(0, 0)] * a.ndim
         pad[0] = (0, gp - g)
         pad[-2] = (0, hp - h)
@@ -332,12 +333,13 @@ def _pad_eta(inputs, n_obs: int, n_grid: int):
     granule's operator output leak finite values into the month means)."""
     import numpy as np
 
-    arrs = [np.asarray(x) for x in inputs]
-    g, h = arrs[0].shape[0], arrs[0].shape[-2]
+    g, h = np.shape(inputs[0])[0], np.shape(inputs[0])[-2]
     gp = -(-g // n_obs) * n_obs
     hp = -(-h // n_grid) * n_grid
     if (gp, hp) == (g, h):
+        # no conversion either: device-granule months must stay on device
         return inputs, h
+    arrs = [np.asarray(x) for x in inputs]
 
     def pad(a, pad_g, h_axis, fill=np.nan):
         pads = [(0, 0)] * a.ndim

@@ -116,6 +116,18 @@ def f16_transfer_default() -> bool:
     return True
 
 
+def device_granules_default() -> bool:
+    """Gridded granules keep their big field leaves ON DEVICE
+    (``OISAT_DEVICE_GRANULES=1``; default off).  The fused month path sets
+    this so regrid outputs never round-trip device->host->device — the
+    month step stacks the device leaves directly (run/job.py enables it
+    when ``fused_month`` applies).  Any numpy consumer still works: the
+    leaves convert implicitly via np.asarray (one D2H)."""
+    import os
+
+    return os.environ.get("OISAT_DEVICE_GRANULES", "0") == "1"
+
+
 def fast_swath_default() -> bool:
     """Production default for the native structured-swath weight builder: ON.
 
@@ -378,7 +390,7 @@ def _f16_row_mask(batch_lv) -> np.ndarray:
 
 
 def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
-                  lazy: bool = False):
+                  lazy: bool = False, device: bool = False):
     """Host wrapper: bucket-pad, run the fused program, return numpy.
 
     ``batch_lv``: the per-level (3-D field) rows.  In float32 production
@@ -426,9 +438,11 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
     f2 = batch.shape[0]
 
     def collect():
-        """Host collection (D2H + row reorder + reshape) — deferred when
-        ``lazy`` so the caller can dispatch the next granule first."""
-        o = np.asarray(out)
+        """Collection (row reorder + reshape) — deferred when ``lazy`` so
+        the caller can dispatch the next granule first.  ``device`` keeps
+        the results as device arrays (no D2H at all — the fused month
+        stacks them in place); otherwise they come back as numpy."""
+        o = out if device else np.asarray(out)
         if not fit.all():
             # device row order is [2-D fields, fitting rows, wide rows];
             # restore the caller's original row order
@@ -437,7 +451,7 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
             inv = np.empty_like(order)
             inv[order] = np.arange(order.size)
             o = o[inv]
-        oe = np.asarray(out_err)
+        oe = out_err if device else np.asarray(out_err)
         hw = plan.out_shape if upsc.needed else upsc.out_lat.shape
         return (o.reshape(o.shape[:-1] + hw) if not upsc.needed else o,
                 oe.reshape(oe.shape[:-1] + hw) if not upsc.needed else oe)
@@ -455,6 +469,7 @@ def regrid_granule(
     dtype=np.float32,
     fast_swath: bool | None = None,
     lazy: bool | None = None,
+    device: bool | None = None,
 ):
     """Regrid one granule onto the CTM grid (reference ``interpolator``).
 
@@ -466,6 +481,14 @@ def regrid_granule(
     otherwise) returns a :class:`PendingGranule` whose ``resolve()``
     performs the host collection — the fleet pipeline dispatches granule
     k+1 before resolving granule k so device work and host builds overlap.
+
+    ``device`` (default :func:`device_granules_default`) keeps the big
+    granule leaves as device arrays — NO D2H at all; the fused month step
+    stacks them in place, and any numpy consumer converts implicitly.
+    Deviation in device mode: the off-domain check (all-NaN vcd -> None,
+    reference interpolator.py:165-167) is deferred — the granule carries a
+    ``_device_valid`` scalar the driver filters with ONE batched pull; an
+    all-NaN granule contributes nothing to the month means either way.
 
     ``fast_swath`` (production default: ON) replaces the scipy weight
     builders for 2-D structured swaths with the native builder: linear
@@ -563,38 +586,61 @@ def regrid_granule(
     err_batch = _stack([np.asarray(sat_data.uncertainty, np.float64) ** 2 * mask])
     if not (is_amf or is_opt):
         raise TypeError(f"unsupported granule type {type(sat_data)!r}")
+    if device is None:
+        device = device_granules_default()
     collect = _regrid_fused(plan, upsc, batch, err_batch, dtype,
-                            batch_lv=batch_lv, lazy=True)
+                            batch_lv=batch_lv, lazy=True, device=device)
 
     def finish():
+        xp = jnp if device else np
         gridded, err_gridded = collect()
-        out = {n: gridded[i] for i, n in enumerate(names + names_lv)}
+        name_idx = {n: i for i, n in enumerate(names + names_lv)}
+
+        def field(n, default=None):
+            i = name_idx.get(n)
+            return default if i is None else gridded[i]
+
         # error path: variance in, squared kernel, sqrt at the end
         with np.errstate(invalid="ignore"):  # RBF variance can overshoot < 0 -> NaN
-            uncertainty = np.sqrt(err_gridded[0])
+            uncertainty = xp.sqrt(err_gridded[0])
 
-        vcd = out["vcd"]
-        import warnings as _warnings
+        vcd = field("vcd")
+        valid = None
+        if device:
+            # deferred domain check: one scalar per granule, pulled
+            # batched by the driver (a per-granule float() would serialize
+            # a round-trip through the device tunnel)
+            valid = jnp.isfinite(vcd).any()
+        else:
+            import warnings as _warnings
 
-        with _warnings.catch_warnings():
-            _warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN mean
-            if np.isnan(np.nanmean(vcd)):
-                return None  # granule misses the analysis domain
+            with _warnings.catch_warnings():
+                _warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN mean
+                if np.isnan(np.nanmean(vcd)):
+                    return None  # granule misses the analysis domain
 
         def collect3d(name, nz):
-            return np.stack([out[f"{name}:{z}"] for z in range(nz)])
+            # the z-rows of one 3-D field are contiguous in the batch: one
+            # range slice, not nz per-row slices (each eager device slice
+            # is a dispatch through the tunnel)
+            i0 = name_idx[f"{name}:0"]
+            return gridded[i0:i0 + nz]
 
         def collect_pmid(nz):
             if pmid_affine is None:
                 return collect3d("pressure_mid", nz)
             a_, b_ = pmid_affine
-            carrier = out["pressure_mid:carrier"]
+            carrier = field("pressure_mid:carrier")
             # NaN rides along for b==0 too (IEEE: 0*NaN is NaN); keep the
             # compute dtype of the regridded fields
+            if device:
+                return (jnp.asarray(a_)[:, None, None]
+                        + jnp.asarray(b_)[:, None, None]
+                        * carrier).astype(carrier.dtype)
             return (a_[:, None, None]
                     + b_[:, None, None] * carrier).astype(carrier.dtype)
 
-        tropopause = out.get("tropopause", np.empty((1,)))
+        tropopause = field("tropopause", np.empty((1,)))
         lat_c, lon_c = upsc.out_lat, upsc.out_lon
         hw = vcd.shape
 
@@ -605,34 +651,43 @@ def regrid_granule(
                 pmid = collect_pmid(nz)
             else:
                 sw = np.empty((1,))
-                pmid = np.zeros((nz,) + hw)
-            return satellite_amf(
-                vcd=vcd, amf=out.get("amf"), time=sat_data.time, tropopause=tropopause,
+                pmid = np.zeros((nz,) + tuple(hw))
+            g = satellite_amf(
+                vcd=vcd, amf=field("amf"), time=sat_data.time, tropopause=tropopause,
                 latitude_center=lat_c, longitude_center=lon_c,
                 latitude_corner=[], longitude_corner=[],
                 uncertainty=uncertainty, quality_flag=[], pressure_mid=pmid,
                 scattering_weights=sw, ctm_upscaled_needed=upsc.needed,
                 ctm_vcd=[], ctm_time_at_sat=[], old_amf=[], new_amf=[],
             )
-        nz = np.asarray(sat_data.pressure_mid).shape[0]
-        nak = np.asarray(sat_data.averaging_kernels).shape[0]
-        aks = collect3d("averaging_kernels", nak)
-        pw = collect3d("pressure_weight", nz) if sat_data.sensor == "GOSAT" else np.empty((1,))
-        return satellite_opt(
-            vcd=vcd, time=sat_data.time, profile=[], tropopause=tropopause,
-            latitude_center=lat_c, longitude_center=lon_c,
-            latitude_corner=[], longitude_corner=[],
-            uncertainty=uncertainty, quality_flag=[],
-            pressure_mid=collect_pmid(nz), averaging_kernels=aks,
-            ctm_upscaled_needed=upsc.needed, ctm_vcd=[], ctm_xcol=[],
-            ctm_time_at_sat=[],
-            aprior_column=out.get("aprior_column", np.zeros((1,))),
-            apriori_profile=collect3d("apriori_profile", nz),
-            surface_pressure=out.get("surface_pressure", np.zeros((1,))),
-            apriori_surface=out.get("apriori_surface", np.zeros((1,))),
-            x_col=out["x_col"],
-            pressure_weight=pw, sensor=sat_data.sensor,
-        )
+        else:
+            nz = np.asarray(sat_data.pressure_mid).shape[0]
+            nak = np.asarray(sat_data.averaging_kernels).shape[0]
+            aks = collect3d("averaging_kernels", nak)
+            pw = collect3d("pressure_weight", nz) if sat_data.sensor == "GOSAT" else np.empty((1,))
+            g = satellite_opt(
+                vcd=vcd, time=sat_data.time, profile=[], tropopause=tropopause,
+                latitude_center=lat_c, longitude_center=lon_c,
+                latitude_corner=[], longitude_corner=[],
+                uncertainty=uncertainty, quality_flag=[],
+                pressure_mid=collect_pmid(nz), averaging_kernels=aks,
+                ctm_upscaled_needed=upsc.needed, ctm_vcd=[], ctm_xcol=[],
+                ctm_time_at_sat=[],
+                aprior_column=field("aprior_column", np.zeros((1,))),
+                apriori_profile=collect3d("apriori_profile", nz),
+                surface_pressure=field("surface_pressure", np.zeros((1,))),
+                apriori_surface=field("apriori_surface", np.zeros((1,))),
+                x_col=field("x_col"),
+                pressure_weight=pw, sensor=sat_data.sensor,
+            )
+        if device:
+            g._device_valid = valid
+            if pmid_affine is not None:
+                # the fused month's Eta path reuses the carrier + tables
+                # without pulling the reconstructed stack back
+                g._pmid_carrier = field("pressure_mid:carrier")
+                g._pmid_ab = pmid_affine
+        return g
 
     if lazy is None:
         lazy = _lazy_default()

@@ -51,6 +51,12 @@ def run_month(ctrl, year: int, month: int):
     import os
 
     os.environ["OISAT_PARITY"] = "1" if ctrl.get("parity") else "0"
+    # when the fused month will run, regrid outputs stay ON DEVICE (no
+    # device->host->device round trip; the month step stacks them in place)
+    fused_eligible = bool(ctrl.get("fused_month") and not ctrl.get("save_daily")
+                          and not ctrl.get("averaging_weighting")
+                          and not ctrl.get("desroziers_iterations"))
+    os.environ["OISAT_DEVICE_GRANULES"] = "1" if fused_eligible else "0"
     ctm_name = ctrl["ctm_name"]
     read_ak = "False" if ctm_name == "FREE" else ctrl["read_AK"]
     gas = ctrl["gas"]

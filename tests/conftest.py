@@ -20,3 +20,16 @@ import jax  # noqa: E402
 # float64 is emulated (~49-bit) and float64 goldens drift by ulps.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True)
+def _reset_oisat_env(monkeypatch):
+    """run_month pins OISAT_* process-wide (deliberate in production so a
+    parity month can't leak into later months); tests must not inherit a
+    previous test's pins."""
+    for k in ("OISAT_PARITY", "OISAT_F16_TRANSFER", "OISAT_FAST_SWATH",
+              "OISAT_DEVICE_GRANULES"):
+        monkeypatch.delenv(k, raising=False)

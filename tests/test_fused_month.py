@@ -465,3 +465,81 @@ def test_fused_eta_compressed_matches_staged(monkeypatch):
     _compare(fused, staged, ("sat_averaged_vcd", "ctm_averaged_vcd", "aux1",
                              "aux2", "ctm_averaged_vcd_corrected", "ak_OI",
                              "error_OI"))
+
+
+def test_fused_device_granules_match_host_granules(monkeypatch):
+    """OISAT_DEVICE_GRANULES=1: regrid leaves granule fields on device (no
+    D2H), the fused month stacks them in place — results must match the
+    host-granule fused month, and the deferred domain check must drop
+    off-domain granules like the eager one."""
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    import jax
+
+    clon, clat = ctm_grid()
+    ctm = synthetic_ctm()
+
+    def build(device):
+        grans = []
+        for s in range(3):
+            g = regrid_granule(1, 0.25, synthetic_granule(s, 4 + s), clon, clat,
+                               flag_thresh=0.5, device=device)
+            grans.append(g)
+        # an off-domain granule: all-NaN vcd after QA
+        far = synthetic_granule(9, 8)
+        far.latitude_center = far.latitude_center + 60.0  # misses the domain
+        far.time = far.time.replace(day=9)
+        fg = regrid_granule(1, 0.25, far, clon, clat, flag_thresh=0.5,
+                            device=device)
+        if fg is not None:  # device mode defers the check
+            grans.append(fg)
+        return grans
+
+    host = oisatgmi()
+    host.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=build(False))
+    host.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01",
+                             error_ctm=50.0)
+
+    dev_grans = build(True)
+    assert all(isinstance(g.vcd, jax.Array) for g in dev_grans)
+    assert hasattr(dev_grans[0], "_device_valid")
+    dev = oisatgmi()
+    dev.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=dev_grans)
+    dev.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01",
+                            error_ctm=50.0)
+
+    _compare(dev, host, ("sat_averaged_vcd", "ctm_averaged_vcd", "aux1",
+                         "aux2", "ctm_averaged_vcd_corrected", "ak_OI",
+                         "error_OI"), rtol=1e-5, atol=1e-7)
+    # the off-domain granule must not have shifted the averaging time
+    assert abs(dev.avg_time.timestamp() - host.avg_time.timestamp()) < 1.0
+
+
+def test_fused_device_granules_eta_path(monkeypatch):
+    """Device granules from eta-structured products carry carrier + tables
+    and take the compressed Eta inputs without pulling stacks back."""
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    import jax
+
+    from oisat_tpu.parallel.analysis import FullMonthEtaInputs
+
+    monkeypatch.setenv("OISAT_DEVICE_GRANULES", "1")
+    ctm = synthetic_ctm()
+    grans = _eta_granules()
+    assert all(isinstance(g.vcd, jax.Array) for g in grans)
+    assert all(hasattr(g, "_pmid_ab") for g in grans)
+    obj = oisatgmi()
+    obj.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=grans)
+    inputs, _maker = obj._fused_inputs("amf", "OMI", [ctm], grans)
+    assert isinstance(inputs, FullMonthEtaInputs)
+    assert isinstance(inputs.sat_pmid_carrier, jax.Array)
+    assert isinstance(inputs.vcd, jax.Array)
+
+    monkeypatch.setenv("OISAT_DEVICE_GRANULES", "0")
+    host = oisatgmi()
+    host.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=_eta_granules())
+    host.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01",
+                             error_ctm=50.0)
+    obj.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01",
+                            error_ctm=50.0)
+    _compare(obj, host, ("sat_averaged_vcd", "ctm_averaged_vcd",
+                         "ctm_averaged_vcd_corrected"), rtol=1e-5, atol=1e-7)
