@@ -43,6 +43,10 @@ def save_granules(path, granules):
                 continue
             grp.attrs["class"] = type(g).__name__
             for name, v in vars(g).items():
+                if name.startswith("_"):
+                    # device-mode bookkeeping (_device_valid, _pmid_carrier,
+                    # _pmid_ab) is derived state, not granule data
+                    continue
                 if isinstance(v, datetime.datetime):
                     grp.attrs["dt:" + name] = v.isoformat()
                 elif isinstance(v, (bool, np.bool_)):

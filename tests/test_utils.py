@@ -75,3 +75,26 @@ def test_driver_state_roundtrip(tmp_path):
     obj2.bias_correct("OMI", "NO2")
     obj2.oi("OMI")
     assert np.isfinite(obj2.ctm_averaged_vcd_corrected).sum() > 50
+
+
+def test_granule_store_device_mode_roundtrip(tmp_path, monkeypatch):
+    """save_state/load_state works on device-mode granules: device leaves
+    convert on write and the injected bookkeeping attrs are skipped."""
+    import numpy as np
+
+    from oisat_tpu.regridder import regrid_granule
+    from oisat_tpu.utils.granule_store import load_granules, save_granules
+    from tests.test_pipeline import ctm_grid, synthetic_granule
+
+    clon, clat = ctm_grid()
+    g = regrid_granule(1, 0.25, synthetic_granule(0, 4), clon, clat,
+                       flag_thresh=0.5, device=True)
+    assert hasattr(g, "_device_valid")
+    path = tmp_path / "grans.h5"
+    save_granules(path, [g, None])
+    out = load_granules(path)
+    assert out[1] is None
+    g2 = out[0]
+    assert not hasattr(g2, "_device_valid")
+    np.testing.assert_allclose(np.asarray(g2.vcd), np.asarray(g.vcd),
+                               equal_nan=True)
