@@ -702,6 +702,7 @@ def regrid_ssmis_granule(
     dtype=np.float32,
     fast_swath: bool | None = None,
     lazy: bool | None = None,
+    device: bool | None = None,
 ):
     """SSMIS variant (reference interpolator_ssmis.py:96-168).
 
@@ -732,19 +733,24 @@ def regrid_ssmis_granule(
     upsc = make_upscaler(lons_fine, lats_fine, ctm_lon2d, ctm_lat2d,
                          grid_size, threshold_ctm, method=1, far_factor=1.0,
                          fast=fast_swath)
+    if device is None:
+        device = device_granules_default()
     collect = _regrid_fused(
         plan, upsc, _stack([sat_data.vcd]), _stack([sat_data.uncertainty]),
-        dtype, lazy=True)
+        dtype, lazy=True, device=device)
 
     def finish():
         gridded, err_gridded = collect()
-        return satellite_ssmis(
+        g = satellite_ssmis(
             vcd=gridded[0],
             # raw value through the squared kernel, no sqrt
             uncertainty=err_gridded[0], time=sat_data.time,
             latitude_center=upsc.out_lat, longitude_center=upsc.out_lon,
             ctm_upscaled_needed=upsc.needed, ctm_vcd=[], sensor="SSMIS",
         )
+        if device:
+            g._device_valid = jnp.isfinite(g.vcd).any()
+        return g
 
     if lazy is None:
         lazy = _lazy_default()
