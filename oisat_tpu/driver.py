@@ -448,10 +448,11 @@ class oisatgmi:
         time_ctm, time_hour = _ctm_times(ctm_data)
 
         if kind == "amf":
-            from oisat_tpu.regridder import _affine_stack, _geom_key
+            from oisat_tpu.obs_operators import _ctm_slice_key
+            from oisat_tpu.parallel.analysis import dedup_first_seen
+            from oisat_tpu.regridder import _affine_stack, parity_mode
 
-            pmids, pcs, trops = [], [], []
-            slice_idx, slice_order, idxs = {}, [], []
+            pmids, pcs, trops, keys = [], [], [], []
             for g in grans:
                 closest, pmid, pc, trop, _has = _amf_one(ctm_data, g, time_ctm,
                                                          time_hour)
@@ -460,19 +461,13 @@ class oisatgmi:
                 # no-tropopause granules pass zeros: pmid < 0 never holds,
                 # reproducing the has_trop=False branch
                 trops.append(trop)
-                # CTM slice dedup key: the matched time index (+ the
-                # granule grid when the slice was upscaled onto it)
-                k = closest
-                if g.ctm_upscaled_needed:
-                    k = (closest,
-                         _geom_key(np.atleast_2d(np.asarray(g.longitude_center)),
-                                   np.atleast_2d(np.asarray(g.latitude_center))))
-                if k not in slice_idx:
-                    slice_idx[k] = len(slice_order)
-                    slice_order.append(len(pmids) - 1)
-                idxs.append(slice_idx[k])
+                keys.append(_ctm_slice_key(g, closest))
+            slice_order, idxs = dedup_first_seen(keys)
 
-            if any(isinstance(g.vcd, jax.Array) for g in grans):
+            if parity_mode():
+                # parity keeps the reference's full per-level transfer
+                carriers = None
+            elif any(isinstance(g.vcd, jax.Array) for g in grans):
                 # device granules carry their carrier + tables from the
                 # regrid (detecting afresh would pull every stack back)
                 tabs = [getattr(g, "_pmid_ab", None) for g in grans]
@@ -581,6 +576,23 @@ class oisatgmi:
             x_col=stack([g.x_col for g in grans]),
             uncertainty=stack([g.uncertainty for g in grans]),
         ), make_mopitt_month_step
+
+    def settle_device_granules(self):
+        """Apply the deferred off-domain check of device-granule mode:
+        granules whose ``_device_valid`` scalar is False become None,
+        giving the staged pipeline the same granule list host mode
+        produces (reference interpolator.py:165-167 drops them at regrid).
+        One batched pull for all the validity scalars; no-op when no
+        granule carries one."""
+        sat = self.reader_obj.sat_data
+        dv = [getattr(g, "_device_valid", None) if g is not None else None
+              for g in sat]
+        if not any(v is not None for v in dv):
+            return
+        flags = iter(np.asarray(jnp.stack([v for v in dv if v is not None])))
+        self.reader_obj.sat_data = [
+            None if (v is not None and not bool(next(flags))) else g
+            for g, v in zip(sat, dv)]
 
     # -- stage-boundary checkpointing (extension; SURVEY.md §5) --------------
     def save_state(self, path):

@@ -148,9 +148,11 @@ def _amf_one(ctm_data, granule, time_ctm, time_hour):
     if granule.ctm_upscaled_needed:
         pmid, pc = _maybe_upscale(ctm_data, granule, [pmid, pc])
     has_trop = np.size(granule.tropopause) != 1
-    # keep the granule's own leaf type: device-granule months must not
-    # pull the tropopause back to host here
-    trop = granule.tropopause if has_trop else np.zeros(np.shape(granule.vcd))
+    # keep the granule's own leaf type AND dtype: device-granule months
+    # must not pull the tropopause back to host here, and the zeros
+    # placeholder must not promote the stack to f64
+    trop = (granule.tropopause if has_trop
+            else np.zeros(np.shape(granule.vcd), dtype=granule.vcd.dtype))
     return closest, np.asarray(pmid), pc, trop, has_trop
 
 
@@ -180,17 +182,28 @@ _amf_recal_batched = jax.jit(
 )
 
 
+def _ctm_slice_key(granule, closest):
+    """Dedup key for a granule's matched CTM slice: the matched time index
+    uniquely identifies it, plus the granule grid when the slice was
+    upscaled onto it (shared with driver._fused_inputs)."""
+    from oisat_tpu.regridder import _geom_key
+
+    if granule.ctm_upscaled_needed:
+        return (closest,
+                _geom_key(np.atleast_2d(np.asarray(granule.longitude_center)),
+                          np.atleast_2d(np.asarray(granule.latitude_center))))
+    return closest
+
+
 def _amf_recal_eta(carrier, a_tab, b_tab, sw, ctm_pmid_u, ctm_pc_u, idx,
                    trop, vcd, amf, has_trop):
     """Transfer-compressed batched AMF recal: the per-granule pressure
     stack travels as one carrier level + (G, Ls) affine tables, and the
     matched CTM slices travel once each, gathered by index on device —
-    the same decompression the fused month step uses
-    (parallel.analysis.full_month_eta_step)."""
-    dt = jnp.promote_types(carrier.dtype, jnp.float32)
-    sat_pmid = (a_tab[:, :, None, None].astype(dt)
-                + b_tab[:, :, None, None].astype(dt)
-                * carrier[:, None, :, :].astype(dt))
+    the same decompression the fused month step uses."""
+    from oisat_tpu.parallel.analysis import decompress_pmid
+
+    sat_pmid = decompress_pmid(carrier, a_tab, b_tab)
     ctm_pmid = jnp.take(ctm_pmid_u, idx, axis=0)
     ctm_pc = jnp.take(ctm_pc_u, idx, axis=0)
     return jax.vmap(amf_recal_fields,
@@ -211,7 +224,7 @@ def amf_recal(ctm_data: list, sat_data: list):
     one field (all real products) the batch travels compressed: carrier
     level + tables, plus one copy of each distinct CTM slice.
     """
-    from oisat_tpu.regridder import _affine_stack, _geom_key
+    from oisat_tpu.regridder import _affine_stack, parity_mode
 
     print("AMF Recal begins...")
     time_ctm, time_hour = _ctm_times(ctm_data)
@@ -236,23 +249,16 @@ def amf_recal(ctm_data: list, sat_data: list):
     for (vshape, sshape, cshape, has_trop), items in groups.items():
         gis = [it[0] for it in items]
         stack = lambda f: jnp.asarray(np.stack(f))
-        afs = [_affine_stack(np.asarray(sat_data[i].pressure_mid)) for i in gis]
+        # parity mode keeps the reference's full per-level transfer
+        afs = ([_affine_stack(np.asarray(sat_data[i].pressure_mid)) for i in gis]
+               if not parity_mode() else [None])
         if all(af is not None for af in afs):
-            # dedup the matched CTM slices (key: matched time index, plus
-            # the granule grid when the slice was upscaled onto it)
-            slice_idx, u_items, idxs = {}, [], []
-            for it in items:
-                gi_, closest = it[0], it[1]
-                g = sat_data[gi_]
-                k = closest
-                if g.ctm_upscaled_needed:
-                    k = (closest,
-                         _geom_key(np.atleast_2d(np.asarray(g.longitude_center)),
-                                   np.atleast_2d(np.asarray(g.latitude_center))))
-                if k not in slice_idx:
-                    slice_idx[k] = len(u_items)
-                    u_items.append(it)
-                idxs.append(slice_idx[k])
+            # dedup the matched CTM slices
+            from oisat_tpu.parallel.analysis import dedup_first_seen
+
+            keys = [_ctm_slice_key(sat_data[it[0]], it[1]) for it in items]
+            order, idxs = dedup_first_seen(keys)
+            u_items = [items[i] for i in order]
             new_amf, vcd_corr, model_vcd = _amf_recal_batched_eta(
                 _stack16([np.asarray(sat_data[i].pressure_mid)[af[2]]
                           for i, af in zip(gis, afs)]),

@@ -14,6 +14,7 @@ from __future__ import annotations
 from functools import partial
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -213,12 +214,19 @@ def _pad_to_mesh(inputs, fields_cls, n_obs: int, n_grid: int):
         return inputs, h
     out = []
     for x in inputs:
-        a = np.asarray(x)
-        pad = [(0, 0)] * a.ndim
+        pad = [(0, 0)] * np.ndim(x)
         pad[0] = (0, gp - g)
         pad[-2] = (0, hp - h)
-        out.append(np.pad(a, pad, constant_values=np.nan))
+        out.append(_pad_array(x, pad, np.nan))
     return fields_cls(*out), h
+
+
+def _pad_array(x, pads, fill):
+    """np.pad for host leaves, jnp.pad for device leaves — padding a
+    device-granule month must not pull it back through the link."""
+    if isinstance(x, jax.Array):
+        return jnp.pad(x, pads, constant_values=fill)
+    return np.pad(np.asarray(x), pads, constant_values=fill)
 
 
 def _make_month_step(step_fn, fields_cls, mesh: Mesh, curve_impl: str,
@@ -339,17 +347,17 @@ def _pad_eta(inputs, n_obs: int, n_grid: int):
     if (gp, hp) == (g, h):
         # no conversion either: device-granule months must stay on device
         return inputs, h
-    arrs = [np.asarray(x) for x in inputs]
+    arrs = list(inputs)
 
     def pad(a, pad_g, h_axis, fill=np.nan):
-        pads = [(0, 0)] * a.ndim
+        pads = [(0, 0)] * np.ndim(a)
         if pad_g:
             pads[0] = (0, gp - g)
         if h_axis is not None:
             pads[h_axis] = (0, hp - h)
-        return np.pad(a, pads, constant_values=fill)
+        return _pad_array(a, pads, fill)
 
-    nan_slice = arrs[8].shape[0] - 1
+    nan_slice = np.shape(arrs[8])[0] - 1
     return FullMonthEtaInputs(
         sat_pmid_carrier=pad(arrs[0], True, -2),
         sat_pmid_a=pad(arrs[1], True, None),
@@ -368,19 +376,38 @@ def _pad_eta(inputs, n_obs: int, n_grid: int):
 FullMonthEtaInputs._pad_fn = staticmethod(_pad_eta)
 
 
+def decompress_pmid(carrier, a, b):
+    """``pmid[g] = a[g] + b[g] * carrier[g]`` at >= f32 (a narrow f16
+    transfer dtype must not clip the tables, and an out-of-f16-range
+    carrier arrives as f32 already).  Shared by the fused Eta step and the
+    staged compressed amf_recal (obs_operators) so the two paths cannot
+    drift."""
+    dt = jnp.promote_types(carrier.dtype, jnp.float32)
+    return (a[:, :, None, None].astype(dt) + b[:, :, None, None].astype(dt)
+            * carrier[:, None, :, :].astype(dt))
+
+
+def dedup_first_seen(keys):
+    """First-occurrence dedup: returns (positions of the unique keys in
+    input order, per-input index into those uniques).  Shared by the
+    CTM-slice dedup in driver._fused_inputs and obs_operators.amf_recal."""
+    seen, order, idxs = {}, [], []
+    for i, k in enumerate(keys):
+        if k not in seen:
+            seen[k] = len(order)
+            order.append(i)
+        idxs.append(seen[k])
+    return order, idxs
+
+
 def full_month_eta_step(inputs: FullMonthEtaInputs, bias_offset: float = 0.0,
                         bias_slope: float = 1.0, error_ctm: float = 50.0,
                         ctm_scale: float = 1.0,
                         curve_fn=None) -> AnalysisOutputs:
     """Decompress on device (pmid reconstruction + CTM slice gather), then
     run the standard :func:`full_month_step` body."""
-    # reconstruct at >= f32 (a narrow f16 transfer dtype must not clip the
-    # tables, and an out-of-f16-range carrier arrives as f32 already)
-    dt = jnp.promote_types(inputs.sat_pmid_carrier.dtype, jnp.float32)
-    carrier = inputs.sat_pmid_carrier.astype(dt)
-    sat_pmid = (inputs.sat_pmid_a[:, :, None, None].astype(dt)
-                + inputs.sat_pmid_b[:, :, None, None].astype(dt)
-                * carrier[:, None, :, :])
+    sat_pmid = decompress_pmid(inputs.sat_pmid_carrier, inputs.sat_pmid_a,
+                               inputs.sat_pmid_b)
     full = FullMonthInputs(
         sat_pmid=sat_pmid, sat_sw=inputs.sat_sw, vcd=inputs.vcd,
         amf=inputs.amf, uncertainty=inputs.uncertainty,

@@ -116,6 +116,16 @@ def f16_transfer_default() -> bool:
     return True
 
 
+def parity_mode() -> bool:
+    """OISAT_PARITY=1: bit-match the reference numerics — scipy weight
+    builders, full-precision transfers, and NO affine carrier-level
+    shortcut (a + b*regrid(ps) rounds differently than the reference's
+    per-level regrid(a + b*ps))."""
+    import os
+
+    return os.environ.get("OISAT_PARITY", "0") == "1"
+
+
 def device_granules_default() -> bool:
     """Gridded granules keep their big field leaves ON DEVICE
     (``OISAT_DEVICE_GRANULES=1``; default off).  The fused month path sets
@@ -550,7 +560,11 @@ def regrid_granule(
         for partition-of-unity weights: linear/nearest (methods 1/2/4),
         not RBF (method 3)."""
         nonlocal pmid_affine
-        ab = _affine_stack(arr) if interpolator_type in (1, 2, 4) else None
+        # parity mode takes the reference's per-level path (a + b*regrid(ps)
+        # rounds differently than per-level regrid(a + b*ps))
+        ab = (_affine_stack(arr)
+              if interpolator_type in (1, 2, 4) and not parity_mode()
+              else None)
         if ab is None:
             add3d("pressure_mid", arr)
             return
@@ -748,8 +762,6 @@ def regrid_ssmis_granule(
             latitude_center=upsc.out_lat, longitude_center=upsc.out_lon,
             ctm_upscaled_needed=upsc.needed, ctm_vcd=[], sensor="SSMIS",
         )
-        if device:
-            g._device_valid = jnp.isfinite(g.vcd).any()
         return g
 
     if lazy is None:

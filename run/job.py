@@ -21,6 +21,15 @@ def load_control(path="./control.yml"):
         return yaml.safe_load(stream)
 
 
+def fused_eligible(ctrl) -> bool:
+    """Whether the fused one-program month path applies to this control
+    file (ONE definition — run_month's device-granule switch and
+    _analyze's dispatch must never drift apart)."""
+    return bool(ctrl.get("fused_month") and not ctrl.get("save_daily")
+                and not ctrl.get("averaging_weighting")
+                and not ctrl.get("desroziers_iterations"))
+
+
 def mesh_from_ctrl(ctrl):
     """Resolve the ``mesh_devices`` control key: ``all`` uses every visible
     device, an integer uses that many; absent/1 runs single-device (the
@@ -53,10 +62,7 @@ def run_month(ctrl, year: int, month: int):
     os.environ["OISAT_PARITY"] = "1" if ctrl.get("parity") else "0"
     # when the fused month will run, regrid outputs stay ON DEVICE (no
     # device->host->device round trip; the month step stacks them in place)
-    fused_eligible = bool(ctrl.get("fused_month") and not ctrl.get("save_daily")
-                          and not ctrl.get("averaging_weighting")
-                          and not ctrl.get("desroziers_iterations"))
-    os.environ["OISAT_DEVICE_GRANULES"] = "1" if fused_eligible else "0"
+    os.environ["OISAT_DEVICE_GRANULES"] = "1" if fused_eligible(ctrl) else "0"
     ctm_name = ctrl["ctm_name"]
     read_ak = "False" if ctm_name == "FREE" else ctrl["read_AK"]
     gas = ctrl["gas"]
@@ -100,10 +106,7 @@ def _analyze(obj, ctrl, sensor, gas, start, end, savedaily):
     averaging + bias + OI as ONE device program (oisat_tpu/parallel) under
     the control-selected mesh; months it can't express (mixed granule
     shapes, no scattering weights) fall back to the staged pipeline."""
-    if (ctrl.get("fused_month")
-            and not ctrl.get("save_daily")
-            and not ctrl.get("averaging_weighting")
-            and not ctrl.get("desroziers_iterations")):
+    if fused_eligible(ctrl):
         # resolve the mesh OUTSIDE the fused-month fallback: an invalid
         # mesh_devices (more chips than the host has, a typo) must fail
         # loudly, not silently degrade the job to one chip
@@ -114,6 +117,9 @@ def _analyze(obj, ctrl, sensor, gas, start, end, savedaily):
             return
         except ValueError as e:
             print(f"fused month not applicable ({e}); running staged pipeline")
+        # the fallback must see the granule list host mode would have
+        # produced: apply the deferred off-domain check of device granules
+        obj.settle_device_granules()
     if sensor in ("MOPITT", "GOSAT"):
         obj.conv_ak(sensor)
     elif sensor == "SSMIS":

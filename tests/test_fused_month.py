@@ -543,3 +543,26 @@ def test_fused_device_granules_eta_path(monkeypatch):
                             error_ctm=50.0)
     _compare(obj, host, ("sat_averaged_vcd", "ctm_averaged_vcd",
                          "ctm_averaged_vcd_corrected"), rtol=1e-5, atol=1e-7)
+
+
+def test_settle_device_granules_matches_host_drop(monkeypatch):
+    """When the fused path falls back with device granules, the driver's
+    settle applies the deferred off-domain check so the staged pipeline
+    sees what host mode would (granule -> None)."""
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    clon, clat = ctm_grid()
+    far = synthetic_granule(9, 8)
+    far.latitude_center = far.latitude_center + 60.0
+    # host mode drops it at regrid
+    assert regrid_granule(1, 0.25, far, clon, clat, flag_thresh=0.5) is None
+    far2 = synthetic_granule(9, 8)
+    far2.latitude_center = far2.latitude_center + 60.0
+    fg = regrid_granule(1, 0.25, far2, clon, clat, flag_thresh=0.5, device=True)
+    ok = regrid_granule(1, 0.25, synthetic_granule(0, 4), clon, clat,
+                        flag_thresh=0.5, device=True)
+    obj = oisatgmi()
+    obj.reader_obj = SimpleNamespace(ctm_data=[], sat_data=[ok, fg, None])
+    obj.settle_device_granules()
+    assert obj.reader_obj.sat_data[0] is ok
+    assert obj.reader_obj.sat_data[1] is None  # deferred drop applied
+    assert obj.reader_obj.sat_data[2] is None
