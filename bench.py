@@ -218,22 +218,34 @@ def _synthetic_orbit(seed=0, ny=1644, nx=60, nz=35):
 
 def bench_regrid(fast: bool, orbits=8):
     """Swath→grid regrid ms/orbit (BASELINE.md row), host weight build +
-    fused device apply, parity (qhull) vs native fast-swath builders."""
+    fused device apply, parity (qhull builders, full per-level transfer —
+    the complete OISAT_PARITY=1 configuration) vs the native fast-swath
+    production path (affine carrier + f16 transfers)."""
+    import os
+
     clat = np.arange(20.0, 60.0, 0.25)
     clon = np.arange(-20.0, 10.0, 0.25)
     clon2, clat2 = np.meshgrid(clon, clat)
 
     from oisat_tpu.regridder import regrid_granule
 
-    # 0.25 deg: the OMI NO2 recipe this orbit mimics (reference
-    # reader.py:899-901); the fine grid is ~19k targets
-    regrid_granule(1, 0.25, _synthetic_orbit(0), clon2, clat2,
-                   flag_thresh=0.0, fast_swath=fast)  # compile + warm caches
-    t0 = time.perf_counter()
-    for s in range(orbits):
-        out = regrid_granule(1, 0.25, _synthetic_orbit(s + 1), clon2, clat2,
-                             flag_thresh=0.0, fast_swath=fast)
-    t = (time.perf_counter() - t0) / orbits
+    prev = os.environ.get("OISAT_PARITY")
+    os.environ["OISAT_PARITY"] = "0" if fast else "1"
+    try:
+        # 0.25 deg: the OMI NO2 recipe this orbit mimics (reference
+        # reader.py:899-901); the fine grid is ~19k targets
+        regrid_granule(1, 0.25, _synthetic_orbit(0), clon2, clat2,
+                       flag_thresh=0.0, fast_swath=fast)  # compile + warm caches
+        t0 = time.perf_counter()
+        for s in range(orbits):
+            out = regrid_granule(1, 0.25, _synthetic_orbit(s + 1), clon2, clat2,
+                                 flag_thresh=0.0, fast_swath=fast)
+        t = (time.perf_counter() - t0) / orbits
+    finally:
+        if prev is None:
+            os.environ.pop("OISAT_PARITY", None)
+        else:
+            os.environ["OISAT_PARITY"] = prev
     assert out is not None
     _emit(f"regrid_orbit_{'fast' if fast else 'parity'}", round(t * 1e3, 1),
           "ms/orbit", None,
