@@ -182,3 +182,48 @@ def test_affine_pressure_stack_fast_path_matches_full():
     const = np.linspace(900, 100, nz)[:, None, None] * np.ones_like(ps)[None]
     ab = R._affine_stack(const)
     assert ab is not None and np.allclose(ab[1], 0.0)
+
+
+def test_affine_stack_properties():
+    """Property sweep for the affine detector: exact recovery on affine
+    stacks (any carrier position, b=0 rows, shared NaN patterns, f32
+    rounding), rejection of non-affine stacks, mismatched NaN patterns,
+    and tiny stacks."""
+    import numpy as np
+
+    from oisat_tpu.regridder import _affine_stack
+
+    rng = np.random.default_rng(123)
+    for trial in range(20):
+        L, ny, nx = rng.integers(3, 9), 13, 17
+        ps = np.abs(rng.normal(1000, 40, (ny, nx)))
+        a = rng.uniform(0, 500, L)
+        b = rng.uniform(0, 1.2, L)
+        b[rng.random(L) < 0.3] = 0.0  # constant rows are legal
+        stack = a[:, None, None] + b[:, None, None] * ps[None]
+        nanmask = rng.random((ny, nx)) < 0.2
+        stack[:, nanmask] = np.nan  # one shared NaN pattern
+        st = stack.astype(np.float32) if trial % 2 else stack
+        got = _affine_stack(st)
+        assert got is not None, trial
+        ga, gb, ci = got
+        recon = ga[:, None, None] + gb[:, None, None] * np.asarray(st, np.float64)[ci]
+        m = np.isfinite(stack)
+        tol = 1e-4 if trial % 2 else 1e-9
+        np.testing.assert_allclose(recon[m], np.asarray(st, np.float64)[m],
+                                   rtol=tol, atol=tol)
+
+    # non-affine: independent random levels
+    bad = np.abs(rng.normal(500, 100, (5, 13, 17)))
+    assert _affine_stack(bad) is None
+    # one level with its own NaN pattern -> rejected (reconstruction would
+    # move NaNs)
+    ok = np.linspace(100, 900, 5)[:, None, None] * np.ones((5, 13, 17))
+    ok2 = ok.copy()
+    ok2[3, 0, 0] = np.nan
+    assert _affine_stack(ok2) is None
+    # too short to be worth compressing
+    assert _affine_stack(ok[:2]) is None
+    # all-constant stack (MOPITT-style fixed table): b == 0 everywhere
+    got = _affine_stack(ok)
+    assert got is not None and np.allclose(got[1], 0.0)
