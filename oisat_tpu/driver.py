@@ -36,6 +36,37 @@ BIAS_CORRECTIONS = {
 }
 
 
+def _desroziers_step(xa, y_clip, xb, sa_var, so_var, bins, nb):
+    """One Desroziers (re-)estimation pass: (sa_step, so_step) scale
+    factors — scalars for the global estimator, per-cell maps for the
+    binned one.  Shared by the scalar and full-covariance OI branches."""
+    from oisat_tpu.ops.diagnostics import desroziers_binned, desroziers_estimates
+
+    args = tuple(jnp.asarray(v) for v in (xa, y_clip, xb, sa_var, so_var))
+    if bins is None:
+        est = desroziers_estimates(*args)
+        return float(est.sa_scale), float(est.so_scale)
+    est = desroziers_binned(*args, bins, nb)
+    return (np.asarray(est.sa_scale, np.float64)[bins],
+            np.asarray(est.so_scale, np.float64)[bins])
+
+
+def _desroziers_diag(nb, bins, sa_total, so_total, iterations):
+    """The oi_diagnostics entries for a Desroziers sweep (+ per-bin scale
+    spread when binned)."""
+    d = {"desroziers_sa_scale": float(np.nanmean(sa_total)),
+         "desroziers_so_scale": float(np.nanmean(so_total)),
+         "desroziers_iterations": int(iterations)}
+    if bins is not None:
+        d.update({
+            "desroziers_bins": nb,
+            "desroziers_sa_scale_min": float(np.nanmin(sa_total)),
+            "desroziers_sa_scale_max": float(np.nanmax(sa_total)),
+            "desroziers_so_scale_min": float(np.nanmin(so_total)),
+            "desroziers_so_scale_max": float(np.nanmax(so_total))})
+    return d
+
+
 class oisatgmi:
     """One analysis session (one sensor, one gas, one month)."""
 
@@ -171,24 +202,11 @@ class oisatgmi:
             for _ in range(int(desroziers_iterations)):
                 # Desroziers moments are gain-agnostic: rescale the error
                 # std-devs and re-solve with the full covariance
-                from oisat_tpu.ops.diagnostics import (
-                    desroziers_binned,
-                    desroziers_estimates,
-                )
-
-                args = (jnp.asarray(np.asarray(xa, np.float64)),
-                        jnp.asarray(y_clip),
-                        jnp.asarray(np.asarray(res.xb, np.float64)),
-                        jnp.asarray(sigma_b.astype(np.float64) ** 2),
-                        jnp.asarray(sigma_o.astype(np.float64) ** 2))
-                if bins is None:
-                    est = desroziers_estimates(*args)
-                    sa_step = float(est.sa_scale)
-                    so_step = float(est.so_scale)
-                else:
-                    est = desroziers_binned(*args, bins, nb)
-                    sa_step = np.asarray(est.sa_scale, np.float64)[bins]
-                    so_step = np.asarray(est.so_scale, np.float64)[bins]
+                sa_step, so_step = _desroziers_step(
+                    np.asarray(xa, np.float64), y_clip,
+                    np.asarray(res.xb, np.float64),
+                    sigma_b.astype(np.float64) ** 2,
+                    sigma_o.astype(np.float64) ** 2, bins, nb)
                 sigma_b = sigma_b * np.sqrt(sa_step)
                 sigma_o = sigma_o * np.sqrt(so_step)
                 sa_scale_total = sa_scale_total * sa_step
@@ -204,17 +222,10 @@ class oisatgmi:
             # run on this object must not leak into the diag file
             self.oi_diagnostics = dict(res.info or {})
             if desroziers_iterations:
-                self.oi_diagnostics.update({
-                    "desroziers_sa_scale": float(np.nanmean(sa_scale_total)),
-                    "desroziers_so_scale": float(np.nanmean(so_scale_total)),
-                    "desroziers_iterations": int(desroziers_iterations)})
+                self.oi_diagnostics.update(_desroziers_diag(
+                    nb, bins, sa_scale_total, so_scale_total,
+                    desroziers_iterations))
                 if bins is not None:
-                    self.oi_diagnostics.update({
-                        "desroziers_bins": nb,
-                        "desroziers_sa_scale_min": float(np.nanmin(sa_scale_total)),
-                        "desroziers_sa_scale_max": float(np.nanmax(sa_scale_total)),
-                        "desroziers_so_scale_min": float(np.nanmin(so_scale_total)),
-                        "desroziers_so_scale_max": float(np.nanmax(so_scale_total))})
                     self.desroziers_sa_scale_map = sa_scale_total
                     self.desroziers_so_scale_map = so_scale_total
             return
@@ -224,11 +235,7 @@ class oisatgmi:
                     regularization_on=True)
         desroziers = None
         if desroziers_iterations:
-            from oisat_tpu.ops.diagnostics import (
-                desroziers_binned,
-                desroziers_estimates,
-                lat_band_index,
-            )
+            from oisat_tpu.ops.diagnostics import lat_band_index
 
             nb = int(desroziers_bins)
             bins = None
@@ -243,34 +250,17 @@ class oisatgmi:
             y_clip = np.where(np.asarray(y, np.float64) < 0, 0.0,
                               np.asarray(y, np.float64))
             for _ in range(int(desroziers_iterations)):
-                if bins is None:
-                    est = desroziers_estimates(jnp.asarray(xa), jnp.asarray(y_clip),
-                                               res.xb, jnp.asarray(sa), jnp.asarray(so))
-                    sa_step = float(est.sa_scale)
-                    so_step = float(est.so_scale)
-                else:
-                    est = desroziers_binned(jnp.asarray(xa), jnp.asarray(y_clip),
-                                            res.xb, jnp.asarray(sa), jnp.asarray(so),
-                                            bins, nb)
-                    sa_step = np.asarray(est.sa_scale, np.float64)[bins]
-                    so_step = np.asarray(est.so_scale, np.float64)[bins]
+                sa_step, so_step = _desroziers_step(xa, y_clip, res.xb, sa, so,
+                                                    bins, nb)
                 sa = sa * sa_step
                 so = so * so_step
                 sa_scale_total = sa_scale_total * sa_step
                 so_scale_total = so_scale_total * so_step
                 res = oi_op(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa),
                             jnp.asarray(so), regularization_on=True)
-            desroziers = {
-                "desroziers_sa_scale": float(np.nanmean(sa_scale_total)),
-                "desroziers_so_scale": float(np.nanmean(so_scale_total)),
-                "desroziers_iterations": int(desroziers_iterations)}
+            desroziers = _desroziers_diag(nb, bins, sa_scale_total,
+                                          so_scale_total, desroziers_iterations)
             if bins is not None:
-                desroziers.update({
-                    "desroziers_bins": nb,
-                    "desroziers_sa_scale_min": float(np.nanmin(sa_scale_total)),
-                    "desroziers_sa_scale_max": float(np.nanmax(sa_scale_total)),
-                    "desroziers_so_scale_min": float(np.nanmin(so_scale_total)),
-                    "desroziers_so_scale_max": float(np.nanmax(so_scale_total))})
                 self.desroziers_sa_scale_map = sa_scale_total
                 self.desroziers_so_scale_map = so_scale_total
             print(f"Desroziers re-estimation ({nb} bin(s)): "

@@ -643,14 +643,10 @@ def regrid_granule(
         def collect_pmid(nz):
             if pmid_affine is None:
                 return collect3d("pressure_mid", nz)
-            a_, b_ = pmid_affine
+            a_, b_ = (xp.asarray(t) for t in pmid_affine)
             carrier = field("pressure_mid:carrier")
             # NaN rides along for b==0 too (IEEE: 0*NaN is NaN); keep the
             # compute dtype of the regridded fields
-            if device:
-                return (jnp.asarray(a_)[:, None, None]
-                        + jnp.asarray(b_)[:, None, None]
-                        * carrier).astype(carrier.dtype)
             return (a_[:, None, None]
                     + b_[:, None, None] * carrier).astype(carrier.dtype)
 
