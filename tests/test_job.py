@@ -316,3 +316,46 @@ def test_run_month_ssmis_pwv(tmp_path, monkeypatch):
     expect = 6 * 3000.0 * 0.004 / 9.80665 / 10000.0 / 1000.0 * 1000.0  # mm? (dp in Pa->hPa: 30 hPa)
     prior = fields["ctm_averaged_vcd_prior"]
     assert np.isfinite(prior).sum() > 5
+
+
+def test_run_campaign_sweeps_months_with_retry(tmp_path, monkeypatch):
+    """run/campaign.py sweeps start_date..end_date in ONE process: a month
+    with data produces its diag; a month whose read fails is retried once
+    and then reported, without killing the campaign (SURVEY.md §5 failure
+    tolerance at month level)."""
+    import importlib.util
+
+    import yaml
+
+    from tests.test_ctm_readers import write_gmi_pair
+    from tests.test_sensors import write_omi_no2
+
+    (tmp_path / "ctm").mkdir()
+    (tmp_path / "sat").mkdir()
+    write_gmi_pair(tmp_path / "ctm" / "MERRA2_GMI.tavg3_3d_met_Nv.20190710.nc4",
+                   tmp_path / "ctm" / "MERRA2_GMI.tavg3_3d_tac_Nv.20190710.nc4", 10,
+                   nlat=16, nlon=17)
+    write_omi_no2(tmp_path / "sat" / "OMI-Aura_L2-OMNO2_2019m0710.nc")
+    ctrl = {
+        "python_bin": "python3", "debug": False, "save_daily": False, "num_job": 1,
+        "ctm_name": "GMI", "ctm_dir": str(tmp_path / "ctm"), "mcip_dir": str(tmp_path),
+        "ctm_freq": "3-hourly", "ctm_avg": True, "ctm_error": 50.0,
+        "gas": "NO2", "sensor": "OMI", "read_AK": True, "troposphere_only": True,
+        "sat_dir": str(tmp_path / "sat"),
+        "start_date": "2019-07", "end_date": "2019-08",  # 08 has no data
+        "output_pdf_dir": str(tmp_path / "report"),
+        "output_nc_dir": str(tmp_path / "diag"),
+        "fused_month": True,
+    }
+    with open(tmp_path / "control.yml", "w") as f:
+        yaml.safe_dump(ctrl, f)
+    monkeypatch.chdir(tmp_path)
+    spec = importlib.util.spec_from_file_location(
+        "run_campaign_mod",
+        os.path.join(os.path.dirname(__file__), "..", "run", "campaign.py"))
+    camp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(camp)
+    failed = camp.run_campaign(ctrl, retries=1)
+    assert failed == [(2019, 8)]
+    assert (tmp_path / "diag" / "NO2_201907.nc").exists()
+    assert not (tmp_path / "diag" / "NO2_201908.nc").exists()
