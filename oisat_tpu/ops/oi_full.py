@@ -68,7 +68,6 @@ def oi_full_dense(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
     n = b.shape[0]
     k = min(diag_block, n)
     nblocks = -(-n // k)
-    npad = nblocks * k
 
     def block_diag(start):
         cols = jax.lax.dynamic_slice(b, (0, start), (n, k))  # (N, K)
@@ -343,10 +342,11 @@ def mean_ak_curve_slq(u3_or_latlon, sigma_b, sigma_o, regs,
     curve = np.zeros(regs.shape[0])
     for j in range(alphas.shape[1]):
         # Gauss quadrature: ||q||^2 * sum_i w_i^2 / (r theta_i + 1)
+        from scipy.linalg import eigh_tridiagonal
+
         try:
-            theta, vecs = __import__("scipy.linalg", fromlist=["eigh_tridiagonal"]) \
-                .eigh_tridiagonal(alphas[:, j], betas[:-1, j])
-        except Exception:
+            theta, vecs = eigh_tridiagonal(alphas[:, j], betas[:-1, j])
+        except np.linalg.LinAlgError:
             t = np.diag(alphas[:, j]) + np.diag(betas[:-1, j], 1) + np.diag(betas[:-1, j], -1)
             theta, vecs = np.linalg.eigh(t)
         w2 = vecs[0, :] ** 2 * norms[j] ** 2
@@ -364,7 +364,12 @@ def _sphere_points(lat, lon):
     return np.column_stack([cl * np.cos(lon_r), cl * np.sin(lon_r), np.sin(lat_r)])
 
 
-def _cluster_reps(pts, radius_km: float):
+_BALL_CHUNK = 4096  # bound the transient neighbour lists (Python ints are
+# ~60 bytes each; a whole-domain query at 4L separation would hold an
+# order-GB of them on the 1-CPU host)
+
+
+def _cluster_reps(pts, radius_km: float, prefer=None):
     """Greedy geometric clustering: every point within ``radius_km`` of an
     earlier representative joins its cluster.  The probing diagonal is then
     evaluated at representatives only and shared within the cluster — the
@@ -372,7 +377,13 @@ def _cluster_reps(pts, radius_km: float):
     where exact per-cell probing would need one color per crowded
     neighbour.  Clusters only form where the grid pitch is below
     ``radius_km``; on coarser grids every cell is its own representative
-    and the result is exact probing."""
+    and the result is exact probing.
+
+    ``prefer`` (bool array): candidates to consider FIRST as
+    representatives — the matfree caller passes ``sigma_b > 0`` so a
+    zero-variance cell never represents a cluster whose members have real
+    variance (its probe quadratic would be 0 and the members would
+    inherit AK = 0)."""
     from scipy.spatial import cKDTree
 
     n = len(pts)
@@ -380,19 +391,23 @@ def _cluster_reps(pts, radius_km: float):
         return np.zeros(0, np.int64)
     chord = min(radius_km / EARTH_RADIUS_KM, 2.0)
     tree = cKDTree(pts)
-    # one batched neighbour query (C-level) instead of n python round-trips
-    balls = tree.query_ball_point(pts, chord)
+    order = (np.arange(n) if prefer is None
+             else np.argsort(~np.asarray(prefer, bool), kind="stable"))
     rep = np.full(n, -1, np.int64)
-    for i in range(n):
-        if rep[i] >= 0:
-            continue
-        members = [j for j in balls[i] if rep[j] < 0]
-        rep[members] = i
-        rep[i] = i
+    for s in range(0, n, _BALL_CHUNK):
+        chunk = order[s:s + _BALL_CHUNK]
+        balls = tree.query_ball_point(pts[chunk], chord)
+        for i, ball in zip(chunk, balls):
+            if rep[i] >= 0:
+                continue
+            members = [j for j in ball if rep[j] < 0]
+            rep[members] = i
+            rep[i] = i
     return rep
 
 
-def _distance_coloring(lat, lon, sep_km: float, cluster_radius_km: float):
+def _distance_coloring(lat, lon, sep_km: float, cluster_radius_km: float,
+                       prefer=None):
     """Exact distance coloring with cluster representatives.
 
     Returns (rep, colors): ``rep[i]`` is cell i's representative (itself
@@ -406,43 +421,52 @@ def _distance_coloring(lat, lon, sep_km: float, cluster_radius_km: float):
     from scipy.spatial import cKDTree
 
     pts = _sphere_points(lat, lon)
-    rep = _cluster_reps(pts, cluster_radius_km)
+    rep = _cluster_reps(pts, cluster_radius_km, prefer=prefer)
     rep_ids = np.flatnonzero(rep == np.arange(len(pts)))
     rpts = pts[rep_ids]
     chord = min(sep_km / EARTH_RADIUS_KM, 2.0)
     tree = cKDTree(rpts)
-    # one batched neighbour query (C-level) instead of N python round-trips
-    balls = tree.query_ball_point(rpts, chord)
     rcolors = np.full(len(rpts), -1, np.int64)
-    for i in range(len(rpts)):
-        used = {rcolors[j] for j in balls[i] if rcolors[j] >= 0}
-        c = 0
-        while c in used:
-            c += 1
-        rcolors[i] = c
+    # chunked queries: greedy coloring only consults already-colored
+    # neighbours, so chunk boundaries don't change the result
+    for s in range(0, len(rpts), _BALL_CHUNK):
+        balls = tree.query_ball_point(rpts[s:s + _BALL_CHUNK], chord)
+        for k, ball in enumerate(balls):
+            used = {rcolors[j] for j in ball if rcolors[j] >= 0}
+            c = 0
+            while c in used:
+                c += 1
+            rcolors[s + k] = c
     colors = np.full(len(pts), -1, np.int64)
     colors[rep_ids] = rcolors
     return rep, colors
 
 
-_coloring_cache = __import__("collections").OrderedDict()
-_COLORING_CACHE_MAX = 8
+from oisat_tpu.utils.lru import LockedLRU  # noqa: E402
+
+_coloring_cache = LockedLRU(8)
 
 
-def _distance_coloring_cached(lat, lon, sep_km: float, cluster_radius_km: float):
-    lat = np.asarray(lat)
-    lon = np.asarray(lon)
-    key = (lat.shape, lat.tobytes()[:256], lon.tobytes()[:256],
-           float(lat.sum()), float(lon.sum()), float(sep_km),
-           float(cluster_radius_km))
+def _distance_coloring_cached(lat, lon, sep_km: float, cluster_radius_km: float,
+                              prefer=None):
+    import hashlib
+
+    lat = np.ascontiguousarray(lat)
+    lon = np.ascontiguousarray(lon)
+    # full-content digest: a truncated-prefix + sums key can collide for
+    # symmetric masks and silently return another geometry's coloring
+    h = hashlib.sha1()
+    h.update(lat.tobytes())
+    h.update(lon.tobytes())
+    if prefer is not None:
+        h.update(np.ascontiguousarray(prefer, np.uint8).tobytes())
+    key = (lat.shape, h.hexdigest(), float(sep_km), float(cluster_radius_km))
     hit = _coloring_cache.get(key)
     if hit is not None:
-        _coloring_cache.move_to_end(key)
         return hit
-    out = _distance_coloring(lat, lon, sep_km, cluster_radius_km)
-    _coloring_cache[key] = out
-    while len(_coloring_cache) > _COLORING_CACHE_MAX:
-        _coloring_cache.popitem(last=False)
+    out = _distance_coloring(lat, lon, sep_km, cluster_radius_km,
+                             prefer=prefer)
+    _coloring_cache.put(key, out)
     return out
 
 
@@ -513,7 +537,8 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
     rep_v, colors_v = _distance_coloring_cached(
         np.asarray(lat)[valid], np.asarray(lon)[valid],
         probe_sep_factor * float(length_scale_km),
-        cluster_radius_factor * float(length_scale_km))
+        cluster_radius_factor * float(length_scale_km),
+        prefer=np.asarray(sigma_b, np.float64)[valid] > 0)
     rep = np.full(n, -1, np.int64)
     rep[vidx] = vidx[rep_v]
     colors = np.full(n, -1, np.int64)
@@ -579,22 +604,48 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
 
 def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: float,
             regularization_on: bool = False):
-    """Grid-shaped front end: NaN-compaction + padding + scatter-back."""
+    """Grid-shaped front end: NaN-compaction + padding + scatter-back.
+
+    Inputs are normalized to O(1) magnitude before the f32 device compute:
+    real VCDs reach ~1e18-1e19 (total O3), whose squares overflow float32
+    (~3.4e38) inside the scan/SLQ formulations.  The update is
+    scale-equivariant — xb/increment/err scale linearly, AK and the
+    regularization curve are invariant — so dividing the four fields by one
+    characteristic scale and re-multiplying the outputs is exact.
+
+    Validity requires finite coordinates (a NaN lat/lon would poison every
+    covariance row, not just its own cell) and ``sigma_o > 0`` (the scan /
+    SLQ formulations apply ``D^-1``; a zero-error cell would turn the whole
+    eigensolve NaN — use the scalar method for exact-observation cells)."""
     xa = np.asarray(xa2d, np.float64)
     y = np.array(y2d, np.float64, copy=True)
     y[y < 0] = 0.0  # reference semantics (optimal_interpolation.py:14)
     sb = np.asarray(sigma_b2d, np.float64)
     so = np.asarray(sigma_o2d, np.float64)
-    valid = (np.isfinite(xa) & np.isfinite(y) & np.isfinite(sb) & np.isfinite(so))
+    lat = np.asarray(lat2d, np.float64)
+    lon = np.asarray(lon2d, np.float64)
+    valid = (np.isfinite(xa) & np.isfinite(y) & np.isfinite(sb)
+             & np.isfinite(so) & (so > 0)
+             & np.isfinite(lat) & np.isfinite(lon))
     idx = np.nonzero(valid.ravel())[0]
     n = idx.size
     if n == 0:
         nanf = np.full(xa.shape, np.nan)
         return OIFullResult(nanf, nanf.copy(), nanf.copy(), nanf.copy())
 
+    with np.errstate(invalid="ignore"):
+        scale = max(float(np.max(np.abs(f.ravel()[idx])))
+                    for f in (xa, y, sb, so))
+    if not np.isfinite(scale) or scale <= 0:
+        scale = 1.0
+    xa_n, y_n, sb_n, so_n = xa / scale, y / scale, sb / scale, so / scale
+
     if n > DENSE_MAX_CELLS:
-        return _oi_full_large(xa, y, sb, so, lat2d, lon2d, idx,
-                              float(length_scale_km), regularization_on)
+        res = _oi_full_large(xa_n, y_n, sb_n, so_n, lat2d, lon2d, idx,
+                             float(length_scale_km), regularization_on)
+        return OIFullResult(res.xb * scale, res.averaging_kernel,
+                            res.increment * scale, res.error * scale,
+                            res.info)
 
     npad = int(np.ceil(n / LANES)) * LANES
 
@@ -607,20 +658,21 @@ def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: floa
         from oisat_tpu.ops.oi import regularization_grid
 
         xb_v, ak_v, inc_v, err_v, _, _ = oi_full_dense_scan(
-            take(xa, 0.0), take(y, 0.0), take(sb, 0.0), take(so, 1.0),
+            take(xa_n, 0.0), take(y_n, 0.0), take(sb_n, 0.0), take(so_n, 1.0),
             take(lat2d, 0.0), take(lon2d, 0.0), float(length_scale_km),
             regularization_grid().astype(np.float32))
     else:
         xb_v, ak_v, inc_v, err_v = oi_full_dense(
-            take(xa, 0.0), take(y, 0.0), take(sb, 0.0), take(so, 1.0),
+            take(xa_n, 0.0), take(y_n, 0.0), take(sb_n, 0.0), take(so_n, 1.0),
             take(lat2d, 0.0), take(lon2d, 0.0), float(length_scale_km))
 
-    def scatter(v):
+    def scatter(v, s=1.0):
         out = np.full(xa.size, np.nan)
-        out[idx] = np.asarray(v)[:n]
+        out[idx] = np.asarray(v, np.float64)[:n] * s
         return out.reshape(xa.shape)
 
-    return OIFullResult(scatter(xb_v), scatter(ak_v), scatter(inc_v), scatter(err_v))
+    return OIFullResult(scatter(xb_v, scale), scatter(ak_v),
+                        scatter(inc_v, scale), scatter(err_v, scale))
 
 
 def _oi_full_large(xa, y, sb, so, lat2d, lon2d, idx, length_scale_km: float,

@@ -305,3 +305,51 @@ def test_slq_curve_matches_dense_scan():
     # at production sizes (64k cells) the same K is ~16x tighter
     np.testing.assert_allclose(c_slq, cd, rtol=0.04)
     assert kneedle_index_np(regularization_grid(), c_slq) == int(reg_index)
+
+
+def test_oi_full_physical_vcd_magnitudes_no_overflow():
+    """Total-ozone-scale fields (~8e18 molec/cm2) must not overflow the f32
+    intermediates of the dense scan: inputs are normalized to O(1) and the
+    outputs rescaled (the update is scale-equivariant)."""
+    rng = np.random.default_rng(0)
+    H, W = 12, 16
+    lon, lat = np.meshgrid(np.linspace(-10, 10, W), np.linspace(30, 41, H))
+    xa = np.abs(rng.normal(8e18, 5e17, (H, W)))
+    y = xa * rng.uniform(0.9, 1.1, (H, W))
+    sigma_b = xa * 0.5
+    sigma_o = np.abs(rng.normal(5e16, 5e15, (H, W)))
+    res = oi_full(xa, y, sigma_b, sigma_o, lat, lon, 200.0,
+                  regularization_on=True)
+    assert np.isfinite(res.xb).all()
+    assert np.isfinite(res.averaging_kernel).all()
+    assert np.isfinite(res.error).all() and (np.asarray(res.error) > 0).all()
+    assert (np.asarray(res.averaging_kernel) > 0.1).all()  # data-rich update
+    # scale-equivariance: the same analysis at unit scale, times 8e18
+    s = 8e18
+    ref = oi_full(xa / s, y / s, sigma_b / s, sigma_o / s, lat, lon, 200.0,
+                  regularization_on=True)
+    np.testing.assert_allclose(res.xb, np.asarray(ref.xb) * s, rtol=1e-4)
+    np.testing.assert_allclose(res.averaging_kernel, ref.averaging_kernel,
+                               rtol=1e-4)
+
+
+def test_oi_full_degenerate_cells_masked_not_poisoning():
+    """A zero observation error or a NaN coordinate must invalidate ITS
+    cell only, not NaN the whole domain through D^-1 / the covariance."""
+    rng = np.random.default_rng(1)
+    H, W = 10, 12
+    lon, lat = np.meshgrid(np.linspace(-10, 10, W), np.linspace(30, 39, H))
+    xa = np.abs(rng.normal(3, 1, (H, W)))
+    y = xa * 1.1
+    sigma_b = xa * 0.5
+    sigma_o = np.full((H, W), 0.4)
+    sigma_o[2, 3] = 0.0  # exact observation: not representable with D^-1
+    lat2 = lat.copy()
+    lat2[5, 7] = np.nan  # corrupt coordinate
+    res = oi_full(xa, y, sigma_b, sigma_o, lat2, lon, 200.0,
+                  regularization_on=True)
+    bad = np.zeros((H, W), bool)
+    bad[2, 3] = bad[5, 7] = True
+    assert np.isnan(np.asarray(res.xb)[bad]).all()
+    assert np.isfinite(np.asarray(res.xb)[~bad]).all()
+    assert np.isfinite(np.asarray(res.averaging_kernel)[~bad]).all()
