@@ -144,7 +144,12 @@ def _amf_one(ctm_data, granule, time_ctm, time_hour):
     """Prepare one granule's matched CTM fields; returns a work item."""
     closest, day, hour = _match_amf(granule.time, ctm_data, time_ctm, time_hour)
     pmid, profile, dp = _amf_ctm_slice(ctm_data, day, hour)
-    pc = np.asarray(partial_column(jnp.asarray(dp), jnp.asarray(profile)))
+    # partial_column is elementwise — run it in host NumPy.  A per-granule
+    # device dispatch here round-trips the whole (L, H, W) slice through
+    # the link (~9 MB) to do one multiply: ~0.5 s/granule of pure transfer
+    # on a tunnel-attached chip, ~30 s over a 60-orbit month.
+    pc = np.asarray(partial_column(np.asarray(dp, np.float64),
+                                   np.asarray(profile, np.float64)))
     if granule.ctm_upscaled_needed:
         pmid, pc = _maybe_upscale(ctm_data, granule, [pmid, pc])
     has_trop = np.size(granule.tropopause) != 1
@@ -312,8 +317,10 @@ def ak_conv_mopitt(ctm_data: list, sat_data: list):
             continue
         closest, day = _match_daily(granule.time, ctm_data, time_ctm)
         pmid, profile, dp = _daily_ctm_slice(ctm_data, day)
-        pc = np.asarray(partial_column(jnp.asarray(dp), jnp.asarray(profile)))
-        airpc = np.asarray(air_partial_column(jnp.asarray(dp)))
+        # elementwise: host NumPy, no per-granule device round trip
+        pc = np.asarray(partial_column(np.asarray(dp, np.float64),
+                                       np.asarray(profile, np.float64)))
+        airpc = np.asarray(air_partial_column(np.asarray(dp, np.float64)))
         if granule.ctm_upscaled_needed:
             pmid, profile, pc, airpc = _maybe_upscale(ctm_data, granule, [pmid, profile, pc, airpc])
         key = (np.shape(granule.vcd), np.shape(granule.pressure_mid), np.shape(pmid))
