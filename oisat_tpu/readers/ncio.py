@@ -17,10 +17,22 @@ import h5py
 
 __all__ = [
     "read_nc",
+    "read_nc_raw",
     "read_group_nc",
     "get_nc_attrs",
     "remove_empty_files",
 ]
+
+
+def read_nc_raw(filename, var):
+    """Read one variable RAW — no scale_factor/add_offset/fill handling
+    (the reference's ``_read_ssmi``, reader.py:28-34: plain h5py counts).
+    SSMIS needs this: its flag values 250-254 and the manual x0.3 scaling
+    are defined on the raw counts; auto-scaling first would corrupt both."""
+    import h5py as _h5py
+
+    with _h5py.File(filename, "r") as f:
+        return np.squeeze(np.array(f[var]))
 
 
 def _apply_maskandscale(ds, raw):

@@ -23,8 +23,10 @@ def filler_gosatxch4(grid_size: float, sat_data: satellite_opt, flag_thresh=0.75
     """Grid sparse GOSAT soundings into global maps (reference
     filler_gosat.py:87-201): Delaunay-linear interpolation of every field
     onto an ``arange(-180..180) x arange(-90..90)`` grid with a 1x distance
-    cutoff; quality flag gridded by nearest-neighbour; errors through the
-    variance path.  (The reference's upscale calls there are no-ops because
+    cutoff — the filler carries its OWN ``_interpolosis`` masking at
+    ``dists > threshold`` (filler_gosat.py:17), unlike the main
+    interpolator's 2x (interpolator.py:16); quality flag gridded by
+    nearest-neighbour; errors through the variance path.  (The reference's upscale calls there are no-ops because
     its fake 0.1-deg "CTM" is finer than the 1-deg map.)
 
     Deviation: float64 grid coordinates instead of the reference's float16
@@ -48,11 +50,19 @@ def filler_gosatxch4(grid_size: float, sat_data: satellite_opt, flag_thresh=0.75
     xch4 = lin_apply(np.asarray(sat_data.x_col) * mask)
     quality_flag = np.asarray(apply_plan(near, mask))
     uncertainty = np.sqrt(lin_apply(np.asarray(sat_data.uncertainty) ** 2 * mask))
-    L = np.asarray(sat_data.pressure_mid).shape[0]
-    aks = lin_apply(np.asarray(sat_data.averaging_kernels) * mask[None])
-    pmid = lin_apply(np.asarray(sat_data.pressure_mid) * mask[None])
-    apriori = lin_apply(np.asarray(sat_data.apriori_profile) * mask[None])
-    pw = lin_apply(np.asarray(sat_data.pressure_weight) * mask[None])
+
+    def lv(arr):
+        # read_ak=False granules carry size-1 placeholders; gridding them
+        # would broadcast uninitialized np.empty garbage into full maps —
+        # keep the sentinel so downstream size==1 checks still fire
+        if np.size(arr) == 1:
+            return np.empty((1,))
+        return lin_apply(np.asarray(arr) * mask[None])
+
+    aks = lv(sat_data.averaging_kernels)
+    pmid = lv(sat_data.pressure_mid)
+    apriori = lv(sat_data.apriori_profile)
+    pw = lv(sat_data.pressure_weight)
     return satellite_opt(
         vcd=xch4, time=sat_data.time, profile=[], tropopause=np.empty((1,)),
         latitude_center=lats, longitude_center=lons,

@@ -15,6 +15,7 @@ from oisat_tpu.readers.sensors.common import (
     GEOS5_ETA_B48,
     epoch_time,
     fleet_map,
+    pmid_from_eta_edges,
     scrub_sws,
 )
 from oisat_tpu.regridder import regrid_granule
@@ -41,9 +42,7 @@ def omps_reader_hcho(fname, ctm_lon=None, ctm_lat=None, read_ak=True):
     qf = (read_group_nc(fname, ["key_science_data"], "main_data_quality_flag") == 0.0) * 1.0
     quality_flag = np.squeeze(qf) * np.squeeze(cf_mask)
     sur_pres = read_group_nc(fname, ["key_science_data"], "column_amount").astype("float32")
-    edges = (GEOS5_ETA_A48[:, None, None]
-             + np.asarray(sur_pres, np.float64)[None] * GEOS5_ETA_B48[:, None, None])
-    p_mid = (0.5 * (edges[:47] + edges[1:48])).astype("float32")
+    p_mid = pmid_from_eta_edges(GEOS5_ETA_A48, GEOS5_ETA_B48, sur_pres)
     if read_ak:
         sws = scrub_sws(read_group_nc(fname, ["support_data"], "scattering_weights").astype("float32"))
     else:

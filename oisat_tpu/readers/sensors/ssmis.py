@@ -8,7 +8,7 @@ import glob
 import numpy as np
 
 from oisat_tpu.datamodel import satellite_ssmis
-from oisat_tpu.readers.ncio import read_nc, remove_empty_files
+from oisat_tpu.readers.ncio import read_nc_raw, remove_empty_files
 from oisat_tpu.readers.registry import SENSORS
 from oisat_tpu.readers.sensors.common import fleet_map
 from oisat_tpu.regridder import regrid_ssmis_granule
@@ -23,11 +23,14 @@ def ssmis_reader_wv(fname, ctm_lon=None, ctm_lat=None):
     print("Currently reading: " + fname.split("/")[-1])
     token = fname.split("v7")[0]
     time = datetime.datetime(int(token[-6:-2]), int(token[-2:]), 1)
-    lat1 = read_nc(fname, "latitude").astype("float32")
-    lon1 = read_nc(fname, "longitude").astype("float32")
+    # RAW reads (reference _read_ssmi, reader.py:28-34): RSS files store
+    # vapor as counts with flags 250-254; CF auto-scaling would corrupt
+    # the flag mask and double-apply the x0.3
+    lat1 = read_nc_raw(fname, "latitude").astype("float32")
+    lon1 = read_nc_raw(fname, "longitude").astype("float32")
     lon1 = np.where(lon1 > 180.0, lon1 - 360.0, lon1)
     lon, lat = np.meshgrid(lon1, lat1)
-    pwv = np.array(read_nc(fname, "atmosphere_water_vapor_content"), np.float64)
+    pwv = np.array(read_nc_raw(fname, "atmosphere_water_vapor_content"), np.float64)
     pwv[pwv > 250.0] = np.nan
     pwv = pwv * 0.3
     pwv[(pwv >= 75.0) | np.isinf(pwv)] = np.nan

@@ -10,7 +10,8 @@ import numpy as np
 from oisat_tpu.datamodel import satellite_amf
 from oisat_tpu.readers.ncio import get_nc_attrs, read_group_nc, read_nc, remove_empty_files
 from oisat_tpu.readers.registry import SENSORS
-from oisat_tpu.readers.sensors.common import epoch_time, fleet_map, scrub_sws
+from oisat_tpu.readers.sensors.common import (epoch_time, fleet_map,
+    pmid_from_eta_edges, scrub_sws)
 from oisat_tpu.regridder import regrid_granule
 
 EPOCH_1980 = datetime.datetime(1980, 1, 6)
@@ -31,15 +32,14 @@ def _fix_edge_pixels(lat, lon):
     return lat, lon
 
 
-def _tempo_pmid_and_sws(fname, vcd_shape, read_ak):
+def _tempo_pmid_and_sws(fname, read_ak):
     """72-level hybrid-eta pmids from the surface_pressure attrs
     (reference reader.py:498-518)."""
     attrs = get_nc_attrs(fname, "surface_pressure", group=["support_data"])
     eta_a = np.asarray(attrs["Eta_A"], np.float64)
     eta_b = np.asarray(attrs["Eta_B"], np.float64)
     ps = read_group_nc(fname, ["support_data"], "surface_pressure").astype("float32")
-    edges = eta_a[:, None, None] + eta_b[:, None, None] * np.asarray(ps, np.float64)[None]
-    p_mid = (0.5 * (edges[:72] + edges[1:73])).astype("float32")
+    p_mid = pmid_from_eta_edges(eta_a, eta_b, ps)
     if read_ak:
         sws = scrub_sws(read_group_nc(fname, ["support_data"], "scattering_weights").astype("float32"))
     else:
@@ -91,7 +91,7 @@ def tempo_reader_no2(fname, trop, ctm_lon=None, ctm_lat=None, read_ak=True):
     vcd = (vcd * 1e-15).astype("float32")
     unc = (unc * 1e-15).astype("float32")
     quality_flag = _tempo_quality(fname)
-    p_mid, sws = _tempo_pmid_and_sws(fname, vcd.shape, read_ak)
+    p_mid, sws = _tempo_pmid_and_sws(fname, read_ak)
     if trop:
         tropopause = read_group_nc(fname, ["support_data"], "tropopause_pressure").astype("float32")
     else:
@@ -116,7 +116,7 @@ def tempo_reader_hcho(fname, ctm_lon=None, ctm_lat=None, read_ak=True):
     amf = read_group_nc(fname, ["support_data"], "amf")
     unc = (read_group_nc(fname, ["product"], "vertical_column_uncertainty") * 1e-15).astype("float32")
     quality_flag = _tempo_quality(fname)
-    p_mid, sws = _tempo_pmid_and_sws(fname, vcd.shape, read_ak)
+    p_mid, sws = _tempo_pmid_and_sws(fname, read_ak)
     g = satellite_amf(vcd=vcd, amf=amf, time=time, tropopause=np.empty((1,)),
                       latitude_center=lat, longitude_center=lon,
                       latitude_corner=[], longitude_corner=[], uncertainty=unc,
@@ -132,6 +132,10 @@ def tempo_reader_hcho(fname, ctm_lon=None, ctm_lat=None, read_ak=True):
 def tempo_reader(product_dir, tempo_hour, product_name, ctm_lon, ctm_lat, YYYYMM,
                  trop, read_ak=True, num_job=1):
     """TEMPO fleet reader: hour-filtered glob (reference reader.py:1334-1361)."""
+    if tempo_hour is None:
+        raise ValueError(
+            "TEMPO products are read per UTC hour: pass tempo_hour (0-23) "
+            "to read_satellite_data (run/job.py loops the 24 hours)")
     pattern = product_dir + "/TEMPO_*_L*_*" + str(YYYYMM) + f"*T{tempo_hour:02d}*.nc"
     files = sorted(glob.glob(pattern))
     print("the number of files is " + str(len(files)))

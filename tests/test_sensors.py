@@ -304,3 +304,61 @@ def test_tempo_hcho(tmp_path):
     assert len(out) == 1 and out[0] is not None
     v = out[0].vcd[np.isfinite(out[0].vcd)]
     np.testing.assert_allclose(v, 7.0, rtol=1e-5)
+
+
+def test_ssmis_raw_read_ignores_cf_scaling(tmp_path):
+    """The reference reads SSMIS counts RAW (_read_ssmi, reader.py:28-34):
+    flags 250-254 and the manual x0.3 are defined on raw counts, so CF
+    scale_factor/add_offset attrs on a real RSS file must NOT be applied."""
+    fname = tmp_path / "RSS_smoothed_201907v7.nc"
+    ny, nx = 20, 30
+    counts = np.full((ny, nx), 50.0)  # raw counts -> 15 mm after x0.3
+    counts[0, 0] = 251.0  # land flag
+    with h5py.File(fname, "w") as f:
+        f["latitude"] = np.linspace(30.0, 49.0, ny)
+        f["longitude"] = np.linspace(340.0, 369.0, nx) % 360.0
+        d = f.create_dataset("atmosphere_water_vapor_content", data=counts)
+        d.attrs["scale_factor"] = 0.3  # a CF-packed file: must be ignored
+        d.attrs["add_offset"] = 0.0
+    g = ssmis_reader(str(tmp_path), None, None, "201907", num_job=1)[0]
+    assert np.isnan(g.vcd[0, 0])  # the flag survived to be masked
+    finite = g.vcd[np.isfinite(g.vcd)]
+    np.testing.assert_allclose(finite, 15.0, rtol=1e-6)  # x0.3 applied ONCE
+
+
+def test_gosat_filler_keeps_placeholders_without_ak():
+    """read_ak=False GOSAT granules carry size-1 AK placeholders; the filler
+    must keep the sentinel instead of gridding uninitialized arrays."""
+    import datetime
+
+    from oisat_tpu.datamodel import satellite_opt
+    from oisat_tpu.readers.sensors.gosat import filler_gosatxch4
+
+    rng = np.random.default_rng(0)
+    n = 200
+    g = satellite_opt(
+        vcd=np.abs(rng.normal(1800, 30, n)), time=datetime.datetime(2019, 7, 4),
+        profile=[], tropopause=np.empty((1,)),
+        latitude_center=rng.uniform(-60, 60, n),
+        longitude_center=rng.uniform(-150, 150, n),
+        latitude_corner=[], longitude_corner=[],
+        uncertainty=np.abs(rng.normal(10, 2, n)), quality_flag=np.ones(n),
+        pressure_mid=np.empty((1,)), averaging_kernels=np.empty((1,)),
+        aprior_column=np.zeros((1,)), apriori_profile=np.empty((1,)),
+        surface_pressure=np.zeros((1,)), apriori_surface=np.zeros((1,)),
+        x_col=np.abs(rng.normal(1800, 30, n)), pressure_weight=np.empty((1,)),
+        sensor="GOSAT")
+    out = filler_gosatxch4(1.0, g, flag_thresh=0.5)
+    assert out is not None
+    assert np.size(out.averaging_kernels) == 1  # sentinel preserved
+    assert np.size(out.pressure_weight) == 1
+    assert np.isfinite(out.x_col).sum() > 50
+
+
+def test_tempo_reader_requires_hour():
+    import pytest
+
+    from oisat_tpu.readers.sensors.tempo import tempo_reader as tr
+
+    with pytest.raises(ValueError, match="tempo_hour"):
+        tr("/nonexistent", None, "TEMPO_NO2", None, None, "202309", True)
