@@ -25,7 +25,48 @@ from oisat_tpu.readers.ncio import get_nc_attrs, read_nc
 __all__ = ["GMI_reader", "Hi_GMI_reader", "ECCOH_reader", "CMAQ_reader", "free_ctm"]
 
 
+def _require_files(files, what, pattern):
+    """Fail a wrong product_dir/month loudly: the downstream error from an
+    empty glob is an opaque NoneType/IndexError."""
+    if not files:
+        raise FileNotFoundError(f"no {what} files match {pattern}")
+    return files
+
+
+def _stream_average(granules, n: int, ctmtype: str):
+    """Streamed month mean of (gas, pmid, delta_p) — shared by the two
+    readers that force averaging for memory (HiGMI, CMAQ; reference
+    reader.py:249-268, :393-409).  Accumulates IN PLACE: this path exists
+    because the month doesn't fit in memory, and ``a + t`` would double
+    the peak (old list + new list + granule all live).  float32
+    accumulation matches the reference's ``gas_profile_sum +=``."""
+    acc = None
+    last = None
+    count = 0
+    for last in granules:
+        triple = (last.gas_profile, last.pressure_mid, last.delta_p)
+        if acc is None:
+            acc = [np.array(t, np.float32) for t in triple]
+        else:
+            for a, t in zip(acc, triple):
+                a += t
+        count += 1
+    if count != n:
+        # a zip() over inconsistent file lists would silently truncate and
+        # then divide by the wrong n — fail instead
+        raise RuntimeError(f"streamed {count} granules but expected {n} "
+                           f"({ctmtype}: inconsistent file lists)")
+    return [ctm_model(last.latitude, last.longitude, last.time,
+                      acc[0] / n, acc[1] / n, [], acc[2] / n, ctmtype, True)]
+
+
 def _pmap(fn, items, num_job):
+    # NOTE threads, not processes: on the TPU host, forked children would
+    # re-initialize jax/axon and contend for the chip; and this box has one
+    # CPU anyway.  On real multi-core hosts h5py's global lock ('phil')
+    # serializes the libhdf5 calls, so num_job > 1 parallelizes only the
+    # numpy post-processing — documented limitation vs the reference's
+    # joblib process fan-out.
     if num_job <= 1 or len(items) <= 1:
         return [fn(*it) for it in items]
     with ThreadPoolExecutor(max_workers=num_job) as ex:
@@ -55,6 +96,12 @@ def _read_gmi_pair(fname_met, fname_gas, gasname, ctmtype):
     lat = read_nc(fname_met, "lat")
     lons, lats = np.meshgrid(lon, lat)
     time = _times_from_minutes(fname_met)
+    # axis=1 assumes the (T, L, H, W) layout of the standard tavg3 day
+    # files.  Hazard inherited from the reference (reader.py:20-26
+    # squeezes on read): a file subset to ONE timestep would squeeze to
+    # (L, H, W) and axis=1 would flip latitude instead of levels — same
+    # behavior as the reference, documented here rather than fixed so the
+    # two stay bit-identical on the same inputs.
     delta_p = np.flip(read_nc(fname_met, "DELP").astype("float32") / 100.0, axis=1)
     pressure_mid = np.flip(read_nc(fname_met, "PL").astype("float32") / 100.0, axis=1)
     g = _gas_var(gasname)
@@ -70,7 +117,8 @@ def GMI_reader(product_dir: str, YYYYMM: str, gas: str, frequency_opt="3-hourly"
     """MERRA2-GMI day files: tavg3_3d met+tac pairs (reference reader.py:95-171)."""
     if frequency_opt != "3-hourly":
         raise ValueError("GMI reader supports 3-hourly files only")
-    met = sorted(glob.glob(product_dir + "/*tavg3_3d_met_Nv." + str(YYYYMM) + "*.nc4"))
+    pattern = product_dir + "/*tavg3_3d_met_Nv." + str(YYYYMM) + "*.nc4"
+    met = _require_files(sorted(glob.glob(pattern)), "GMI met", pattern)
     tac = sorted(glob.glob(product_dir + "/*tavg3_3d_tac_Nv." + str(YYYYMM) + "*.nc4"))
     if len(met) != len(tac):
         raise Exception("the data are not consistent")
@@ -83,20 +131,15 @@ def Hi_GMI_reader(product_dir: str, YYYYMM: str, gas: str, frequency_opt="hourly
     memory (reference reader.py:173-269)."""
     if frequency_opt != "hourly":
         raise ValueError("HiGMI reader supports hourly files only")
-    met = sorted(glob.glob(product_dir + "/*tavg1_3D_met_CONUS." + str(YYYYMM) + "*.nc4"))
+    pattern = product_dir + "/*tavg1_3D_met_CONUS." + str(YYYYMM) + "*.nc4"
+    met = _require_files(sorted(glob.glob(pattern)), "HiGMI met", pattern)
     gasf = sorted(glob.glob(product_dir + "/*tavg1_3D_gasconc_CONUS." + str(YYYYMM) + "*.nc4"))
     if len(met) != len(gasf):
         raise Exception("the data are not consistent")
     print("We must average HiGMI because of memory limits regardless of the user's choice")
-    acc = None
-    last = None
-    for m, g in zip(met, gasf):
-        last = _read_gmi_pair(m, g, gas, "HiGMI")
-        triple = (last.gas_profile, last.pressure_mid, last.delta_p)
-        acc = [t.copy() for t in triple] if acc is None else [a + t for a, t in zip(acc, triple)]
-    n = len(met)
-    return [ctm_model(last.latitude, last.longitude, last.time,
-                      acc[0] / n, acc[1] / n, [], acc[2] / n, "HiGMI", True)]
+    return _stream_average(
+        (_read_gmi_pair(m, g, gas, "HiGMI") for m, g in zip(met, gasf)),
+        len(met), "HiGMI")
 
 
 def ECCOH_reader(product_dir: str, YYYYMM: str, gas: str, num_job=1):
@@ -151,22 +194,22 @@ def CMAQ_reader(dir_mcip: str, dir_cmaq: str, YYYYMM: str, gasname: str):
         gasv = (read_nc(conc, g) * 1000.0).astype("float32")  # ppmv -> ppbv
         return ctm_model(lat, lon, time, gasv, prs, [], delp, "CMAQ", False)
 
-    concs = sorted(glob.glob(dir_cmaq + "/CCTM_CONC_*" + YYYYMM + "*.nc"))
+    pattern = dir_cmaq + "/CCTM_CONC_*" + YYYYMM + "*.nc"
+    concs = _require_files(sorted(glob.glob(pattern)), "CMAQ conc", pattern)
     grd2d = sorted(glob.glob(dir_mcip + "/GRIDCRO2D_*" + YYYYMM + "*"))
     met2d = sorted(glob.glob(dir_mcip + "/METCRO2D_*" + YYYYMM + "*"))
     met3d = sorted(glob.glob(dir_mcip + "/METCRO3D_*" + YYYYMM + "*"))
-    if len(concs) != len(met3d):
-        raise Exception("the data are not consistent")
+    # ALL four lists must line up: zip() would silently truncate to the
+    # shortest and the mean would divide by the wrong count
+    if not (len(concs) == len(met3d) == len(met2d) == len(grd2d)):
+        raise Exception(
+            f"the data are not consistent: {len(concs)} CONC, "
+            f"{len(met3d)} METCRO3D, {len(met2d)} METCRO2D, "
+            f"{len(grd2d)} GRIDCRO2D files")
     print("We must average CMAQ because of memory limits regardless of the user's choice")
-    acc = None
-    last = None
-    for args in zip(concs, met3d, met2d, grd2d):
-        last = one(*args)
-        triple = (last.gas_profile, last.pressure_mid, last.delta_p)
-        acc = [t.copy() for t in triple] if acc is None else [a + t for a, t in zip(acc, triple)]
-    n = len(concs)
-    return [ctm_model(last.latitude, last.longitude, last.time,
-                      acc[0] / n, acc[1] / n, [], acc[2] / n, "CMAQ", True)]
+    return _stream_average(
+        (one(*args) for args in zip(concs, met3d, met2d, grd2d)),
+        len(concs), "CMAQ")
 
 
 def free_ctm(control_free="control_free.yml"):

@@ -102,3 +102,31 @@ def test_cmaq_reader(tmp_path):
     np.testing.assert_allclose(g.gas_profile, 2.0, rtol=1e-5)  # ppmv*1000 -> ppbv
     # delta-p: first layer = 2*(psfc - p0) = 2*(1013.25-900) hPa
     np.testing.assert_allclose(g.delta_p[:, 0], 2 * (1013.25 - 900.0), rtol=1e-5)
+
+
+def test_cmaq_reader_rejects_inconsistent_mcip_lists(tmp_path):
+    """A missing METCRO2D file must fail loudly — zip() truncation would
+    silently average 29/30 granules and divide by 30."""
+    import pytest
+
+    from oisat_tpu.readers.ctm import CMAQ_reader
+
+    (tmp_path / "CCTM_CONC_201907a.nc").write_bytes(b"x" * 200)
+    (tmp_path / "METCRO3D_201907a").write_bytes(b"x" * 200)
+    (tmp_path / "GRIDCRO2D_201907a").write_bytes(b"x" * 200)
+    # no METCRO2D at all
+    with pytest.raises(Exception, match="not consistent"):
+        CMAQ_reader(str(tmp_path), str(tmp_path), "201907", "NO2")
+
+
+def test_ctm_readers_fail_loudly_on_empty_dir(tmp_path):
+    import pytest
+
+    from oisat_tpu.readers.ctm import CMAQ_reader, GMI_reader, Hi_GMI_reader
+
+    with pytest.raises(FileNotFoundError, match="no GMI met"):
+        GMI_reader(str(tmp_path), "201907", "NO2")
+    with pytest.raises(FileNotFoundError, match="no HiGMI met"):
+        Hi_GMI_reader(str(tmp_path), "201907", "NO2")
+    with pytest.raises(FileNotFoundError, match="no CMAQ conc"):
+        CMAQ_reader(str(tmp_path), str(tmp_path), "201907", "NO2")
