@@ -92,7 +92,7 @@ def monthly_stats_weighted(vcd, err, ctm, aux1, aux2, w) -> MonthlyAverage:
                           aux2=wmean(aux2))
 
 
-def _granule_weights(sel, weighting: str):
+def _granule_weights(sel, weighting: str, err=None):
     """Per-granule per-cell weights for the weighted temporal mean.
 
     "inverse_variance": w = 1/sigma^2 (any granule kind).
@@ -101,7 +101,8 @@ def _granule_weights(sel, weighting: str):
     carries gridded AKs; reference config.py:27-50).
     """
     if weighting == "inverse_variance":
-        stack = np.stack([np.asarray(g.uncertainty, np.float64) for g in sel])
+        stack = (err if err is not None else
+                 np.stack([np.asarray(g.uncertainty, np.float64) for g in sel]))
         err2 = stack**2
         # sigma <= 0 means the retrieval error is unavailable (L2 fill
         # values): such cells CANNOT be inverse-variance weighted, so they
@@ -163,23 +164,46 @@ def averaging(startdate: str, enddate: str, reader_obj, weighting=None):
             sel = [g for g in granules if g.time.year == year and g.time.month == month]
             if not sel:
                 continue
-            time_chosen = [g.time for g in sel]
+            # accumulate across EVERY bucket: the returned avg_datetime
+            # must represent all granules averaged into the fields, not
+            # just the last non-empty month
+            time_chosen.extend(g.time for g in sel)
 
             def f(name):
                 return np.stack([np.asarray(getattr(g, name), np.float64) for g in sel])
 
             vcd, err, ctm = f("vcd"), f("uncertainty"), f("ctm_vcd")
-            if isinstance(sel[0], satellite_amf) and np.size(sel[0].new_amf) != 1:
+            # > 1, not != 1: a granule that never went through recal_amf
+            # carries the [] placeholder (size 0), not a real AMF field
+            if isinstance(sel[0], satellite_amf) and np.size(sel[0].new_amf) > 1:
                 a1, a2 = f("new_amf"), f("old_amf")
             elif isinstance(sel[0], satellite_opt):
                 a1, a2 = f("x_col"), f("ctm_xcol")
             else:
                 a1 = np.full_like(vcd, np.nan)
                 a2 = np.full_like(vcd, np.nan)
+            if weighting is not None:
+                w = _granule_weights(sel, weighting, err=err)
+            # pad the granule axis to a power-of-two bucket: each distinct
+            # G would otherwise compile its own program through the remote
+            # compile service (30 s-6 min each; CLAUDE.md) — NaN granules
+            # are invisible to every masked statistic here
+            from oisat_tpu.ops.regrid import pad_to_bucket
+
+            gp = pad_to_bucket(vcd.shape[0])
+            if gp != vcd.shape[0]:
+                npad = gp - vcd.shape[0]
+
+                def p(x):
+                    pads = ((0, npad),) + ((0, 0),) * (x.ndim - 1)
+                    return np.pad(x, pads, constant_values=np.nan)
+
+                vcd, err, ctm, a1, a2 = p(vcd), p(err), p(ctm), p(a1), p(a2)
+                if weighting is not None:
+                    w = p(w)
             if weighting is None:
                 stats = monthly_stats(*(jnp.asarray(x) for x in (vcd, err, ctm, a1, a2)))
             else:
-                w = _granule_weights(sel, weighting)
                 stats = monthly_stats_weighted(
                     *(jnp.asarray(x) for x in (vcd, err, ctm, a1, a2, w)))
             mi, yi = month - m0, year - y0

@@ -80,6 +80,13 @@ def interp_linear_batched(xp, fp, xq, extrapolate: bool):
     if not extrapolate:
         oob = (xq < xs[..., :1]) | (xq > xs[..., -1:])
         out = jnp.where(oob, jnp.nan, out)
+    # Deliberate deviation from scipy: a column with ANY non-finite
+    # abscissa is NaN'd entirely.  scipy interp1d would still interpolate
+    # the finite segments (a partially-NaN CTM pressure column — e.g. one
+    # missing hour in the GMI nanmean — keeps its pixel in the reference).
+    # The conservative rule is chosen because a NaN level inside a sorted
+    # column makes the segment choice ill-defined on device, and an inf
+    # abscissa would otherwise poison neighbouring segments silently.
     colbad = ~jnp.all(jnp.isfinite(xs), axis=-1, keepdims=True)
     out = jnp.where(colbad, jnp.nan, out)
     return jnp.moveaxis(out, -1, 0)
@@ -121,8 +128,8 @@ def amf_recal_fields(sat_pmid, sat_sw, ctm_pmid, ctm_pc, tropopause, vcd, amf_ol
     bad = jnp.isnan(vcd)
     new_amf = jnp.where(bad, jnp.nan, new_amf)
     vcd_corr = amf_old * vcd / new_amf
+    # bad (NaN vcd) is subsumed: vcd NaN -> vcd_corr NaN -> masked here
     model_vcd = jnp.where(jnp.isnan(vcd_corr) | jnp.isinf(vcd_corr), jnp.nan, model_vcd)
-    model_vcd = jnp.where(bad, jnp.nan, model_vcd)
     return new_amf, vcd_corr, model_vcd
 
 
