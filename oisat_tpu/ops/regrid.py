@@ -57,7 +57,11 @@ def apply_plan(plan, z, bucket: bool = True):
     ``bucket=True`` NaN-pads the pixel axis to a power-of-two bucket so
     varying granule sizes reuse compiled programs.  Padding happens on host
     (NumPy): an eager device pad would itself compile one program per
-    distinct shape — exactly what bucketing is here to avoid.
+    distinct shape — exactly what bucketing is here to avoid.  NOTE: a z
+    that is ALREADY a device array is passed through unbucketed (padding
+    it would be that same eager device pad); callers feeding ragged
+    device-resident shapes must bucket upstream or accept per-shape
+    compiles.
     """
     import numpy as _np
 

@@ -88,15 +88,25 @@ def _tps_kernel(r: np.ndarray) -> np.ndarray:
     return np.where(r == 0.0, 0.0, out)
 
 
-def _rbf_weights(points: np.ndarray, targets: np.ndarray, neighbors: int = 5):
+def _rbf_weights(points: np.ndarray, targets: np.ndarray, neighbors: int = 5,
+                 tree=None):
     """Local TPS-RBF weights, scipy-RBFInterpolator-style (degree-1 poly).
 
     For each target: take its ``neighbors`` nearest source points, shift by
     the neighbourhood mean and scale by the max norm (scipy's domain
     normalization), solve the (K+3)x(K+3) KKT system for the evaluation
     weights.  Batched over targets with one vectorized ``np.linalg.solve``.
+
+    Returns (nn, lam, bad) where ``bad`` marks targets whose KKT system
+    was (near-)singular — duplicate pixel coordinates make the batched
+    solve return ~1e15 weights WITHOUT raising, and the finite garbage
+    would sail straight past the NaN missing-data channel (scipy raises
+    LinAlgError on the same inputs); such targets are masked instead.
+    Returns None when the whole batch is degenerate (collinear swath) —
+    build_plan's skip-the-granule contract.
     """
-    tree = cKDTree(points)
+    if tree is None:
+        tree = cKDTree(points)
     k = min(neighbors, len(points))
     _, nn = tree.query(targets, k=k)
     nn = nn.reshape(len(targets), k)
@@ -121,8 +131,24 @@ def _rbf_weights(points: np.ndarray, targets: np.ndarray, neighbors: int = 5):
     rhs[:, :k] = _tps_kernel(np.linalg.norm(ps - ts, axis=-1))  # (T, K)
     rhs[:, k] = 1.0
     rhs[:, k + 1 :] = ts[:, 0, :]
-    lam = np.linalg.solve(np.transpose(A, (0, 2, 1)), rhs[..., None])[..., 0][:, :k]
-    return nn, lam
+    # exactly-singular neighbourhoods (duplicate pixel coordinates —
+    # overlapping scan edges, repeated fills) make the BATCHED solve raise
+    # for every target; detect them up front and solve only the rest
+    dup = ((r <= 0) & ~np.eye(k, dtype=bool)[None]).any(axis=(1, 2))
+    good = ~dup
+    sol = np.zeros((T, k + npoly))
+    if good.any():
+        try:
+            sol[good] = np.linalg.solve(
+                np.transpose(A[good], (0, 2, 1)), rhs[good][..., None])[..., 0]
+        except np.linalg.LinAlgError:
+            return None  # whole batch degenerate (collinear swath): skip
+    # per-target residual check: near-singular neighbourhoods solve
+    # "successfully" with enormous weights — mask those targets
+    resid = np.abs(np.einsum("tji,tj->ti", A, sol) - rhs).max(axis=1)
+    scale = np.maximum(np.abs(rhs).max(axis=1), 1.0)
+    bad = dup | ~np.isfinite(resid) | (resid > 1e-6 * scale)
+    return nn, sol[:, :k], bad
 
 
 def build_plan(
@@ -167,8 +193,12 @@ def build_plan(
         idx = tri.simplices[s].astype(np.int32)
         far = far | ~inside  # outside hull -> NaN (fill_value=nan)
     elif method == 3:
-        idx, w = _rbf_weights(points, targets)
+        res = _rbf_weights(points, targets, tree=tree)
+        if res is None:
+            return None  # degenerate geometry: skip (same as the qhull path)
+        idx, w, bad = res
         idx = idx.astype(np.int32)
+        far = far | bad
     else:
         raise ValueError(f"interpolation method {method} not supported")
 
@@ -205,8 +235,10 @@ def build_plan_structured(
     if method not in (1, 2, 4):
         return None
     pix_lon2d = np.asarray(pix_lon2d)
-    if pix_lon2d.ndim != 2 or min(pix_lon2d.shape) < 2:
-        return None
+    pix_lat2d = np.asarray(pix_lat2d)
+    if (pix_lon2d.ndim != 2 or min(pix_lon2d.shape) < 2
+            or pix_lat2d.shape != pix_lon2d.shape):
+        return None  # documented fallback, not a ValueError from native
     out = native.structured_weights(pix_lon2d, pix_lat2d,
                                     np.asarray(tgt_lon2d, np.float64).ravel(),
                                     np.asarray(tgt_lat2d, np.float64).ravel(),

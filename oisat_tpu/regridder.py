@@ -241,6 +241,13 @@ def make_upscaler(
                 src_lon2d.ravel(), src_lat2d.ravel(), tgt_lon2d, tgt_lat2d,
                 method=method, threshold=threshold, far_factor=far_factor,
             )
+        if plan is None:
+            # both builders honour a skip-the-granule contract, but the
+            # upscaler maps REGULAR grids — a failure here is an
+            # environment/geometry bug, so fail loudly rather than
+            # crashing later in dataclasses.replace(None, ...)
+            raise RuntimeError("upscaler weight build failed for a regular "
+                               "grid geometry (degenerate fine/CTM grid?)")
         # cache the upscale weights ON DEVICE: the same fine→coarse map is
         # applied every granule of a run, and re-uploading it per granule
         # wastes the transfer budget the granule-plan cache just saved

@@ -153,3 +153,53 @@ def test_degenerate_swath_returns_none():
     lat = np.full(10, 5.0)
     tlon, tlat = target_grid()
     assert build_plan(lon, lat, tlon, tlat, method=1, threshold=0.5) is None
+
+
+def test_rbf_duplicate_pixels_masked_not_garbage():
+    """Duplicate pixel coordinates make the batched RBF KKT solve return
+    ~1e15 weights WITHOUT raising (scipy raises LinAlgError); the residual
+    check must mask those targets so finite garbage never enters a map."""
+    import numpy as np
+
+    from oisat_tpu.ops.regrid import apply_plan
+    from oisat_tpu.ops.weights import build_plan
+
+    rng = np.random.default_rng(0)
+    n = 40
+    lon = rng.uniform(-5, 5, n)
+    lat = rng.uniform(-5, 5, n)
+    lon[1] = lon[0]
+    lat[1] = lat[0]  # exact duplicate (overlapping scan edge)
+    tlon, tlat = np.meshgrid(np.linspace(-4, 4, 9), np.linspace(-4, 4, 9))
+    plan = build_plan(lon, lat, tlon, tlat, method=3, threshold=3.0)
+    assert plan is not None
+    z = np.ones(n)
+    z[1] = 1.001  # tiny retrieval-noise difference between the duplicates
+    out = np.asarray(apply_plan(plan, z))
+    finite = out[np.isfinite(out)]
+    # no catastrophic values: either masked (NaN) or a sane interpolation
+    assert finite.size == 0 or np.abs(finite).max() < 10.0
+
+
+def test_rbf_collinear_swath_skips_granule():
+    """A single-scanline (collinear) geometry must return None (the
+    skip-the-granule contract) instead of raising LinAlgError."""
+    import numpy as np
+
+    from oisat_tpu.ops.weights import build_plan
+
+    lon = np.linspace(-5, 5, 30)
+    lat = np.zeros(30)  # perfectly collinear
+    tlon, tlat = np.meshgrid(np.linspace(-4, 4, 5), np.linspace(-1, 1, 5))
+    assert build_plan(lon, lat, tlon, tlat, method=3, threshold=3.0) is None
+
+
+def test_structured_builder_rejects_mismatched_lat():
+    import numpy as np
+
+    from oisat_tpu.ops.weights import build_plan_structured
+
+    lon = np.ones((4, 5))
+    lat = np.ones((5, 4))  # transposed: documented None fallback
+    tlon, tlat = np.meshgrid(np.linspace(0, 1, 3), np.linspace(0, 1, 3))
+    assert build_plan_structured(lon, lat, tlon, tlat, threshold=1.0) is None
