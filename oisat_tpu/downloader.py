@@ -6,8 +6,10 @@ datestart, dateend)`` with per-archive methods.  Cleanups vs the reference:
 one shared GES-DISC JSON-WSP subset workflow instead of three copies, one
 netrc helper, resumable downloads through ``requests`` streaming with Range
 headers (the reference shells out to ``wget --continue``), and a
-``dry_run`` mode that returns the URL list without fetching (also how the
-tests exercise this module in a no-egress environment).
+``dry_run`` mode on the GES-DISC and directory-listing fetchers that
+returns the URL list without fetching (also how the tests exercise this
+module in a no-egress environment).  TEMPO has no dry_run: its listing
+itself goes through the earthaccess search API.
 
 earthaccess (TEMPO) is optional; its methods raise a clear error when the
 library is absent.
@@ -33,10 +35,16 @@ def _daterange(start_date, end_date):
 
 
 def _setup_netrc(username, password):
-    """Earthdata login via ~/.netrc (reference downloader.py:146-156)."""
+    """Earthdata login via ~/.netrc (reference downloader.py:146-156).
+    Idempotent: a machine entry already present is left untouched (the
+    reference appended blindly, growing duplicate credential lines)."""
     if username is None or password is None:
         return
     netrc = os.path.expanduser("~/.netrc")
+    if os.path.exists(netrc):
+        with open(netrc) as f:
+            if "machine urs.earthdata.nasa.gov" in f.read():
+                return
     line = f"machine urs.earthdata.nasa.gov login {username} password {password}\n"
     with open(netrc, "a") as f:
         f.write(line)
@@ -44,26 +52,51 @@ def _setup_netrc(username, password):
     open(os.path.expanduser("~/.urs_cookies"), "a").close()
 
 
+def _disposition_filename(cd: str | None):
+    """Filename from a Content-Disposition header, if any."""
+    if not cd:
+        return None
+    import re
+
+    m = re.search(r'filename\*?=(?:"([^"]+)"|([^;\s]+))', cd)
+    if not m:
+        return None
+    name = (m.group(1) or m.group(2)).strip().strip("'\"")
+    return os.path.basename(name) or None
+
+
 def _fetch(url, output_fld: Path, session=None, timeout=600):
-    """Resumable streamed download (the wget --continue role)."""
+    """Resumable streamed download (the wget --continue role).
+
+    The destination name honours Content-Disposition when the server sends
+    one — GES-DISC subset results are HTTP_services.cgi-style links whose
+    path basenames collide, which is exactly why the reference passed
+    ``wget --content-disposition`` (reference downloader.py:568-576);
+    naming from the URL path would overwrite one granule with the next."""
     import requests
 
     session = session or requests.Session()
     output_fld = Path(output_fld)
     output_fld.mkdir(parents=True, exist_ok=True)
-    fname = url.rstrip("/").split("/")[-1].split("?")[0]
+    r = session.get(url, stream=True, timeout=timeout)
+    r.raise_for_status()
+    fname = (_disposition_filename(r.headers.get("Content-Disposition"))
+             or url.rstrip("/").split("/")[-1].split("?")[0])
     dest = output_fld / fname
-    headers = {}
     mode = "wb"
     if dest.exists():
-        headers["Range"] = f"bytes={dest.stat().st_size}-"
-        mode = "ab"
-    r = session.get(url, headers=headers, stream=True, timeout=timeout)
-    if r.status_code == 416:  # already complete
-        return dest
-    if r.status_code == 200 and mode == "ab":
-        mode = "wb"  # server ignored Range; restart
-    r.raise_for_status()
+        total = r.headers.get("Content-Length")
+        if total is not None and dest.stat().st_size == int(total):
+            r.close()
+            return dest  # already complete
+        # partial file: retry with a Range header (wget --continue)
+        r.close()
+        r = session.get(url, headers={"Range": f"bytes={dest.stat().st_size}-"},
+                        stream=True, timeout=timeout)
+        if r.status_code == 416:  # already complete
+            return dest
+        r.raise_for_status()
+        mode = "ab" if r.status_code == 206 else "wb"  # 200: server ignored Range
     with open(dest, mode) as f:
         for chunk in r.iter_content(1 << 20):
             f.write(chunk)
@@ -83,11 +116,16 @@ class downloader:
 
     # -- shared GES-DISC subset workflow ------------------------------------
     def _gesdisc_subset(self, dataset_id: str, output_fld: Path, dry_run=False,
-                        poll_seconds=0.05):
+                        poll_seconds=5.0):
         """Submit a JSON-WSP subset job, poll, fetch the result URLs
-        (reference downloader.py:157-219, :318-404, :528-587)."""
+        (reference downloader.py:157-219, :318-404, :528-587).
+
+        ``poll_seconds`` defaults to the reference's 5 s cadence (tests
+        pass a small value); subset jobs run minutes, so a sub-second
+        default would hammer the jobs API."""
         import requests
 
+        session = requests.Session()  # one auth/redirect dance for the batch
         request = {
             "methodname": "subset",
             "type": "jsonwsp/request",
@@ -99,23 +137,34 @@ class downloader:
                      "data": [{"datasetId": dataset_id}]},
         }
         hdrs = {"Content-Type": "application/json", "Accept": "application/json"}
-        resp = requests.post(GESDISC_SUBSET_URL, data=json.dumps(request), headers=hdrs).json()
+
+        def post(payload):
+            resp = session.post(GESDISC_SUBSET_URL, data=json.dumps(payload),
+                                headers=hdrs, timeout=120).json()
+            if resp.get("type") == "jsonwsp/fault" or "result" not in resp:
+                # surface the API's own error message (reference
+                # downloader.py:26-32 _get_http_data fault check)
+                raise RuntimeError(f"GES-DISC API fault: {resp}")
+            return resp
+
+        resp = post(request)
         job_id = resp["result"]["jobId"]
         status_request = {"methodname": "GetStatus", "version": "1.0",
                           "type": "jsonwsp/request", "args": {"jobId": job_id}}
         while resp["result"]["Status"] in ("Accepted", "Running"):
             sleep(poll_seconds)
-            resp = requests.post(GESDISC_SUBSET_URL, data=json.dumps(status_request),
-                                 headers=hdrs).json()
+            resp = post(status_request)
             print("Job status: %s (%d%% complete)" %
                   (resp["result"]["Status"], resp["result"].get("PercentCompleted", 0)))
         if resp["result"]["Status"] != "Succeeded":
             raise RuntimeError(f"GES-DISC job failed: {resp['result']}")
-        urls = [u.strip() for u in requests.get(GESDISC_RESULTS_URL + job_id).text.split("\n") if u.strip()]
+        urls = [u.strip() for u in session.get(GESDISC_RESULTS_URL + job_id,
+                                               timeout=120).text.split("\n")
+                if u.strip()]
         if dry_run:
             return urls
         for url in urls:
-            _fetch(url, output_fld)
+            _fetch(url, output_fld, session=session)
         return urls
 
     # -- per-product methods --------------------------------------------------
@@ -172,12 +221,18 @@ class downloader:
 
     def download_tempo_L2(self, product_tag: str, output_fld: Path, product_name=None,
                           username=None, password=None):
-        short = product_name or {"NO2": "TEMPO_NO2_L2", "HCHO": "TEMPO_HCHO_L2"}[product_tag]
+        short = product_name or {"NO2": "TEMPO_NO2_L2",
+                                 "HCHO": "TEMPO_HCHO_L2"}.get(product_tag)
+        if short is None:
+            raise ValueError(f"unsupported TEMPO L2 product {product_tag}")
         return self._tempo_earthaccess(short, output_fld, username, password)
 
     def download_tempo_L3(self, product_tag: str, output_fld: Path, product_name=None,
                           username=None, password=None):
-        short = product_name or {"NO2": "TEMPO_NO2_L3", "HCHO": "TEMPO_HCHO_L3"}[product_tag]
+        short = product_name or {"NO2": "TEMPO_NO2_L3",
+                                 "HCHO": "TEMPO_HCHO_L3"}.get(product_tag)
+        if short is None:
+            raise ValueError(f"unsupported TEMPO L3 product {product_tag}")
         return self._tempo_earthaccess(short, output_fld, username, password)
 
     def download_mopitt_l2(self, output_fld: Path, dry_run=False):

@@ -72,10 +72,19 @@ def write_diag_nc(path, fields: dict, time_string: str, global_attrs=None):
             ds.dims[1].attach_scale(dy)
 
 
-def read_diag_nc(path):
-    """Read a diag file back -> (fields dict, time string)."""
+def read_diag_nc(path, with_attrs: bool = False):
+    """Read a diag file back -> (fields dict, time string).
+
+    ``with_attrs=True`` additionally returns the global attributes dict
+    (the persisted OI diagnostics) as a third element — read-modify-write
+    tools must pass it through ``write_diag_nc(global_attrs=...)`` or the
+    diagnostics silently vanish from the rewritten file."""
     out = {}
+    time_string = None
+    attrs = {}
     with h5py.File(path, "r") as f:
+        attrs = {k: (v.decode() if isinstance(v, bytes) else v)
+                 for k, v in f.attrs.items()}
         for k in f:
             if k in ("x", "y", "t"):
                 continue
@@ -83,4 +92,9 @@ def read_diag_nc(path):
                 time_string = b"".join(np.asarray(f[k]).tolist()).decode()
                 continue
             out[k] = np.asarray(f[k])
+    if time_string is None:
+        raise KeyError(f"{path} has no 'time' variable — not a diag file "
+                       "written by write_diag_nc")
+    if with_attrs:
+        return out, time_string, attrs
     return out, time_string

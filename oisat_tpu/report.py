@@ -62,16 +62,22 @@ def draw_coastlines(ax, lon_min, lon_max, lat_min, lat_max):
 
     pad_x = 0.02 * max(lon_max - lon_min, 1e-9)
     pad_y = 0.02 * max(lat_max - lat_min, 1e-9)
+    x0, x1 = lon_min - pad_x, lon_max + pad_x
+    y0, y1 = lat_min - pad_y, lat_max + pad_y
     for seg in coastline_segments():
-        inside = ((seg[:, 0] >= lon_min - pad_x) & (seg[:, 0] <= lon_max + pad_x)
-                  & (seg[:, 1] >= lat_min - pad_y) & (seg[:, 1] <= lat_max + pad_y))
-        if not inside.any():
+        # keep every EDGE whose bounding box touches the extent — a long
+        # sparse edge can cross a small regional map with both endpoints
+        # outside it (vertex-inside tests would drop the coastline there)
+        ex0 = np.minimum(seg[:-1, 0], seg[1:, 0])
+        ex1 = np.maximum(seg[:-1, 0], seg[1:, 0])
+        ey0 = np.minimum(seg[:-1, 1], seg[1:, 1])
+        ey1 = np.maximum(seg[:-1, 1], seg[1:, 1])
+        edge = (ex1 >= x0) & (ex0 <= x1) & (ey1 >= y0) & (ey0 <= y1)
+        if not edge.any():
             continue
-        # keep vertices adjacent to in-extent ones so lines run off-frame
-        # instead of stopping at the last inside vertex
-        keep = inside.copy()
-        keep[:-1] |= inside[1:]
-        keep[1:] |= inside[:-1]
+        keep = np.zeros(len(seg), bool)
+        keep[:-1] |= edge
+        keep[1:] |= edge
         x = np.where(keep, seg[:, 0], np.nan)
         y = np.where(keep, seg[:, 1], np.nan)
         ax.plot(x, y, color="black", linewidth=0.8, solid_capstyle="round",
@@ -102,7 +108,12 @@ def report(lon, lat, ctm_vcd_before, ctm_vcd_after, sat_vcd, sat_err, increment,
            averaging_kernel, error_OI, aux1, aux2, fname: str, ffolder: str,
            gasname: str):
     """Collate the 7-9 analysis maps into a landscape PDF (reference
-    report.py:117-210)."""
+    report.py:117-210).
+
+    Deliberate deviation: pages follow the pipeline order (prior,
+    posterior, observation, ...), not the reference's alphabetical
+    sorted-glob order of its intermediate PNG files — same panels, same
+    ranges/units, more readable sequence."""
     cfg = _GAS_RANGES.get(gasname)
     if cfg is None:
         raise ValueError(f"no report ranges for gas {gasname!r}")

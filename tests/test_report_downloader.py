@@ -95,8 +95,14 @@ def test_gesdisc_subset_flow(monkeypatch, tmp_path):
 
     import requests
 
-    monkeypatch.setattr(requests, "post", fake_post)
-    monkeypatch.setattr(requests, "get", fake_get)
+    class FakeSession:
+        def post(self, url, data=None, headers=None, **kw):
+            return fake_post(url, data=data, headers=headers)
+
+        def get(self, url, **kw):
+            return fake_get(url)
+
+    monkeypatch.setattr(requests, "Session", lambda: FakeSession())
     from oisat_tpu.downloader import downloader
 
     d = downloader(20, 60, -135, -55, "2019-07-01", "2019-07-31")
@@ -146,3 +152,84 @@ def test_fetch_resume_with_local_server(tmp_path):
         assert dest2.read_bytes() == payload
     finally:
         httpd.shutdown()
+
+
+def test_fetch_honours_content_disposition(tmp_path):
+    """GES-DISC subset links share path basenames; the served filename in
+    Content-Disposition must win or granules overwrite each other."""
+    import http.server
+    import threading
+
+    from oisat_tpu.downloader import _fetch
+
+    class Handler(http.server.BaseHTTPRequestHandler):
+        def do_GET(self):
+            name = "granule_A.nc" if "id=1" in self.path else "granule_B.nc"
+            body = name.encode() * 10
+            self.send_response(200)
+            self.send_header("Content-Disposition", f'attachment; filename="{name}"')
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        out = tmp_path / "dl"
+        d1 = _fetch(f"http://127.0.0.1:{port}/HTTP_services.cgi?id=1", out)
+        d2 = _fetch(f"http://127.0.0.1:{port}/HTTP_services.cgi?id=2", out)
+        assert d1.name == "granule_A.nc" and d2.name == "granule_B.nc"
+        assert d1.read_bytes() != d2.read_bytes()
+    finally:
+        httpd.shutdown()
+
+
+def test_read_diag_roundtrip_keeps_global_attrs(tmp_path):
+    """read_diag_nc(with_attrs=True) + write_diag_nc(global_attrs=...)
+    round-trips the persisted OI diagnostics (the readjust_OI path)."""
+    import numpy as np
+
+    from oisat_tpu.ncwriter import read_diag_nc, write_diag_nc
+
+    f = {"a": np.ones((4, 5)), "lat": np.ones((4, 5)), "lon": np.ones((4, 5))}
+    p1 = tmp_path / "d.nc"
+    write_diag_nc(p1, f, "2019-07-15 00:00:00", global_attrs={"chi2": 1.25})
+    fields, tstr, attrs = read_diag_nc(p1, with_attrs=True)
+    assert attrs["chi2"] == 1.25
+    p2 = tmp_path / "d2.nc"
+    write_diag_nc(p2, fields, tstr, global_attrs=attrs)
+    _, _, attrs2 = read_diag_nc(p2, with_attrs=True)
+    assert attrs2["chi2"] == 1.25
+    # two-tuple compatibility preserved
+    fields2, tstr2 = read_diag_nc(p1)
+    assert tstr2 == tstr
+
+
+def test_coastlines_drawn_when_edge_crosses_small_domain():
+    """A long coastline edge crossing a small regional box with both
+    endpoints outside it must still be drawn."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    import numpy as np
+
+    import oisat_tpu.data as data
+    from oisat_tpu.report import draw_coastlines
+
+    seg = np.array([[-10.0, 0.0], [10.0, 0.0]])  # one long horizontal edge
+    orig = data.coastline_segments
+    data.coastline_segments = lambda: [seg]
+    try:
+        fig, ax = plt.subplots()
+        draw_coastlines(ax, -1.0, 1.0, -1.0, 1.0)  # box straddled by the edge
+        lines = [ln for ln in ax.get_lines()
+                 if np.isfinite(ln.get_xdata()).sum() >= 2]
+        assert len(lines) == 1
+        plt.close(fig)
+    finally:
+        data.coastline_segments = orig

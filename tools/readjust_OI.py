@@ -34,7 +34,7 @@ def readjust(diag_folder, out_folder, error_ctm=50.0, desroziers_iterations=0,
     outputs = []
     for fname in sorted(glob.glob(os.path.join(str(diag_folder), "*.nc"))):
         print("Now processing " + fname)
-        fields, tstr = read_diag_nc(fname)
+        fields, tstr, attrs = read_diag_nc(fname, with_attrs=True)
         xa = np.asarray(fields["ctm_averaged_vcd_prior"], np.float64)
         y = np.asarray(fields["sat_averaged_vcd"], np.float64)
         so = np.asarray(fields["sat_averaged_error"], np.float64) ** 2
@@ -76,7 +76,10 @@ def readjust(diag_folder, out_folder, error_ctm=50.0, desroziers_iterations=0,
             "scaling_factor": sf,
         })
         path = os.path.join(str(out_folder), os.path.basename(fname))
-        write_diag_nc(path, out, tstr)
+        # carry the source file's persisted OI diagnostics through the
+        # round trip (they are global attrs; dropping them loses the
+        # original run's chi^2 / Desroziers record)
+        write_diag_nc(path, out, tstr, global_attrs=attrs or None)
         outputs.append(path)
     return outputs
 
