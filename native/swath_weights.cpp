@@ -45,9 +45,12 @@ extern "C" {
 // query metric, exact while <= max_dist); nn (nt,) flat id of that nearest
 // pixel (the native nearest-neighbour interpolation mode); ok (nt,) 1 if
 // inside some swath triangle.  Returns 0 on success.
+// need_tri: 0 skips the point-in-triangle pass entirely (nearest-neighbour
+// interpolation modes use only dist/nn) — roughly halves the build.
 int build_structured_weights(const double* lon, const double* lat, int ny,
                              int nx, const double* tx, const double* ty,
-                             int nt, double max_dist, int32_t* idx, double* w,
+                             int nt, double max_dist, int need_tri,
+                             int32_t* idx, double* w,
                              double* dist, int32_t* nn, uint8_t* ok) {
   if (ny < 2 || nx < 2 || nt <= 0) return 1;
   const int nquad_y = ny - 1, nquad_x = nx - 1;
@@ -63,9 +66,13 @@ int build_structured_weights(const double* lon, const double* lat, int ny,
   }
   const double span_x = std::max(xmax - xmin, 1e-12);
   const double span_y = std::max(ymax - ymin, 1e-12);
-  // aim for ~1 quad per bin on average, capped for memory
-  int nbx = clampi(int(std::sqrt(double(nquads) * span_x / span_y)) + 1, 1, 4096);
-  int nby = clampi(int(double(nquads) / std::max(nbx, 1)) + 1, 1, 4096);
+  // aim for ~1 quad per bin on average, capped for memory.  Clamp in
+  // double BEFORE the int conversion: a degenerate span (constant-lat
+  // swath floored at 1e-12) makes the ratio overflow int, which is UB.
+  int nbx = clampi(int(std::min(std::sqrt(double(nquads) * span_x / span_y),
+                                4096.0)) + 1, 1, 4096);
+  int nby = clampi(int(std::min(double(nquads) / std::max(nbx, 1), 4096.0)) + 1,
+                   1, 4096);
 
   Hash h;
   h.x0 = xmin; h.y0 = ymin;
@@ -90,6 +97,13 @@ int build_structured_weights(const double* lon, const double* lat, int ny,
     const double qxmax = std::max(std::max(lon[p00], lon[p01]), std::max(lon[p10], lon[p11]));
     const double qymin = std::min(std::min(lat[p00], lat[p01]), std::min(lat[p10], lat[p11]));
     const double qymax = std::max(std::max(lat[p00], lat[p01]), std::max(lat[p10], lat[p11]));
+    // antimeridian-crossing quads span ~360 deg of unwrapped lon: their
+    // sliver triangles OVERLAP the real swath elsewhere (unlike a Delaunay
+    // partition, where the local simplex always wins) and would blend
+    // pixels from the opposite side of the orbit; they also register in
+    // every lon bin of their lat band, blowing up the CSR.  Skip them —
+    // their pixels stay reachable through the adjacent non-wrapped quads.
+    if (qxmax - qxmin > 180.0) return;
     const int bx0 = clampi(int((qxmin - h.x0) * h.inv_cx), 0, nbx - 1);
     const int bx1 = clampi(int((qxmax - h.x0) * h.inv_cx), 0, nbx - 1);
     const int by0 = clampi(int((qymin - h.y0) * h.inv_cy), 0, nby - 1);
@@ -113,10 +127,13 @@ int build_structured_weights(const double* lon, const double* lat, int ny,
     idx[3 * t] = idx[3 * t + 1] = idx[3 * t + 2] = 0;
     w[3 * t] = w[3 * t + 1] = w[3 * t + 2] = 0.0;
     dist[t] = 1e300;
-    if (!(X >= xmin - span_x && X <= xmax + span_x)) { /* fall through to dist scan */ }
+    nn[t] = 0;
+    // a non-finite target would hit double->int UB in bin_of and force a
+    // full ring scan (every NaN comparison is false)
+    if (!std::isfinite(X) || !std::isfinite(Y)) continue;
     const int b = bin_of(X, Y);
     const int bx = b % nbx, by = b / nbx;
-    for (int dby = -1; dby <= 1 && !ok[t]; ++dby) {
+    for (int dby = -1; dby <= 1 && need_tri && !ok[t]; ++dby) {
       for (int dbx = -1; dbx <= 1 && !ok[t]; ++dbx) {
         const int nbx_i = bx + dbx, nby_i = by + dby;
         if (nbx_i < 0 || nbx_i >= nbx || nby_i < 0 || nby_i >= nby) continue;

@@ -30,9 +30,17 @@ def _ensure_built():
     try:
         if not os.path.exists(_SO_PATH) or os.path.getmtime(_SO_PATH) < os.path.getmtime(src):
             os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
-            subprocess.run(
-                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", _SO_PATH],
-                check=True, capture_output=True)
+            # build to a per-pid temp and atomically rename: a concurrent
+            # process must never CDLL a partially written .so
+            tmp = f"{_SO_PATH}.{os.getpid()}.tmp"
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", src, "-o", tmp],
+                    check=True, capture_output=True, text=True)
+                os.replace(tmp, _SO_PATH)
+            finally:
+                if os.path.exists(tmp):
+                    os.remove(tmp)
         lib = ctypes.CDLL(_SO_PATH)
         fn = lib.build_structured_weights
         fn.restype = ctypes.c_int
@@ -40,14 +48,16 @@ def _ensure_built():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int, ctypes.c_double,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8),
         ]
         _lib = lib
     except Exception as e:  # no compiler / build error -> scipy fallback
-        print(f"[native] swath_weights unavailable ({e}); falling back to scipy")
+        detail = getattr(e, "stderr", "") or ""
+        print(f"[native] swath_weights unavailable ({e}); falling back to "
+              f"scipy{chr(10) + detail if detail else ''}")
         _build_failed = True
         _lib = None
     return _lib
@@ -57,7 +67,8 @@ def available() -> bool:
     return _ensure_built() is not None
 
 
-def structured_weights(lon2d, lat2d, tx, ty, max_dist=float("inf")):
+def structured_weights(lon2d, lat2d, tx, ty, max_dist=float("inf"),
+                       need_tri=True):
     """Barycentric weights of targets in a structured swath.
 
     Returns (idx (T,3) int32 into flattened pixels, w (T,3), dist (T,)
@@ -76,6 +87,8 @@ def structured_weights(lon2d, lat2d, tx, ty, max_dist=float("inf")):
         raise ValueError("structured_weights needs matching 2-D pixel grids")
     tx = np.ascontiguousarray(tx, np.float64).ravel()
     ty = np.ascontiguousarray(ty, np.float64).ravel()
+    if tx.size != ty.size:
+        raise ValueError("structured_weights needs matching target arrays")
     nt = tx.size
     idx = np.zeros((nt, 3), np.int32)
     w = np.zeros((nt, 3), np.float64)
@@ -87,6 +100,7 @@ def structured_weights(lon2d, lat2d, tx, ty, max_dist=float("inf")):
     rc = lib.build_structured_weights(
         dptr(lon), dptr(lat), lon.shape[0], lon.shape[1],
         dptr(tx), dptr(ty), nt, ctypes.c_double(max_dist),
+        ctypes.c_int(1 if need_tri else 0),
         iptr(idx), dptr(w), dptr(dist), iptr(nn),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc != 0:

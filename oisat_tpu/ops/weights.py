@@ -242,7 +242,10 @@ def build_plan_structured(
     out = native.structured_weights(pix_lon2d, pix_lat2d,
                                     np.asarray(tgt_lon2d, np.float64).ravel(),
                                     np.asarray(tgt_lat2d, np.float64).ravel(),
-                                    max_dist=far_factor * threshold)
+                                    max_dist=far_factor * threshold,
+                                    # NN modes only need dist/nn: skip the
+                                    # point-in-triangle pass (~half the build)
+                                    need_tri=(method == 1))
     if out is None:
         return None
     idx, w, dist, nn, ok = out

@@ -162,3 +162,25 @@ def test_upscaler_cache_reuse_and_bound():
     for k in range(R._upscaler_cache.maxsize + 5):
         R.make_upscaler(src_lon + 0.001 * (k + 1), src_lat, tgt_lon, tgt_lat, 0.1, 0.7)
         assert len(R._upscaler_cache) <= R._upscaler_cache.maxsize
+
+
+def test_native_antimeridian_quads_do_not_claim_local_targets():
+    """A quad crossing the antimeridian spans ~360 deg of unwrapped lon;
+    its sliver triangles overlap the swath elsewhere and must NOT be used
+    for interpolation (Delaunay is a partition, quad triangles are not) —
+    wrapped quads are skipped, local pixels win."""
+    from oisat_tpu.ops.weights import build_plan_structured
+
+    lats = np.linspace(0.0, 10.0, 12)
+    lon_cols = np.array([-1.0, 1.0, 179.0, -179.0])  # last pair wraps
+    lon2d = np.tile(lon_cols, (12, 1))
+    lat2d = np.tile(lats[:, None], (1, 4))
+    tlon, tlat = np.meshgrid(np.array([0.0]), np.linspace(1.0, 9.0, 7))
+    plan = build_plan_structured(lon2d, lat2d, tlon, tlat, threshold=3.0,
+                                 method=1)
+    assert plan is not None
+    m = ~np.asarray(plan.mask)
+    assert m.any()  # local targets are inside the (-1, 1) column pair
+    cols = np.asarray(plan.idx)[m] % 4
+    assert set(np.unique(cols).tolist()) <= {0, 1}, (
+        "antimeridian sliver claimed a local target")
