@@ -106,8 +106,6 @@ def ak_curve_pallas_sharded(sa, so, regs, mesh, axis: str = "grid",
     ``axis`` — the pattern that keeps the fused kernel usable on a v5p-8
     mesh (a bare Pallas call is not SPMD-partitioned by XLA).
     """
-    import numpy as np
-
     from jax.sharding import PartitionSpec as P
 
     if interpret is None:

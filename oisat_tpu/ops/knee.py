@@ -55,6 +55,8 @@ def kneedle_index_np(x: np.ndarray, y: np.ndarray, S: float = 1.0, fallback: int
         # reference then falls back to index 0.  Mirrored by `curve_ok` in
         # the JAX version below.
         return fallback
+    if y.max() == y.min():
+        return fallback  # flat curve: no knee (and no 0/0 warning)
     x_n = (x - x.min()) / (x.max() - x.min())
     y_n = (y - y.min()) / (y.max() - y.min())
     d = y_n - x_n
@@ -75,6 +77,8 @@ def kneedle_index_np(x: np.ndarray, y: np.ndarray, S: float = 1.0, fallback: int
             threshold_index = i
         if is_min[i]:
             threshold = 0.0
+        if i + 1 >= n:  # unsorted x can skip the x_n==1.0 stop
+            break
         if d[i + 1] < threshold:
             return threshold_index
     return fallback
@@ -103,7 +107,7 @@ def kneedle_index(x: jnp.ndarray, y: jnp.ndarray, S: float = 1.0, fallback: int 
     any_max = is_max.any()
     t_offset = S * jnp.abs(jnp.diff(x_n).mean())
     first_max = jnp.argmax(is_max)  # index of first True (0 if none; gated by any_max)
-    d_next = jnp.concatenate([d[1:], d[-1:]])  # d[i+1]; last entry unused (x_n==1 stops)
+    d_next = right  # d[i+1]; last entry unused (the x_n==1 stop fires first)
 
     curve_ok = any_max & jnp.all(jnp.isfinite(y))
 

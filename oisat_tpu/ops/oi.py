@@ -69,12 +69,17 @@ def _kalman_terms(sa: jax.Array, so: jax.Array, reg: jax.Array):
     ``Sa*r*So / (Sa*r + So)`` — algebraically identical to the reference's
     ``(1-K)*Sa*r`` but immune to the ``K -> 1`` cancellation that destroys
     float32 accuracy when ``So << Sa*r``.  NaN semantics match: ``Sa == 0``
-    still yields ``Sb = 0`` and ``AK = 1 - 0/0 = NaN``.
+    still yields ``Sb = 0`` and ``AK = 1 - 0/0 = NaN``; ``So == inf``
+    (an unusable observation) needs an explicit guard — the product form's
+    ``inf/inf`` would NaN the cell, but the reference computes ``K = 0``,
+    ``Sb = Sa*r``, ``AK = 0`` and keeps it in the mean-AK curve (as does
+    the fused Pallas kernel; the two curve engines must agree).
     """
     sar = sa * reg
     denom = sar + so
     k = sar / denom
-    sb = sar * (so / denom)
+    ratio = jnp.where(jnp.isinf(so), jnp.ones_like(so), so / denom)
+    sb = sar * ratio
     ak = 1.0 - sb / sar
     return k, sb, ak
 

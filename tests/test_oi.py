@@ -74,3 +74,29 @@ def test_oi_jit_and_grid():
     r1 = f(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so))
     r2 = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so))
     np.testing.assert_allclose(np.asarray(r1.xb), np.asarray(r2.xb), rtol=0, atol=0)
+
+
+def test_inf_observation_variance_matches_reference_and_pallas():
+    """so=inf (an unusable observation): the reference computes K=0, AK=0
+    and KEEPS the cell in the mean-AK curve; the stable product form's
+    inf/inf would have NaN'd it, making the XLA and Pallas curve engines
+    disagree on the knee."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from oisat_tpu.ops.oi import ak_curve, oi, regularization_grid
+
+    sa = np.array([1.0, 2.0])
+    so = np.array([1.0, np.inf])
+    regs = regularization_grid()
+    curve = np.asarray(ak_curve(jnp.asarray(sa), jnp.asarray(so),
+                                jnp.asarray(regs)))
+    # reference f64: cell 1 contributes AK=0 -> curve[0] = (0.1/1.1 + 0)/2
+    np.testing.assert_allclose(curve[0], (0.1 / 1.1) / 2.0, rtol=1e-6)
+
+    # and the full update keeps xb = xa at the inf-so cell (K = 0)
+    xa = np.array([3.0, 5.0])
+    y = np.array([4.0, 100.0])
+    res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so))
+    assert float(np.asarray(res.xb)[1]) == 5.0
+    assert float(np.asarray(res.averaging_kernel)[1]) == 0.0
