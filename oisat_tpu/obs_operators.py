@@ -152,6 +152,17 @@ def _amf_one(ctm_data, granule, time_ctm, time_hour):
                                    np.asarray(profile, np.float64)))
     if granule.ctm_upscaled_needed:
         pmid, pc = _maybe_upscale(ctm_data, granule, [pmid, pc])
+    from oisat_tpu.regridder import f16_transfer_default
+
+    if f16_transfer_default():
+        # compute in f64 above, but TRANSFER at f32 so the _stack16 /
+        # stack_lv narrowing applies (a f64 pc would ship at f32 after
+        # canonicalization — 2x the bytes of the f16 the guarded
+        # narrowing gives these fields on the transfer-bound link).
+        # Gated on the f16-transfer switch, not just parity: with
+        # OISAT_F16_TRANSFER=0 the contract is full precision end-to-end
+        # (the frozen golden month depends on the f64 pc).
+        pc = pc.astype(np.float32)
     has_trop = np.size(granule.tropopause) != 1
     # keep the granule's own leaf type AND dtype: device-granule months
     # must not pull the tropopause back to host here, and the zeros

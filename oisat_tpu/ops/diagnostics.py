@@ -111,12 +111,20 @@ def desroziers_estimates(xa, y, xb, sa, so) -> DesroziersEstimate:
 
 def lat_band_index(lat2d, n_bins: int) -> np.ndarray:
     """Uniform latitude-band labels (int32, same shape as ``lat2d``) for
-    :func:`desroziers_binned` — host NumPy, built once per analysis."""
+    :func:`desroziers_binned` — host NumPy, built once per analysis.
+
+    Non-finite latitudes get the label ``-1`` ("no band"): a NaN
+    coordinate must not contaminate a real band's moments (oi_full guards
+    NaN coords the same way), and :func:`desroziers_binned` excludes
+    negative labels from every statistic."""
     lat = np.asarray(lat2d, np.float64)
-    lo = np.nanmin(lat)
-    span = max(float(np.nanmax(lat) - lo), 1e-12)
-    idx = np.floor((lat - lo) / span * n_bins).astype(np.int32)
-    return np.clip(idx, 0, n_bins - 1)
+    finite = np.isfinite(lat)
+    if not finite.any():
+        return np.full(lat.shape, -1, np.int32)
+    lo = float(np.nanmin(lat))
+    span = max(float(np.nanmax(lat)) - lo, 1e-12)
+    idx = np.floor((np.where(finite, lat, lo) - lo) / span * n_bins).astype(np.int32)
+    return np.where(finite, np.clip(idx, 0, n_bins - 1), -1).astype(np.int32)
 
 
 @partial(jax.jit, static_argnames=("n_bins",))
@@ -141,13 +149,17 @@ def desroziers_binned(xa, y, xb, sa, so, bins, n_bins: int) -> DesroziersEstimat
     xa, y, xb = jnp.asarray(xa), jnp.asarray(y), jnp.asarray(xb)
     sa, so = jnp.asarray(sa), jnp.asarray(so)
     bins = jnp.asarray(bins, jnp.int32).ravel()
+    # negative labels mean "no band" (non-finite coordinates,
+    # lat_band_index); exclude those cells and point them at segment 0
+    # with zero weight so segment_sum stays in range
     m = (jnp.isfinite(xa) & jnp.isfinite(y) & jnp.isfinite(xb)
-         & jnp.isfinite(sa) & jnp.isfinite(so)).ravel()
+         & jnp.isfinite(sa) & jnp.isfinite(so)).ravel() & (bins >= 0)
+    seg = jnp.where(bins >= 0, bins, 0)
     w = m.astype(xa.dtype)
-    c = jax.ops.segment_sum(w, bins, num_segments=n_bins)
+    c = jax.ops.segment_sum(w, seg, num_segments=n_bins)
 
     def bmean(v):
-        s = jax.ops.segment_sum(jnp.where(m, v.ravel(), 0.0), bins,
+        s = jax.ops.segment_sum(jnp.where(m, v.ravel(), 0.0), seg,
                                 num_segments=n_bins)
         return jnp.where(c > 0, s / c, jnp.nan)
 
