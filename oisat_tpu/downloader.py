@@ -6,13 +6,15 @@ datestart, dateend)`` with per-archive methods.  Cleanups vs the reference:
 one shared GES-DISC JSON-WSP subset workflow instead of three copies, one
 netrc helper, resumable downloads through ``requests`` streaming with Range
 headers (the reference shells out to ``wget --continue``), and a
-``dry_run`` mode on the GES-DISC and directory-listing fetchers that
-returns the URL list without fetching (also how the tests exercise this
-module in a no-egress environment).  TEMPO has no dry_run: its listing
-itself goes through the earthaccess search API.
+``dry_run`` mode on every fetcher that returns the URL list without
+fetching (also how the tests exercise this module in a no-egress
+environment).
 
 earthaccess (TEMPO) is optional; its methods raise a clear error when the
-library is absent.
+library is absent.  The TEMPO methods accept an ``earthaccess_mod``
+injection seam (any object with login/search_data/download) so the route
+is testable offline — its listing itself goes through the earthaccess
+search API, so unlike the GES-DISC routes there is no plain-URL fallback.
 """
 
 from __future__ import annotations
@@ -78,25 +80,51 @@ def _fetch(url, output_fld: Path, session=None, timeout=600):
     session = session or requests.Session()
     output_fld = Path(output_fld)
     output_fld.mkdir(parents=True, exist_ok=True)
-    r = session.get(url, stream=True, timeout=timeout)
-    r.raise_for_status()
-    fname = (_disposition_filename(r.headers.get("Content-Disposition"))
-             or url.rstrip("/").split("/")[-1].split("?")[0])
-    dest = output_fld / fname
+    url_name = url.rstrip("/").split("/")[-1].split("?")[0]
+    guess = output_fld / url_name if url_name else None
+    r = None
+    dest = None
     mode = "wb"
-    if dest.exists():
-        total = r.headers.get("Content-Length")
-        if total is not None and dest.stat().st_size == int(total):
-            r.close()
-            return dest  # already complete
-        # partial file: retry with a Range header (wget --continue)
-        r.close()
-        r = session.get(url, headers={"Range": f"bytes={dest.stat().st_size}-"},
+    if guess is not None and guess.exists() and guess.stat().st_size > 0:
+        # Range-first probe (the wget --continue shape): when the URL-named
+        # file already exists, a 416 proves it complete without a
+        # throwaway full GET — the only complete-file signal a server
+        # without Content-Length ever gives
+        r = session.get(url, headers={"Range": f"bytes={guess.stat().st_size}-"},
                         stream=True, timeout=timeout)
         if r.status_code == 416:  # already complete
-            return dest
+            r.close()
+            return guess
         r.raise_for_status()
-        mode = "ab" if r.status_code == 206 else "wb"  # 200: server ignored Range
+        name = _disposition_filename(r.headers.get("Content-Disposition"))
+        if name is None or name == url_name:
+            dest = guess
+            mode = "ab" if r.status_code == 206 else "wb"  # 200: Range ignored
+        else:
+            # server names the file differently (Content-Disposition): the
+            # ranged offset was computed against the wrong file — restart
+            # with the normal full-GET flow below
+            r.close()
+            r = None
+    if r is None:
+        r = session.get(url, stream=True, timeout=timeout)
+        r.raise_for_status()
+        fname = (_disposition_filename(r.headers.get("Content-Disposition"))
+                 or url_name)
+        dest = output_fld / fname
+        if dest.exists():
+            total = r.headers.get("Content-Length")
+            if total is not None and dest.stat().st_size == int(total):
+                r.close()
+                return dest  # already complete
+            # partial file: retry with a Range header (wget --continue)
+            r.close()
+            r = session.get(url, headers={"Range": f"bytes={dest.stat().st_size}-"},
+                            stream=True, timeout=timeout)
+            if r.status_code == 416:  # already complete
+                return dest
+            r.raise_for_status()
+            mode = "ab" if r.status_code == 206 else "wb"  # 200: Range ignored
     with open(dest, mode) as f:
         for chunk in r.iter_content(1 << 20):
             f.write(chunk)
@@ -200,40 +228,57 @@ class downloader:
         return self._gesdisc_subset(product_name or "rssmif16m", output_fld, dry_run=dry_run)
 
     def _tempo_earthaccess(self, short_name: str, output_fld: Path,
-                           username=None, password=None, version="V03"):
-        """TEMPO via earthaccess (reference downloader.py:219-316)."""
-        try:
-            import earthaccess
-        except ImportError as e:
-            raise RuntimeError(
-                "earthaccess is not installed; TEMPO downloads need it "
-                "(pip install earthaccess)") from e
+                           username=None, password=None, version="V03",
+                           dry_run=False, earthaccess_mod=None):
+        """TEMPO via earthaccess (reference downloader.py:219-316).
+
+        ``dry_run=True`` runs the search and returns the granule data
+        links without downloading.  ``earthaccess_mod`` injects a stand-in
+        for the earthaccess module (login/search_data/download) so the
+        route is exercisable offline."""
+        ea = earthaccess_mod
+        if ea is None:
+            try:
+                import earthaccess as ea
+            except ImportError as e:
+                raise RuntimeError(
+                    "earthaccess is not installed; TEMPO downloads need it "
+                    "(pip install earthaccess)") from e
         _setup_netrc(username, password)
-        earthaccess.login()
-        results = earthaccess.search_data(
+        ea.login()
+        results = ea.search_data(
             short_name=short_name, version=version,
             temporal=(self.datestart + " 00:00:00", self.dateend + " 23:59:59"),
             bounding_box=(self.lonll, self.latll, self.lonur, self.latur))
-        for r in results:
-            print(r.data_links()[0].split("/")[-1])
-            earthaccess.download(r, local_path=str(output_fld))
-        return results
+        links = [r.data_links()[0] for r in results]
+        if dry_run:
+            return links
+        for r, link in zip(results, links):
+            print(link.split("/")[-1])
+            ea.download(r, local_path=str(output_fld))
+        return links
 
     def download_tempo_L2(self, product_tag: str, output_fld: Path, product_name=None,
-                          username=None, password=None):
+                          username=None, password=None, dry_run=False,
+                          earthaccess_mod=None):
         short = product_name or {"NO2": "TEMPO_NO2_L2",
                                  "HCHO": "TEMPO_HCHO_L2"}.get(product_tag)
         if short is None:
             raise ValueError(f"unsupported TEMPO L2 product {product_tag}")
-        return self._tempo_earthaccess(short, output_fld, username, password)
+        return self._tempo_earthaccess(short, output_fld, username, password,
+                                       dry_run=dry_run,
+                                       earthaccess_mod=earthaccess_mod)
 
     def download_tempo_L3(self, product_tag: str, output_fld: Path, product_name=None,
-                          username=None, password=None):
+                          username=None, password=None, dry_run=False,
+                          earthaccess_mod=None):
         short = product_name or {"NO2": "TEMPO_NO2_L3",
                                  "HCHO": "TEMPO_HCHO_L3"}.get(product_tag)
         if short is None:
             raise ValueError(f"unsupported TEMPO L3 product {product_tag}")
-        return self._tempo_earthaccess(short, output_fld, username, password)
+        return self._tempo_earthaccess(short, output_fld, username, password,
+                                       dry_run=dry_run,
+                                       earthaccess_mod=earthaccess_mod)
 
     def download_mopitt_l2(self, output_fld: Path, dry_run=False):
         """MOPITT L3 via the LaRC OPeNDAP directory listing
