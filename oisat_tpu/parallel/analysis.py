@@ -19,11 +19,12 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from oisat_tpu.ops.averaging import monthly_stats
+from oisat_tpu.ops.averaging import monthly_stats, monthly_stats_weighted
 from oisat_tpu.ops.oi import OIResult, oi
 
 __all__ = [
-    "AnalysisInputs", "AnalysisOutputs", "analysis_step", "make_analysis_step",
+    "AnalysisInputs", "AnalysisOutputs", "DailyGranules",
+    "analysis_step", "make_analysis_step",
     "FullMonthInputs", "full_month_step", "make_full_month_step",
     "FullMonthEtaInputs", "full_month_eta_step", "make_full_month_eta_step",
     "MopittMonthInputs", "mopitt_month_step", "make_mopitt_month_step",
@@ -50,6 +51,40 @@ class AnalysisOutputs(NamedTuple):
     aux2: jax.Array
     oi: OIResult
     scaling_factor: jax.Array
+
+
+class DailyGranules(NamedTuple):
+    """Per-granule operator outputs (G, H, W), returned by the month steps
+    when ``return_granules=True`` — the fields ``driver.savedaily`` writes
+    per granule (reference driver.py:127-146): the post-operator satellite
+    VCD, the matched model VCD, and the (unchanged) retrieval error.  One
+    batched D2H pull replaces a per-granule host walk in device-granule
+    months."""
+
+    vcd: jax.Array
+    ctm_vcd: jax.Array
+    uncertainty: jax.Array
+
+
+def _granule_weights_traced(weighting, uncertainty, aks=None):
+    """In-program counterpart of ``ops.averaging._granule_weights`` — the
+    same formulas on the already-stacked month inputs, so the fused month
+    and the staged host path cannot drift.
+
+    "inverse_variance": w = 1/sigma^2 where sigma > 0, else NaN (excluded).
+    "ak": vertical nanmean of |averaging kernels| (opt sensors only — the
+    makers validate kind availability host-side)."""
+    if weighting is None:
+        return None
+    if weighting == "inverse_variance":
+        err2 = uncertainty.astype(jnp.float32) ** 2
+        return jnp.where(err2 > 0, 1.0 / err2, jnp.nan)
+    if weighting == "ak":
+        if aks is None:
+            raise ValueError("weighting='ak' needs averaging-kernel granules "
+                             "(MOPITT/GOSAT); use 'inverse_variance' otherwise")
+        return jnp.nanmean(jnp.abs(aks.astype(jnp.float32)), axis=1)
+    raise ValueError(f"unknown weighting {weighting!r}")
 
 
 def _resolve_curve_kwargs(mesh: Mesh, curve_impl: str, rows_per_tile: int,
@@ -86,14 +121,24 @@ def _sharded_pallas_curve(mesh: Mesh, axis: str, rows_per_tile: int):
 def analysis_step(inputs: AnalysisInputs, bias_offset: float = 0.0,
                   bias_slope: float = 1.0, error_ctm: float = 50.0,
                   gosat_mode: bool = False, ctm_scale: float = 1.0,
-                  curve_fn=None) -> AnalysisOutputs:
+                  curve_fn=None, weights=None) -> AnalysisOutputs:
     """Monthly average + bias correction + OI update, one fused program.
 
     ``ctm_scale`` rescales the averaged CTM column between the averaging and
     OI stages — the O3 DU-conversion hook (reference driver.py:62-63 divides
-    by 2.69e16*1e-15; pass ``ctm_scale=1/(2.69e16*1e-15)``)."""
-    stats = monthly_stats(inputs.vcd, inputs.uncertainty, inputs.ctm_vcd,
-                          inputs.aux1, inputs.aux2)
+    by 2.69e16*1e-15; pass ``ctm_scale=1/(2.69e16*1e-15)``).
+
+    ``weights`` (G, H, W) selects the weighted temporal statistics
+    (``monthly_stats_weighted``) instead of the reference's plain nanmean —
+    the ``averaging_weighting`` extension running inside the fused
+    program."""
+    if weights is None:
+        stats = monthly_stats(inputs.vcd, inputs.uncertainty, inputs.ctm_vcd,
+                              inputs.aux1, inputs.aux2)
+    else:
+        stats = monthly_stats_weighted(inputs.vcd, inputs.uncertainty,
+                                       inputs.ctm_vcd, inputs.aux1,
+                                       inputs.aux2, weights)
     sat_vcd = (stats.sat_vcd - bias_offset) / bias_slope
     ctm_vcd = stats.ctm_vcd * ctm_scale
     if gosat_mode:
@@ -177,12 +222,17 @@ class FullMonthInputs(NamedTuple):
 
 def full_month_step(inputs: FullMonthInputs, bias_offset: float = 0.0,
                     bias_slope: float = 1.0, error_ctm: float = 50.0,
-                    ctm_scale: float = 1.0, curve_fn=None) -> AnalysisOutputs:
+                    ctm_scale: float = 1.0, curve_fn=None, weighting=None,
+                    return_granules: bool = False):
     """Observation operator + averaging + OI for a whole month, one program.
 
     This is the complete on-device compute of a reference month-job for a
     two-step sensor: vmapped AMF recalculation per granule, monthly
     statistics, bias correction, and the OI update.
+
+    ``weighting`` enables the weighted temporal mean in-program;
+    ``return_granules=True`` additionally returns the per-granule operator
+    outputs (:class:`DailyGranules`) for ``save_daily``.
     """
     from oisat_tpu.ops.vertical import amf_recal_fields
 
@@ -192,9 +242,15 @@ def full_month_step(inputs: FullMonthInputs, bias_offset: float = 0.0,
       inputs.tropopause, inputs.vcd, inputs.amf)
     ai = AnalysisInputs(vcd=vcd_corr, uncertainty=inputs.uncertainty,
                         ctm_vcd=model_vcd, aux1=new_amf, aux2=inputs.amf)
-    return analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
-                         error_ctm=error_ctm, ctm_scale=ctm_scale,
-                         curve_fn=curve_fn)
+    out = analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
+                        error_ctm=error_ctm, ctm_scale=ctm_scale,
+                        curve_fn=curve_fn,
+                        weights=_granule_weights_traced(weighting,
+                                                        inputs.uncertainty))
+    if return_granules:
+        return out, DailyGranules(vcd=vcd_corr, ctm_vcd=model_vcd,
+                                  uncertainty=inputs.uncertainty)
+    return out
 
 
 def _pad_to_mesh(inputs, fields_cls, n_obs: int, n_grid: int):
@@ -273,7 +329,10 @@ def _make_month_step(step_fn, fields_cls, mesh: Mesh, curve_impl: str,
         else:
             h = inputs[0].shape[-2]  # unsharded call: nothing was padded
         out = fn(inputs)
-        if h != out.sat_vcd.shape[-2]:
+        # return_granules steps yield (AnalysisOutputs, DailyGranules);
+        # the crop applies to every (..., H, W) leaf of either shape
+        head = out if isinstance(out, AnalysisOutputs) else out[0]
+        if h != head.sat_vcd.shape[-2]:
             out = jax.tree.map(
                 lambda a: a[..., :h, :] if getattr(a, "ndim", 0) >= 2 else a, out)
         return out
@@ -402,8 +461,8 @@ def dedup_first_seen(keys):
 
 def full_month_eta_step(inputs: FullMonthEtaInputs, bias_offset: float = 0.0,
                         bias_slope: float = 1.0, error_ctm: float = 50.0,
-                        ctm_scale: float = 1.0,
-                        curve_fn=None) -> AnalysisOutputs:
+                        ctm_scale: float = 1.0, curve_fn=None, weighting=None,
+                        return_granules: bool = False):
     """Decompress on device (pmid reconstruction + CTM slice gather), then
     run the standard :func:`full_month_step` body."""
     sat_pmid = decompress_pmid(inputs.sat_pmid_carrier, inputs.sat_pmid_a,
@@ -416,7 +475,9 @@ def full_month_eta_step(inputs: FullMonthEtaInputs, bias_offset: float = 0.0,
         ctm_pc=jnp.take(inputs.ctm_pc, inputs.ctm_idx, axis=0))
     return full_month_step(full, bias_offset=bias_offset,
                            bias_slope=bias_slope, error_ctm=error_ctm,
-                           ctm_scale=ctm_scale, curve_fn=curve_fn)
+                           ctm_scale=ctm_scale, curve_fn=curve_fn,
+                           weighting=weighting,
+                           return_granules=return_granules)
 
 
 def make_full_month_eta_step(mesh: Mesh, curve_impl: str = "auto",
@@ -447,7 +508,8 @@ MopittMonthInputs._field_ranks = (4, 4, 4, 4, 4, 4, 3, 3, 3, 3, 3)
 
 def mopitt_month_step(inputs: MopittMonthInputs, bias_offset: float = 0.0,
                       bias_slope: float = 1.0, error_ctm: float = 50.0,
-                      ctm_scale: float = 1.0, curve_fn=None) -> AnalysisOutputs:
+                      ctm_scale: float = 1.0, curve_fn=None, weighting=None,
+                      return_granules: bool = False):
     """AK convolution + averaging + OI for a MOPITT month, one program
     (the opt-sensor counterpart of :func:`full_month_step`; reference
     driver.py:45-51 conv_ak + :108-111 oi)."""
@@ -459,9 +521,15 @@ def mopitt_month_step(inputs: MopittMonthInputs, bias_offset: float = 0.0,
         inputs.apriori_profile, inputs.apriori_surface, inputs.vcd)
     ai = AnalysisInputs(vcd=inputs.vcd, uncertainty=inputs.uncertainty,
                         ctm_vcd=model_vcd, aux1=inputs.x_col, aux2=model_xcol)
-    return analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
-                         error_ctm=error_ctm, ctm_scale=ctm_scale,
-                         curve_fn=curve_fn)
+    out = analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
+                        error_ctm=error_ctm, ctm_scale=ctm_scale,
+                        curve_fn=curve_fn,
+                        weights=_granule_weights_traced(
+                            weighting, inputs.uncertainty, aks=inputs.aks))
+    if return_granules:
+        return out, DailyGranules(vcd=inputs.vcd, ctm_vcd=model_vcd,
+                                  uncertainty=inputs.uncertainty)
+    return out
 
 
 def make_mopitt_month_step(mesh: Mesh, curve_impl: str = "auto",
@@ -490,7 +558,8 @@ GosatMonthInputs._field_ranks = (4, 4, 4, 4, 4, 4, 3, 3, 3)
 
 def gosat_month_step(inputs: GosatMonthInputs, bias_offset: float = 0.0,
                      bias_slope: float = 1.0, error_ctm: float = 50.0,
-                     ctm_scale: float = 1.0, curve_fn=None) -> AnalysisOutputs:
+                     ctm_scale: float = 1.0, curve_fn=None, weighting=None,
+                     return_granules: bool = False):
     """AK convolution + averaging + xcol-pair OI for a GOSAT month
     (reference ak_conv_gosat.py:8-146; model VCD stays NaN — :138)."""
     from oisat_tpu.ops.vertical import ak_conv_gosat_fields
@@ -498,12 +567,20 @@ def gosat_month_step(inputs: GosatMonthInputs, bias_offset: float = 0.0,
     model_xcol = jax.vmap(ak_conv_gosat_fields)(
         inputs.ctm_pmid, inputs.ctm_profile, inputs.sat_pmid, inputs.aks,
         inputs.apriori_profile, inputs.pressure_weight, inputs.x_col)
+    nanlike = jnp.full_like(inputs.vcd, jnp.nan)
     ai = AnalysisInputs(vcd=inputs.vcd, uncertainty=inputs.uncertainty,
-                        ctm_vcd=jnp.full_like(inputs.vcd, jnp.nan),
-                        aux1=inputs.x_col, aux2=model_xcol)
-    return analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
-                         error_ctm=error_ctm, gosat_mode=True,
-                         ctm_scale=ctm_scale, curve_fn=curve_fn)
+                        ctm_vcd=nanlike, aux1=inputs.x_col, aux2=model_xcol)
+    out = analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
+                        error_ctm=error_ctm, gosat_mode=True,
+                        ctm_scale=ctm_scale, curve_fn=curve_fn,
+                        weights=_granule_weights_traced(
+                            weighting, inputs.uncertainty, aks=inputs.aks))
+    if return_granules:
+        # staged ak_conv_gosat leaves the model VCD NaN (reference
+        # ak_conv_gosat.py:138): the daily files carry the same
+        return out, DailyGranules(vcd=inputs.vcd, ctm_vcd=nanlike,
+                                  uncertainty=inputs.uncertainty)
+    return out
 
 
 def make_gosat_month_step(mesh: Mesh, curve_impl: str = "auto",
@@ -526,7 +603,8 @@ SsmisMonthInputs._field_ranks = (4, 3, 3)
 
 def ssmis_month_step(inputs: SsmisMonthInputs, bias_offset: float = 0.0,
                      bias_slope: float = 1.0, error_ctm: float = 50.0,
-                     ctm_scale: float = 1.0, curve_fn=None) -> AnalysisOutputs:
+                     ctm_scale: float = 1.0, curve_fn=None, weighting=None,
+                     return_granules: bool = False):
     """PWV + averaging + OI for an SSMIS month, one program."""
     from oisat_tpu.ops.vertical import pwv_fields
 
@@ -534,9 +612,15 @@ def ssmis_month_step(inputs: SsmisMonthInputs, bias_offset: float = 0.0,
     nanlike = jnp.full_like(inputs.vcd, jnp.nan)
     ai = AnalysisInputs(vcd=inputs.vcd, uncertainty=inputs.uncertainty,
                         ctm_vcd=pwv, aux1=nanlike, aux2=nanlike)
-    return analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
-                         error_ctm=error_ctm, ctm_scale=ctm_scale,
-                         curve_fn=curve_fn)
+    out = analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
+                        error_ctm=error_ctm, ctm_scale=ctm_scale,
+                        curve_fn=curve_fn,
+                        weights=_granule_weights_traced(weighting,
+                                                        inputs.uncertainty))
+    if return_granules:
+        return out, DailyGranules(vcd=inputs.vcd, ctm_vcd=pwv,
+                                  uncertainty=inputs.uncertainty)
+    return out
 
 
 def make_ssmis_month_step(mesh: Mesh, curve_impl: str = "auto",

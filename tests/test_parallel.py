@@ -293,3 +293,39 @@ def test_eta_month_step_sharded_pads_non_divisible():
                                rtol=1e-5, atol=1e-7, equal_nan=True)
     np.testing.assert_allclose(np.asarray(got.ctm_vcd), np.asarray(ref.ctm_vcd),
                                rtol=1e-5, atol=1e-7, equal_nan=True)
+
+
+def test_month_step_extensions_sharded_non_divisible():
+    """weighting + return_granules (the fused save_daily pull) must work
+    under a non-divisible sharded mesh: weights computed in-program match
+    the host monthly_stats_weighted, and the DailyGranules leaves crop
+    back to the true (G-padded, H, W)."""
+    import __graft_entry__ as ge
+    from oisat_tpu.ops.averaging import monthly_stats_weighted
+    from oisat_tpu.parallel.analysis import DailyGranules
+
+    inputs = ge._synthetic_full_month(G=5, H=17, W=24)
+    mesh = make_mesh(8)  # 2x4: neither G=5 nor H=17 divides
+    fn, shard = make_full_month_step(mesh, weighting="inverse_variance",
+                                     return_granules=True)
+    out, daily = fn(shard(inputs))
+    assert isinstance(daily, DailyGranules)
+    assert np.asarray(out.sat_vcd).shape == (17, 24)
+    # padded granules trail: the first G rows are the real ones
+    vcd_g = np.asarray(daily.vcd)[:5]
+    assert np.asarray(daily.vcd).shape[-2:] == (17, 24)
+    # reference: unsharded weighted stats on the per-granule outputs
+    err = np.asarray(inputs.uncertainty, np.float64)
+    w = np.where(err**2 > 0, 1.0 / err.astype(np.float32)**2, np.nan)
+    ctm_g = np.asarray(daily.ctm_vcd)[:5]
+    stats = monthly_stats_weighted(
+        jnp.asarray(vcd_g), jnp.asarray(err, jnp.float32),
+        jnp.asarray(ctm_g), jnp.asarray(vcd_g), jnp.asarray(vcd_g),
+        jnp.asarray(w, jnp.float32))
+    # out.sat_vcd is bias-corrected with (0,1) -> identity here
+    np.testing.assert_allclose(np.asarray(out.sat_vcd),
+                               np.asarray(stats.sat_vcd), rtol=2e-5,
+                               atol=1e-6, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(out.sat_error),
+                               np.asarray(stats.sat_error), rtol=2e-5,
+                               atol=1e-6, equal_nan=True)
