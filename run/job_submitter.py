@@ -16,6 +16,32 @@ import yaml
 
 
 def month_list(startdate: str, enddate: str):
+    """The actual calendar sequence of (year, month) from ``startdate``
+    through ``enddate`` inclusive — e.g. 2005-11..2006-02 yields exactly
+    [(2005,11), (2005,12), (2006,1), (2006,2)].
+
+    The reference's emitters instead build a min..max cartesian product of
+    months x years (reference run/job_submitter_sbatch.py:29-48), which for
+    a year-crossing window runs months outside the requested range in BOTH
+    years (Nov 2005 -> Feb 2006 becomes 20 jobs, 16 wrong/extra).  That
+    quirk is preserved only behind :func:`month_list_reference` for the
+    drop-in submitter shims (bit-parity of emitted job files)."""
+    y, m = int(startdate[0:4]), int(startdate[5:7])
+    ye, me = int(enddate[0:4]), int(enddate[5:7])
+    out = []
+    while (y, m) <= (ye, me):
+        out.append((y, m))
+        m += 1
+        if m == 13:
+            y, m = y + 1, 1
+    return out
+
+
+def month_list_reference(startdate: str, enddate: str):
+    """The reference's month set: cartesian product of the month range and
+    the year range touched by the window (reference
+    run/job_submitter_sbatch.py:29-48) — wrong across year boundaries,
+    kept verbatim so the drop-in shims emit the same job files."""
     start = datetime.date(int(startdate[0:4]), int(startdate[5:7]), 1)
     end = datetime.date(int(enddate[0:4]), int(enddate[5:7]), 26)
     months, years = [], []
@@ -66,12 +92,17 @@ def qsub_script(python_bin, year, month, debug=False):
     return "\n".join(lines) + "\n"
 
 
-def submit(scheduler="sbatch", control="./control.yml", dry_run=False):
+def submit(scheduler="sbatch", control="./control.yml", dry_run=False,
+           reference_months=False):
+    """``reference_months=True`` (the drop-in shims) reproduces the
+    reference's cartesian month set; the default is the correct calendar
+    sequence (:func:`month_list`)."""
     with open(control, "r") as stream:
         ctrl = yaml.safe_load(stream)
     os.makedirs("./jobs", exist_ok=True)
     scripts = []
-    for year, month in month_list(ctrl["start_date"], ctrl["end_date"]):
+    pick = month_list_reference if reference_months else month_list
+    for year, month in pick(ctrl["start_date"], ctrl["end_date"]):
         if scheduler == "sbatch":
             body = sbatch_script(ctrl["python_bin"], ctrl["num_job"], year, month,
                                  debug=ctrl.get("debug", False))

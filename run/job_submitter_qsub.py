@@ -1,5 +1,9 @@
-"""PBS submitter (reference run/job_submitter_qsub.py): drop-in name."""
+"""PBS submitter (reference run/job_submitter_qsub.py): drop-in name.
+
+Emits the reference's exact month set (cartesian min..max months x years —
+see job_submitter.month_list_reference) for bit-parity of the job files.
+"""
 from job_submitter import submit
 
 if __name__ == "__main__":
-    submit(scheduler="qsub")
+    submit(scheduler="qsub", reference_months=True)

