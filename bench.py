@@ -25,6 +25,22 @@ import warnings
 
 import numpy as np
 
+# ---- TPU v5e (TPU v5 lite) hardware ceilings, for roofline accounting ----
+# Public per-chip numbers (cloud.google.com/tpu/docs/v5e, scaling-book):
+V5E_HBM_GBPS = 819.0        # HBM bandwidth
+V5E_BF16_TFLOPS = 197.0     # MXU peak, bf16 inputs / f32 accumulate
+# f32 matmuls lower to multi-pass bf16 on the MXU (~3 passes for full f32
+# precision); 1/4 of bf16 peak is the conventional effective ceiling we
+# quote against.  This is an ASSUMPTION, stated in the emitted detail.
+V5E_F32_TFLOPS = V5E_BF16_TFLOPS / 4.0
+
+
+def _roofline_bw(bytes_moved, seconds):
+    """Achieved HBM bandwidth for a bytes/cell traffic model, as
+    (GB/s, % of v5e peak)."""
+    gbps = bytes_moved / seconds / 1e9
+    return round(gbps, 1), round(100.0 * gbps / V5E_HBM_GBPS, 1)
+
 
 def make_fields(H, W, seed=0, dtype=np.float32):
     rng = np.random.default_rng(seed)
@@ -128,6 +144,11 @@ def main(curve_impl="auto", metric_name="oi_analysis_throughput"):
 
     value = cells / t_tpu
     vs_baseline = (cells / t_tpu) / (cells / t_np)
+    # roofline: the whole OI is bandwidth-bound at its floor — each of the
+    # 4 input fields must be read >= once and the 4 output fields written
+    # once (32 B/cell at f32); the 99-factor curve adds no HBM traffic
+    # when fused (sa/so stay on-chip across factors)
+    gbps, pct = _roofline_bw(32 * cells, t_tpu)
     _emit(metric_name, round(value, 1), "grid-cells/sec", round(vs_baseline, 2), {
         "grid": [H, W],
         "tpu_ms": round(t_tpu * 1e3, 2),
@@ -136,6 +157,8 @@ def main(curve_impl="auto", metric_name="oi_analysis_throughput"):
         "numpy_ms": round(t_np * 1e3, 2),
         "curve_impl": curve_impl,
         "max_rel_diff_vs_f64_reference": float(agree),
+        "roofline": {"model": "32 B/cell minimal HBM traffic",
+                     "achieved_gbps": gbps, "pct_of_hbm_peak": pct},
     })
 
 
@@ -158,8 +181,16 @@ def bench_curve_phase():
     np.asarray(f_pallas(sa, so)), np.asarray(f_xla(sa, so))  # compile
     t_p = _marginal(lambda: f_pallas(sa, so), np.asarray, n_steps=100)
     t_x = _marginal(lambda: f_xla(sa, so), np.asarray, n_steps=100)
+    # roofline: the fused kernel reads sa+so ONCE (8 B/cell) and keeps all
+    # 99 factors in VMEM/registers — HBM traffic is the hard floor; the
+    # per-cell compute is ~7 VPU flops x 99 factors (reported as achieved
+    # VPU GFLOP/s for the compute-bound check)
+    gbps, pct = _roofline_bw(8 * n, t_p)
     _emit("oi_curve_phase_pallas", round(t_p * 1e3, 2), "ms", round(t_x / t_p, 2),
-          {"cells": n, "factors": 99, "xla_ms": round(t_x * 1e3, 2)})
+          {"cells": n, "factors": 99, "xla_ms": round(t_x * 1e3, 2),
+           "roofline": {"model": "8 B/cell single-pass HBM traffic",
+                        "achieved_gbps": gbps, "pct_of_hbm_peak": pct,
+                        "vpu_gflops": round(99 * 7 * n / t_p / 1e9, 1)}})
 
 
 def bench_kalman(n=8192):
@@ -183,8 +214,14 @@ def bench_kalman(n=8192):
     np.asarray(run()[0])  # compile
     t = _marginal(run, lambda o: np.asarray(o[0]), n_steps=20)
     flops = n**3 / 3 + 2 * n**3 + 10 * n**2
-    _emit("kalman_full_solve", round(flops / t / 1e12, 2), "TFLOP/s", None,
-          {"n_cells": n, "ms": round(t * 1e3, 1), "flop_model": "N^3/3+2N^3+10N^2"})
+    tflops = flops / t / 1e12
+    _emit("kalman_full_solve", round(tflops, 2), "TFLOP/s", None,
+          {"n_cells": n, "ms": round(t * 1e3, 1), "flop_model": "N^3/3+2N^3+10N^2",
+           "roofline": {
+               "pct_of_mxu_bf16_peak": round(100 * tflops / V5E_BF16_TFLOPS, 1),
+               # the solve runs f32: quote against the effective f32 MXU
+               # ceiling too (bf16/4 multi-pass assumption, see header)
+               "pct_of_mxu_f32_ceiling": round(100 * tflops / V5E_F32_TFLOPS, 1)}})
 
 
 def _synthetic_orbit(seed=0, ny=1644, nx=60, nz=35):
@@ -231,6 +268,7 @@ def bench_regrid(fast: bool, orbits=8):
 
     prev = os.environ.get("OISAT_PARITY")
     os.environ["OISAT_PARITY"] = "0" if fast else "1"
+    out = None
     try:
         # 0.25 deg: the OMI NO2 recipe this orbit mimics (reference
         # reader.py:899-901); the fine grid is ~19k targets
@@ -493,18 +531,22 @@ def bench_year(orbits=60):
     plan = [("OMI", "NO2", omi_month), ("MOPITT", "CO", mopitt_month),
             ("GOSAT", "CH4", gosat_month), ("SSMIS", "PWV", ssmis_month)]
     month_times = {sensor: [] for sensor, *_ in plan}
+    from oisat_tpu.utils.compile_census import CompileCensus
+
     t_year0 = time.perf_counter()
-    for month in range(1, 13):
-        c = [ctm(month)]
-        end = f"2019-{month + 1:02}-01" if month < 12 else "2020-01-01"
-        for sensor, gas, maker in plan:
-            t0 = time.perf_counter()
-            grans = maker(month)
-            obj = oisatgmi()
-            obj.reader_obj = SimpleNamespace(ctm_data=c, sat_data=grans)
-            obj.analyze_month_fused(sensor, gas, f"2019-{month:02}-01", end)
-            np.asarray(obj.ctm_averaged_vcd_corrected)
-            month_times[sensor].append(time.perf_counter() - t0)
+    with CompileCensus() as census:
+        for month in range(1, 13):
+            c = [ctm(month)]
+            end = f"2019-{month + 1:02}-01" if month < 12 else "2020-01-01"
+            for sensor, gas, maker in plan:
+                census.phase(f"m{month:02}-{sensor}")
+                t0 = time.perf_counter()
+                grans = maker(month)
+                obj = oisatgmi()
+                obj.reader_obj = SimpleNamespace(ctm_data=c, sat_data=grans)
+                obj.analyze_month_fused(sensor, gas, f"2019-{month:02}-01", end)
+                np.asarray(obj.ctm_averaged_vcd_corrected)
+                month_times[sensor].append(time.perf_counter() - t0)
     total = time.perf_counter() - t_year0
     med = {k: round(sorted(v)[len(v) // 2], 2) for k, v in month_times.items()}
     first = round(sum(v[0] for v in month_times.values()), 1)
@@ -517,7 +559,8 @@ def bench_year(orbits=60):
            "first_month_all_kinds_s": first,
            "steady_month_all_kinds_s": steady,
            "compile_amortization_x": round(first / max(steady, 1e-9), 2),
-           "reference_budget_s": 48 * 43200})
+           "reference_budget_s": 48 * 43200,
+           "compile_census": census.report()})
 
 
 def run_all():
