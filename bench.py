@@ -339,12 +339,15 @@ def bench_matfree(n_cells=64800):
           {"cells": H * W, **info})
 
 
-def bench_month(orbits=60, fused=False):
+def bench_month(orbits=60, fused=False, oi_method="scalar"):
     """Synthetic-month steady state (BASELINE.md row): regrid + AMF recal +
     averaging + OI for `orbits` orbits.  vs_baseline = the reference's 12 h
     month budget over the measured wall time.  ``fused=True`` runs the
     analysis as ONE device program (driver.analyze_month_fused) instead of
-    the staged pipeline."""
+    the staged pipeline.  ``oi_method="full"`` is the production-path
+    full-covariance month (`oi_method: full` in control.yml): the fused
+    averages feed the blocked-Cholesky Kalman solve of ops/oi_full —
+    a capability month, not just a solver microbenchmark."""
     import datetime
     from types import SimpleNamespace
 
@@ -393,7 +396,8 @@ def bench_month(orbits=60, fused=False):
         if fused:
             obj = oisatgmi()
             obj.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=grans)
-            obj.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01")
+            obj.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01",
+                                    oi_method=oi_method)
             t_amf = time.perf_counter()
         else:
             amf_recal([ctm], grans)
@@ -410,10 +414,13 @@ def bench_month(orbits=60, fused=False):
     cold, *_ = run_once()
     steady, t_re, t_amf = run_once()
     name = "synthetic_month_fused" if fused else "synthetic_month_steady"
+    if oi_method == "full":
+        name = "synthetic_month_fused_oifull"
     _emit(name, round(steady, 1), "s", round(43200.0 / steady, 0),
           {"orbits": orbits, "cold_s": round(cold, 1),
            "regrid_s": round(t_re, 1),
            ("analysis_s" if fused else "amf_s"): round(t_amf, 1),
+           "oi_method": oi_method,
            "reference_budget_s": 43200})
 
 
@@ -534,7 +541,7 @@ def bench_year(orbits=60):
     from oisat_tpu.utils.compile_census import CompileCensus
 
     t_year0 = time.perf_counter()
-    with CompileCensus() as census:
+    with CompileCensus(capture_names=True) as census:
         for month in range(1, 13):
             c = [ctm(month)]
             end = f"2019-{month + 1:02}-01" if month < 12 else "2020-01-01"
@@ -576,6 +583,7 @@ def run_all():
     bench_matfree()
     bench_month()
     bench_month(fused=True)
+    bench_month(fused=True, oi_method="full")
 
 
 if __name__ == "__main__":
@@ -583,6 +591,8 @@ if __name__ == "__main__":
 
     if "--all" in sys.argv:
         run_all()
+    elif "--month-full" in sys.argv:
+        bench_month(fused=True, oi_method="full")
     elif "--month" in sys.argv:
         bench_month()
     elif "--year" in sys.argv:

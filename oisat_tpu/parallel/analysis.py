@@ -21,6 +21,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from oisat_tpu.ops.averaging import monthly_stats, monthly_stats_weighted
 from oisat_tpu.ops.oi import OIResult, oi
+from oisat_tpu.utils.lru import LockedLRU
+
+# one jit wrapper per (step, mesh, engine, scalar-kwargs) configuration —
+# see _cached_step_jit.  32 entries cover 4 sensors x a handful of
+# bias/weighting configurations; eviction only costs a recompile.
+_STEP_JIT_CACHE = LockedLRU(32)
 
 __all__ = [
     "AnalysisInputs", "AnalysisOutputs", "DailyGranules",
@@ -85,6 +91,41 @@ def _granule_weights_traced(weighting, uncertainty, aks=None):
                              "(MOPITT/GOSAT); use 'inverse_variance' otherwise")
         return jnp.nanmean(jnp.abs(aks.astype(jnp.float32)), axis=1)
     raise ValueError(f"unknown weighting {weighting!r}")
+
+
+def _jit_cache_key(step_fn, mesh, curve_impl, rows_per_tile, kwargs):
+    """Hashable identity of a month-step jit wrapper, or None when a kwarg
+    isn't hashable (caller-supplied curve_fn closures)."""
+    try:
+        key = (step_fn, mesh, curve_impl, rows_per_tile,
+               tuple(sorted(kwargs.items())))
+        hash(key)
+        return key
+    except TypeError:
+        return None
+
+
+def _cached_step_jit(step_fn, mesh, curve_impl, rows_per_tile, kwargs,
+                     build):
+    """Memoize the jitted month-step wrapper on its full configuration.
+
+    Every ``analyze_month_fused`` call runs a maker, and a fresh
+    ``jax.jit(partial(...))`` wrapper has its own compilation cache — so
+    month 2 of a campaign recompiled month 1's exact program (measured:
+    one 1.5–12.5 s remote compile per month x sensor, 48/year).  Equal
+    (step, mesh, engine, scalar-kwargs) configurations must share ONE
+    wrapper so later months hit the jit cache instead of the remote
+    compile service.  ``jax.sharding.Mesh`` hashes by device ids + axis
+    names, so per-call Mesh construction still hits."""
+    key = _jit_cache_key(step_fn, mesh, curve_impl, rows_per_tile, kwargs)
+    if key is not None:
+        hit = _STEP_JIT_CACHE.get(key)
+        if hit is not None:
+            return hit
+    made = build(_resolve_curve_kwargs(mesh, curve_impl, rows_per_tile, kwargs))
+    if key is not None:
+        _STEP_JIT_CACHE.put(key, made)
+    return made
 
 
 def _resolve_curve_kwargs(mesh: Mesh, curve_impl: str, rows_per_tile: int,
@@ -172,29 +213,33 @@ def make_analysis_step(mesh: Mesh, curve_impl: str = "auto",
     lax.scan elsewhere; "pallas_sharded" / "xla" force one engine
     (tests force pallas_sharded in interpret mode on the CPU mesh).
     """
-    kwargs = _resolve_curve_kwargs(mesh, curve_impl, curve_rows_per_tile, kwargs)
     in_spec = P("obs", "grid", None)
-    field_spec = P("grid", None)
-    in_sh = AnalysisInputs(*([NamedSharding(mesh, in_spec)] * 5))
-    out_sh = AnalysisOutputs(
-        sat_vcd=NamedSharding(mesh, field_spec),
-        sat_error=NamedSharding(mesh, field_spec),
-        ctm_vcd=NamedSharding(mesh, field_spec),
-        aux1=NamedSharding(mesh, field_spec),
-        aux2=NamedSharding(mesh, field_spec),
-        oi=OIResult(
-            xb=NamedSharding(mesh, field_spec),
-            averaging_kernel=NamedSharding(mesh, field_spec),
-            increment=NamedSharding(mesh, field_spec),
-            error=NamedSharding(mesh, field_spec),
-            reg_index=NamedSharding(mesh, P()),
-            reg_factor=NamedSharding(mesh, P()),
-            curve=NamedSharding(mesh, P()),
-        ),
-        scaling_factor=NamedSharding(mesh, field_spec),
-    )
-    fn = jax.jit(partial(analysis_step, **kwargs), in_shardings=(in_sh,),
-                 out_shardings=out_sh)
+
+    def build(resolved):
+        field_spec = P("grid", None)
+        in_sh = AnalysisInputs(*([NamedSharding(mesh, in_spec)] * 5))
+        out_sh = AnalysisOutputs(
+            sat_vcd=NamedSharding(mesh, field_spec),
+            sat_error=NamedSharding(mesh, field_spec),
+            ctm_vcd=NamedSharding(mesh, field_spec),
+            aux1=NamedSharding(mesh, field_spec),
+            aux2=NamedSharding(mesh, field_spec),
+            oi=OIResult(
+                xb=NamedSharding(mesh, field_spec),
+                averaging_kernel=NamedSharding(mesh, field_spec),
+                increment=NamedSharding(mesh, field_spec),
+                error=NamedSharding(mesh, field_spec),
+                reg_index=NamedSharding(mesh, P()),
+                reg_factor=NamedSharding(mesh, P()),
+                curve=NamedSharding(mesh, P()),
+            ),
+            scaling_factor=NamedSharding(mesh, field_spec),
+        )
+        return jax.jit(partial(analysis_step, **resolved),
+                       in_shardings=(in_sh,), out_shardings=out_sh), in_sh
+
+    fn, _ = _cached_step_jit(analysis_step, mesh, curve_impl,
+                             curve_rows_per_tile, kwargs, build)
 
     def shard_inputs(inputs: AnalysisInputs) -> AnalysisInputs:
         return AnalysisInputs(*(jax.device_put(jnp.asarray(x), NamedSharding(mesh, in_spec))
@@ -297,15 +342,18 @@ def _make_month_step(step_fn, fields_cls, mesh: Mesh, curve_impl: str,
     :func:`_pad_to_mesh`, or the class's own ``_pad_fn``); the returned
     step crops its (H, W) outputs back to the unpadded height, so callers
     never see the padding."""
-    kwargs = _resolve_curve_kwargs(mesh, curve_impl, curve_rows_per_tile, kwargs)
-    if hasattr(fields_cls, "_field_specs"):
-        in_sh = fields_cls(*(NamedSharding(mesh, P(*s))
-                             for s in fields_cls._field_specs))
-    else:
-        g3 = NamedSharding(mesh, P("obs", "grid", None))
-        g4 = NamedSharding(mesh, P("obs", None, "grid", None))
-        in_sh = fields_cls(*({3: g3, 4: g4}[r] for r in fields_cls._field_ranks))
-    fn = jax.jit(partial(step_fn, **kwargs), in_shardings=(in_sh,))
+    def build(resolved):
+        if hasattr(fields_cls, "_field_specs"):
+            sh = fields_cls(*(NamedSharding(mesh, P(*s))
+                              for s in fields_cls._field_specs))
+        else:
+            g3 = NamedSharding(mesh, P("obs", "grid", None))
+            g4 = NamedSharding(mesh, P("obs", None, "grid", None))
+            sh = fields_cls(*({3: g3, 4: g4}[r] for r in fields_cls._field_ranks))
+        return jax.jit(partial(step_fn, **resolved), in_shardings=(sh,)), sh
+
+    fn, in_sh = _cached_step_jit(step_fn, mesh, curve_impl,
+                                 curve_rows_per_tile, kwargs, build)
     n_obs = mesh.shape["obs"]
     n_grid = mesh.shape["grid"]
     pad_fn = getattr(fields_cls, "_pad_fn", None)

@@ -38,11 +38,15 @@ class CompileCensus:
     """Counts XLA backend compiles and their durations, grouped by a
     user-advanced phase label."""
 
-    def __init__(self):
+    def __init__(self, capture_names: bool = False):
         self.records = []  # (phase, event, seconds, wall_time)
+        self.names = []  # (phase, program_name) — when capture_names
         self._phase = "start"
         self._listener = None
         self._t0 = None
+        self._capture_names = capture_names
+        self._log_handler = None
+        self._log_compiles_prev = None
 
     def phase(self, label: str):
         self._phase = str(label)
@@ -56,6 +60,27 @@ class CompileCensus:
 
         self._listener = listener
         jax.monitoring.register_event_duration_secs_listener(listener)
+        if self._capture_names:
+            # the monitoring event carries no program name; the
+            # jax_log_compiles "Compiling jit(<name>) with global shapes"
+            # record does — capture it with a logging handler so the
+            # census can NAME each program in the cold wall
+            import logging
+            import re
+
+            census = self
+
+            class _H(logging.Handler):
+                def emit(self, rec):
+                    m = re.search(r"Compiling (\S+?) with", rec.getMessage())
+                    if m:
+                        census.names.append((census._phase, m.group(1)))
+
+            self._log_handler = _H(level=logging.DEBUG)
+            logger = logging.getLogger("jax._src.interpreters.pxla")
+            logger.addHandler(self._log_handler)
+            self._log_compiles_prev = jax.config.jax_log_compiles
+            jax.config.update("jax_log_compiles", True)
         self._t0 = time.time()
         return self
 
@@ -63,6 +88,12 @@ class CompileCensus:
         from jax._src import monitoring
 
         monitoring.unregister_event_duration_listener(self._listener)
+        if self._log_handler is not None:
+            import logging
+
+            logging.getLogger("jax._src.interpreters.pxla").removeHandler(
+                self._log_handler)
+            jax.config.update("jax_log_compiles", self._log_compiles_prev)
         return False
 
     # -- reporting ------------------------------------------------------------
@@ -82,10 +113,19 @@ class CompileCensus:
             d["seconds"] = round(d["seconds"] + dur, 2)
         return out
 
+    def names_by_phase(self) -> dict:
+        out: dict = {}
+        for phase, name in self.names:
+            out.setdefault(phase, []).append(name)
+        return out
+
     def report(self) -> dict:
-        return {"total_compiles": self.n_compiles,
-                "total_compile_seconds": round(self.total_seconds, 2),
-                "by_phase": self.by_phase()}
+        rep = {"total_compiles": self.n_compiles,
+               "total_compile_seconds": round(self.total_seconds, 2),
+               "by_phase": self.by_phase()}
+        if self.names:
+            rep["program_names_by_phase"] = self.names_by_phase()
+        return rep
 
     def pretty(self) -> str:
         lines = [f"compile census: {self.n_compiles} programs, "

@@ -127,3 +127,52 @@ def test_compile_census_counts_and_phases():
     n = c.n_compiles
     jax.jit(lambda x: x - 0.5)(jnp.ones(29))
     assert c.n_compiles == n
+
+
+def test_compile_census_captures_program_names():
+    import jax
+    import jax.numpy as jnp
+
+    from oisat_tpu.utils.compile_census import CompileCensus
+
+    def my_distinctive_step(x):
+        return x @ x.T + 11.0
+
+    prev = jax.config.jax_log_compiles
+    with CompileCensus(capture_names=True) as c:
+        c.phase("named")
+        jax.jit(my_distinctive_step)(jnp.ones((6, 4)))
+    assert jax.config.jax_log_compiles == prev  # restored on exit
+    names = c.names_by_phase()
+    assert any("my_distinctive_step" in n for n in names.get("named", [])), names
+    assert "program_names_by_phase" in c.report()
+
+
+def test_month_step_jit_wrapper_cached_across_makers():
+    """Month 2 of a campaign must hit month 1's jit cache: equal
+    (step, mesh, engine, kwargs) configurations share ONE jit wrapper
+    even when the maker (and the Mesh object) is rebuilt per month —
+    measured before the fix: one remote recompile per month x sensor."""
+    import numpy as np
+
+    import __graft_entry__ as ge
+    from oisat_tpu.parallel import make_mesh
+    from oisat_tpu.parallel.analysis import make_mopitt_month_step
+
+    from oisat_tpu.utils.compile_census import CompileCensus
+
+    m1 = make_mesh(4)
+    m2 = make_mesh(4)
+    f1, s1 = make_mopitt_month_step(m1)
+    inp = ge._synthetic_mopitt_month(G=4, H=16, W=24)
+    ref = np.asarray(f1(s1(inp)).oi.xb)  # compile happens here
+    with CompileCensus() as c:
+        f2, s2 = make_mopitt_month_step(m2)  # fresh maker, fresh Mesh
+        out = f2(s2(inp))
+        np.testing.assert_allclose(np.asarray(out.oi.xb), ref, equal_nan=True)
+    assert c.n_compiles == 0, c.report()
+    # different kwargs must compile their own program
+    with CompileCensus() as c2:
+        f3, s3 = make_mopitt_month_step(m1, bias_offset=1.0)
+        np.asarray(f3(s3(inp)).oi.xb)
+    assert c2.n_compiles >= 1
