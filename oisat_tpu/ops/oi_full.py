@@ -38,6 +38,11 @@ __all__ = ["OIFullResult", "oi_full", "oi_full_dense", "oi_full_dense_scan",
 LANES = 128
 DENSE_MAX_CELLS = 10_240  # beyond this the dense NxN path exhausts HBM;
 # oi_full switches to the matrix-free CG formulation automatically.
+DENSE_SCAN_MAX_CELLS = 6_144  # the 99-factor eigen scan's eigh (QDWH)
+# holds dozens of ~N^2 f32 workspace temps: measured OOM on the 16 GB
+# v5e at n ~ 9.7k, so the regularized solve hands mid-size domains to
+# the matrix-free path (SLQ curve + CG) well before the Cholesky-only
+# dense limit.
 
 
 class OIFullResult(NamedTuple):
@@ -640,7 +645,7 @@ def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: floa
         scale = 1.0
     xa_n, y_n, sb_n, so_n = xa / scale, y / scale, sb / scale, so / scale
 
-    if n > DENSE_MAX_CELLS:
+    if n > (DENSE_SCAN_MAX_CELLS if regularization_on else DENSE_MAX_CELLS):
         res = _oi_full_large(xa_n, y_n, sb_n, so_n, lat2d, lon2d, idx,
                              float(length_scale_km), regularization_on)
         return OIFullResult(res.xb * scale, res.averaging_kernel,

@@ -207,7 +207,7 @@ def test_oi_full_matfree_with_regularization(monkeypatch):
     xa, y, sigb, sigo, lat, lon = _random_domain(H, W, seed=13)
     ref = mod.oi_full(xa, y, sigb, sigo, lat, lon, length_scale_km=250.0,
                       regularization_on=True)
-    monkeypatch.setattr(mod, "DENSE_MAX_CELLS", 64)
+    monkeypatch.setattr(mod, "DENSE_SCAN_MAX_CELLS", 64)
     got = mod.oi_full(xa, y, sigb, sigo, lat, lon, length_scale_km=250.0,
                       regularization_on=True)
     m = np.isfinite(ref.xb)
@@ -218,6 +218,32 @@ def test_oi_full_matfree_with_regularization(monkeypatch):
     np.testing.assert_allclose(got.xb[m], ref.xb[m], rtol=5e-2, atol=1e-2)
     # diagonal at the default 4-sigma probe separation: ~1e-2 bound
     np.testing.assert_allclose(got.error[m], ref.error[m], rtol=0, atol=3e-2)
+
+
+def test_regularized_midsize_routes_matrix_free(monkeypatch):
+    """Between DENSE_SCAN_MAX_CELLS and DENSE_MAX_CELLS the REGULARIZED
+    solve must take the matrix-free branch: the dense 99-factor eigen
+    scan's eigh workspace OOMs the 16 GB v5e near n ~ 9.7k (measured,
+    bench --month-full), well under the Cholesky-only dense limit."""
+    import oisat_tpu.ops.oi_full as mod
+
+    H, W = 16, 16
+    xa, y, sigb, sigo, lat, lon = _random_domain(H, W, seed=21)
+    calls = []
+    real = mod._oi_full_large
+
+    def spy(*a, **kw):
+        calls.append(a[8] if len(a) > 8 else kw.get("regularization_on"))
+        return real(*a, **kw)
+
+    monkeypatch.setattr(mod, "_oi_full_large", spy)
+    monkeypatch.setattr(mod, "DENSE_SCAN_MAX_CELLS", 64)
+    # regularized: routed to the large branch despite n < DENSE_MAX_CELLS
+    mod.oi_full(xa, y, sigb, sigo, lat, lon, 250.0, regularization_on=True)
+    assert len(calls) == 1
+    # unregularized at the same size: the Cholesky dense path is safe
+    mod.oi_full(xa, y, sigb, sigo, lat, lon, 250.0, regularization_on=False)
+    assert len(calls) == 1
 
 
 def test_distance_coloring_separation():
