@@ -593,6 +593,8 @@ if __name__ == "__main__":
         run_all()
     elif "--month-full" in sys.argv:
         bench_month(fused=True, oi_method="full")
+    elif "--month-fused" in sys.argv:
+        bench_month(fused=True)
     elif "--month" in sys.argv:
         bench_month()
     elif "--year" in sys.argv:

@@ -394,6 +394,40 @@ def _regrid_device(batch, batch_lv, batch_lv_wide, err, idx, w, mask,
     return out, out_err
 
 
+@partial(jax.jit, static_argnames=("layout", "affine"))
+def _finish_device_fields(gridded, err_gridded, a, b, layout, affine: bool):
+    """Device-granule post-processing as ONE program: the error sqrt, the
+    deferred-validity scalar, every named 2-D row pick, the contiguous 3-D
+    stack slices, and the affine pmid reconstruction.
+
+    Done eagerly these were ~12-18 tiny dispatches per orbit through the
+    device tunnel (each also a distinct compiled program on the remote
+    service: the compile census attributed most of the cold month's ~24
+    eager programs here).  ``layout`` is the batch row order (2-D names +
+    "name:z" stack rows + optionally "pressure_mid:carrier"), static per
+    sensor/product, so each granule layout compiles exactly once."""
+    idx = {n: i for i, n in enumerate(layout)}
+    out = {n: gridded[i] for n, i in idx.items() if ":" not in n}
+    out["uncertainty"] = jnp.sqrt(err_gridded[0])
+    out["valid"] = jnp.isfinite(out["vcd"]).any()
+    stacks: dict = {}
+    for n in layout:
+        if ":" in n:
+            base, z = n.rsplit(":", 1)
+            if z != "carrier":
+                stacks[base] = stacks.get(base, 0) + 1
+    for base, n_lv in stacks.items():
+        i0 = idx[f"{base}:0"]  # z-rows are contiguous in the batch
+        out[base] = gridded[i0:i0 + n_lv]
+    if affine:
+        carrier = gridded[idx["pressure_mid:carrier"]]
+        out["pressure_mid:carrier"] = carrier
+        # NaN rides along for b==0 too (IEEE: 0*NaN is NaN)
+        out["pressure_mid"] = (a[:, None, None]
+                               + b[:, None, None] * carrier).astype(carrier.dtype)
+    return out
+
+
 def _f16_row_mask(batch_lv) -> np.ndarray:
     """Per-row f16-range fit for a (F, Npix) level-stack batch: True where
     every finite value in the row is under :data:`F16_SAFE_MAX` (all-NaN
@@ -613,26 +647,46 @@ def regrid_granule(
                             batch_lv=batch_lv, lazy=True, device=device)
 
     def finish():
-        xp = jnp if device else np
         gridded, err_gridded = collect()
         name_idx = {n: i for i, n in enumerate(names + names_lv)}
 
-        def field(n, default=None):
-            i = name_idx.get(n)
-            return default if i is None else gridded[i]
-
-        # error path: variance in, squared kernel, sqrt at the end
-        with np.errstate(invalid="ignore"):  # RBF variance can overshoot < 0 -> NaN
-            uncertainty = xp.sqrt(err_gridded[0])
-
-        vcd = field("vcd")
-        valid = None
         if device:
+            # ALL device post-processing (row picks, stack slices, error
+            # sqrt, validity scalar, affine pmid) as one program + one
+            # dispatch — see _finish_device_fields
+            ab = pmid_affine if pmid_affine is not None else (
+                np.zeros(1), np.zeros(1))
+            d = _finish_device_fields(
+                gridded, err_gridded, jnp.asarray(ab[0]), jnp.asarray(ab[1]),
+                layout=tuple(names + names_lv),
+                affine=pmid_affine is not None)
+
+            def field(n, default=None):
+                return d.get(n, default)
+
+            def collect3d(name, nz):
+                return d[name]
+
+            def collect_pmid(nz):
+                return d["pressure_mid"]
+
+            uncertainty = d["uncertainty"]
+            vcd = d["vcd"]
             # deferred domain check: one scalar per granule, pulled
             # batched by the driver (a per-granule float() would serialize
             # a round-trip through the device tunnel)
-            valid = jnp.isfinite(vcd).any()
+            valid = d["valid"]
         else:
+            def field(n, default=None):
+                i = name_idx.get(n)
+                return default if i is None else gridded[i]
+
+            # error path: variance in, squared kernel, sqrt at the end
+            with np.errstate(invalid="ignore"):  # RBF variance can overshoot < 0 -> NaN
+                uncertainty = np.sqrt(err_gridded[0])
+
+            vcd = field("vcd")
+            valid = None
             import warnings as _warnings
 
             with _warnings.catch_warnings():
@@ -640,22 +694,21 @@ def regrid_granule(
                 if np.isnan(np.nanmean(vcd)):
                     return None  # granule misses the analysis domain
 
-        def collect3d(name, nz):
-            # the z-rows of one 3-D field are contiguous in the batch: one
-            # range slice, not nz per-row slices (each eager device slice
-            # is a dispatch through the tunnel)
-            i0 = name_idx[f"{name}:0"]
-            return gridded[i0:i0 + nz]
+            def collect3d(name, nz):
+                # the z-rows of one 3-D field are contiguous in the batch:
+                # one range slice, not nz per-row slices
+                i0 = name_idx[f"{name}:0"]
+                return gridded[i0:i0 + nz]
 
-        def collect_pmid(nz):
-            if pmid_affine is None:
-                return collect3d("pressure_mid", nz)
-            a_, b_ = (xp.asarray(t) for t in pmid_affine)
-            carrier = field("pressure_mid:carrier")
-            # NaN rides along for b==0 too (IEEE: 0*NaN is NaN); keep the
-            # compute dtype of the regridded fields
-            return (a_[:, None, None]
-                    + b_[:, None, None] * carrier).astype(carrier.dtype)
+            def collect_pmid(nz):
+                if pmid_affine is None:
+                    return collect3d("pressure_mid", nz)
+                a_, b_ = (np.asarray(t) for t in pmid_affine)
+                carrier = field("pressure_mid:carrier")
+                # NaN rides along for b==0 too (IEEE: 0*NaN is NaN); keep
+                # the compute dtype of the regridded fields
+                return (a_[:, None, None]
+                        + b_[:, None, None] * carrier).astype(carrier.dtype)
 
         tropopause = field("tropopause", np.empty((1,)))
         lat_c, lon_c = upsc.out_lat, upsc.out_lon

@@ -167,6 +167,28 @@ def test_fused_mopitt_matches_staged(monkeypatch):
     _compare(fused, staged, ("sat_averaged_vcd", "ctm_averaged_vcd", "aux1",
                              "aux2", "ctm_averaged_vcd_corrected", "error_OI"))
 
+    # AK information-content weighting composes in-program for the opt
+    # kinds: the full |AK| stack (surface row included) vertical-nanmean
+    # must match the staged _granule_weights formula
+    staged_ak = oisatgmi()
+    staged_ak.reader_obj = SimpleNamespace(ctm_data=[ctm],
+                                           sat_data=copy.deepcopy(grans))
+    staged_ak.conv_ak("MOPITT")
+    staged_ak.average("2019-07-01", "2019-08-01", weighting="ak")
+    staged_ak.bias_correct("MOPITT", "CO")
+    staged_ak.oi("MOPITT", error_ctm=50.0)
+    fused_ak = oisatgmi()
+    fused_ak.reader_obj = SimpleNamespace(ctm_data=[ctm],
+                                          sat_data=copy.deepcopy(grans))
+    fused_ak.analyze_month_fused("MOPITT", "CO", "2019-07-01", "2019-08-01",
+                                 error_ctm=50.0, weighting="ak")
+    _compare(fused_ak, staged_ak,
+             ("sat_averaged_vcd", "sat_averaged_error", "ctm_averaged_vcd",
+              "ctm_averaged_vcd_corrected", "error_OI"))
+    # the weighting changed the month (vs the unweighted fused run)
+    assert np.nansum(np.abs(np.nan_to_num(fused_ak.sat_averaged_error)
+                            - np.nan_to_num(fused.sat_averaged_error))) > 0
+
 
 def test_fused_gosat_matches_staged(monkeypatch):
     monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
