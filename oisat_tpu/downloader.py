@@ -99,7 +99,14 @@ def _fetch(url, output_fld: Path, session=None, timeout=600):
         name = _disposition_filename(r.headers.get("Content-Disposition"))
         if name is None or name == url_name:
             dest = guess
-            mode = "ab" if r.status_code == 206 else "wb"  # 200: Range ignored
+            if r.status_code == 206:
+                mode = "ab"
+            else:  # 200: Range ignored
+                total = r.headers.get("Content-Length")
+                if total is not None and guess.stat().st_size == int(total):
+                    r.close()
+                    return guess  # already complete, server just can't 416
+                mode = "wb"
         else:
             # server names the file differently (Content-Disposition): the
             # ranged offset was computed against the wrong file — restart

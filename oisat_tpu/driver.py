@@ -402,11 +402,17 @@ class oisatgmi:
             if mesh is None:
                 mesh = make_mesh(1)
             inputs, maker = self._fused_inputs(kind, sensor, ctm_data, grans)
+            # full-covariance / Desroziers months re-run the OI tail
+            # host-side below: skip the in-program OI stage (its 99-factor
+            # curve scan dominates the analysis compute) instead of
+            # computing a result only to discard it
+            host_oi_tail = oi_method == "full" or int(desroziers_iterations) > 0
             fn, shard = maker(mesh, bias_offset=offset, bias_slope=slope,
                               error_ctm=float(error_ctm),
                               ctm_scale=float(ctm_scale),
                               weighting=weighting,
-                              return_granules=save_daily is not None)
+                              return_granules=save_daily is not None,
+                              run_oi=not host_oi_tail)
             out = fn(shard(inputs))
             if save_daily is not None:
                 out, daily = out
@@ -418,8 +424,8 @@ class oisatgmi:
             self.aux1 = np.asarray(out.aux1, np.float64)
             self.aux2 = np.asarray(out.aux2, np.float64)
             avg_ts = sum(g.time.timestamp() for g in grans) / len(grans)
-            self.avg_time = __import__("datetime").datetime.fromtimestamp(avg_ts)
-            if oi_method == "full" or int(desroziers_iterations) > 0:
+            self.avg_time = datetime.datetime.fromtimestamp(avg_ts)
+            if host_oi_tail:
                 # the averaged fields come from the fused program; the OI
                 # tail re-runs host-side through the staged machinery (the
                 # full-covariance solve and Desroziers re-estimation are
@@ -449,30 +455,46 @@ class oisatgmi:
             self.oi_diagnostics = {k: float(v) for k, v in st._asdict().items()}
             return out
 
+    def _daily_latlon(self):
+        """CTM lat/lon for the daily files.  Preserved reference hazard
+        (reference driver.py:140-142): the first-valid *satellite* index
+        addresses the CTM list; if the first ``len(ctm_data)`` granules of
+        the month are all None this raises IndexError, exactly like the
+        reference."""
+        idx = self._first_valid()
+        c = self.reader_obj.ctm_data[idx]
+        return c.latitude, c.longitude
+
+    @staticmethod
+    def _write_daily_mat(folder, gasname, counter, when, vcd, ctm_vcd, err,
+                         lat, lon):
+        """ONE reference-format daily file (reference driver.py:127-146):
+        the timestamp formula, the ``sat_data_{gas}_{t}{counter}.mat`` name
+        and the payload keys — shared by the staged :meth:`savedaily` walk
+        and the fused batched pull so the two paths cannot drift."""
+        from scipy.io import savemat
+
+        t = (10000.0 * when.year + 100.0 * when.month + when.day
+             + when.hour / 24.0)
+        savemat(os.path.join(folder, f"sat_data_{gasname}_{t}{counter}.mat"),
+                {"vcd_sat": vcd, "vcd_ctm": ctm_vcd, "vcd_err": err,
+                 "time_sat": t, "lat": lat, "lon": lon})
+
     def _write_daily_mats(self, folder, gasname, pairs, daily):
         """Write the per-granule ``sat_data_*.mat`` daily files from the
         fused program's batched :class:`DailyGranules` pull — same content
         and counter-based naming as :meth:`savedaily` (reference
         driver.py:127-146), one D2H transfer for the whole month."""
-        from scipy.io import savemat
-
         os.makedirs(folder, exist_ok=True)
         n = len(pairs)
         # ONE pull per field; NaN-padded mesh granules trail and are cut
         vcd = np.asarray(daily.vcd, np.float64)[:n]
         ctm = np.asarray(daily.ctm_vcd, np.float64)[:n]
         err = np.asarray(daily.uncertainty, np.float64)[:n]
-        idx = self._first_valid()
-        # preserved reference hazard (reference driver.py:140-142): the
-        # first-valid *satellite* index addresses the CTM list
-        latitude = np.asarray(self.reader_obj.ctm_data[idx].latitude)
-        longitude = np.asarray(self.reader_obj.ctm_data[idx].longitude)
+        latitude, longitude = (np.asarray(a) for a in self._daily_latlon())
         for (counter, g), v, c, e in zip(pairs, vcd, ctm, err):
-            t = (10000.0 * g.time.year + 100.0 * g.time.month + g.time.day
-                 + g.time.hour / 24.0)
-            savemat(os.path.join(folder, f"sat_data_{gasname}_{t}{counter}.mat"),
-                    {"vcd_sat": v, "vcd_ctm": c, "vcd_err": e, "time_sat": t,
-                     "lat": latitude, "lon": longitude})
+            self._write_daily_mat(folder, gasname, counter, g.time, v, c, e,
+                                  latitude, longitude)
 
     def _fused_inputs(self, kind: str, sensor: str, ctm_data, grans):
         """Assemble the (stacked inputs, step maker) for one granule kind —
@@ -719,24 +741,14 @@ class oisatgmi:
                self.ak_OI, self.error_OI, self.aux1, self.aux2, fname, folder, gasname)
 
     def savedaily(self, folder, gasname, date):
-        from scipy.io import savemat
-
         os.makedirs(folder, exist_ok=True)
-        idx = self._first_valid()
-        # preserved reference hazard (reference driver.py:140-142): the
-        # first-valid *satellite* index addresses the CTM list; if the
-        # first len(ctm_data) granules of the month are all None this
-        # raises IndexError, exactly like the reference
-        latitude = self.reader_obj.ctm_data[idx].latitude
-        longitude = self.reader_obj.ctm_data[idx].longitude
+        latitude, longitude = self._daily_latlon()
         for counter, sat in enumerate(self.reader_obj.sat_data):
             if sat is None:
                 continue
-            t = (10000.0 * sat.time.year + 100.0 * sat.time.month + sat.time.day
-                 + sat.time.hour / 24.0)
-            savemat(os.path.join(folder, f"sat_data_{gasname}_{t}{counter}.mat"),
-                    {"vcd_sat": sat.vcd, "vcd_ctm": sat.ctm_vcd, "vcd_err": sat.uncertainty,
-                     "time_sat": t, "lat": latitude, "lon": longitude})
+            self._write_daily_mat(folder, gasname, counter, sat.time,
+                                  sat.vcd, sat.ctm_vcd, sat.uncertainty,
+                                  latitude, longitude)
 
     def write_to_nc(self, output_file, output_folder="diag"):
         os.makedirs(output_folder, exist_ok=True)

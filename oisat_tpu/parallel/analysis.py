@@ -162,7 +162,8 @@ def _sharded_pallas_curve(mesh: Mesh, axis: str, rows_per_tile: int):
 def analysis_step(inputs: AnalysisInputs, bias_offset: float = 0.0,
                   bias_slope: float = 1.0, error_ctm: float = 50.0,
                   gosat_mode: bool = False, ctm_scale: float = 1.0,
-                  curve_fn=None, weights=None) -> AnalysisOutputs:
+                  curve_fn=None, weights=None,
+                  run_oi: bool = True) -> AnalysisOutputs:
     """Monthly average + bias correction + OI update, one fused program.
 
     ``ctm_scale`` rescales the averaged CTM column between the averaging and
@@ -172,7 +173,12 @@ def analysis_step(inputs: AnalysisInputs, bias_offset: float = 0.0,
     ``weights`` (G, H, W) selects the weighted temporal statistics
     (``monthly_stats_weighted``) instead of the reference's plain nanmean —
     the ``averaging_weighting`` extension running inside the fused
-    program."""
+    program.
+
+    ``run_oi=False`` skips the in-program OI stage (the 99-factor curve
+    scan dominates the analysis compute): callers that re-run the OI tail
+    host-side (``oi_method: full``, Desroziers re-estimation) would
+    discard it anyway; the ``oi`` slot carries NaN placeholders."""
     if weights is None:
         stats = monthly_stats(inputs.vcd, inputs.uncertainty, inputs.ctm_vcd,
                               inputs.aux1, inputs.aux2)
@@ -188,12 +194,23 @@ def analysis_step(inputs: AnalysisInputs, bias_offset: float = 0.0,
         xa, y = ctm_vcd, sat_vcd
     sa = (xa * error_ctm / 100.0) ** 2
     so = stats.sat_error**2
-    # curve engine: XLA lax.scan by default; under a mesh the maker below
-    # injects the shard_map'd Pallas kernel via curve_fn.
-    res = oi(xa, y, sa, so, regularization_on=True, curve_impl="xla",
-             curve_fn=curve_fn)
-    sf = res.xb / xa
-    sf = jnp.where(jnp.isnan(sf) | jnp.isinf(sf) | (sf == 0.0), 1.0, sf)
+    if run_oi:
+        # curve engine: XLA lax.scan by default; under a mesh the maker
+        # below injects the shard_map'd Pallas kernel via curve_fn.
+        res = oi(xa, y, sa, so, regularization_on=True, curve_impl="xla",
+                 curve_fn=curve_fn)
+        sf = res.xb / xa
+        sf = jnp.where(jnp.isnan(sf) | jnp.isinf(sf) | (sf == 0.0), 1.0, sf)
+    else:
+        from oisat_tpu.ops.oi import regularization_grid
+
+        nanf = jnp.full_like(xa, jnp.nan)
+        res = OIResult(xb=nanf, averaging_kernel=nanf, increment=nanf,
+                       error=nanf, reg_index=jnp.asarray(-1, jnp.int32),
+                       reg_factor=jnp.asarray(jnp.nan, xa.dtype),
+                       curve=jnp.full(regularization_grid().shape, jnp.nan,
+                                      xa.dtype))
+        sf = jnp.ones_like(xa)
     return AnalysisOutputs(sat_vcd=sat_vcd, sat_error=stats.sat_error,
                            ctm_vcd=ctm_vcd, aux1=stats.aux1, aux2=stats.aux2,
                            oi=res, scaling_factor=sf)
@@ -268,7 +285,7 @@ class FullMonthInputs(NamedTuple):
 def full_month_step(inputs: FullMonthInputs, bias_offset: float = 0.0,
                     bias_slope: float = 1.0, error_ctm: float = 50.0,
                     ctm_scale: float = 1.0, curve_fn=None, weighting=None,
-                    return_granules: bool = False):
+                    return_granules: bool = False, run_oi: bool = True):
     """Observation operator + averaging + OI for a whole month, one program.
 
     This is the complete on-device compute of a reference month-job for a
@@ -289,7 +306,7 @@ def full_month_step(inputs: FullMonthInputs, bias_offset: float = 0.0,
                         ctm_vcd=model_vcd, aux1=new_amf, aux2=inputs.amf)
     out = analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
                         error_ctm=error_ctm, ctm_scale=ctm_scale,
-                        curve_fn=curve_fn,
+                        curve_fn=curve_fn, run_oi=run_oi,
                         weights=_granule_weights_traced(weighting,
                                                         inputs.uncertainty))
     if return_granules:
@@ -510,7 +527,7 @@ def dedup_first_seen(keys):
 def full_month_eta_step(inputs: FullMonthEtaInputs, bias_offset: float = 0.0,
                         bias_slope: float = 1.0, error_ctm: float = 50.0,
                         ctm_scale: float = 1.0, curve_fn=None, weighting=None,
-                        return_granules: bool = False):
+                        return_granules: bool = False, run_oi: bool = True):
     """Decompress on device (pmid reconstruction + CTM slice gather), then
     run the standard :func:`full_month_step` body."""
     sat_pmid = decompress_pmid(inputs.sat_pmid_carrier, inputs.sat_pmid_a,
@@ -525,7 +542,7 @@ def full_month_eta_step(inputs: FullMonthEtaInputs, bias_offset: float = 0.0,
                            bias_slope=bias_slope, error_ctm=error_ctm,
                            ctm_scale=ctm_scale, curve_fn=curve_fn,
                            weighting=weighting,
-                           return_granules=return_granules)
+                           return_granules=return_granules, run_oi=run_oi)
 
 
 def make_full_month_eta_step(mesh: Mesh, curve_impl: str = "auto",
@@ -557,7 +574,7 @@ MopittMonthInputs._field_ranks = (4, 4, 4, 4, 4, 4, 3, 3, 3, 3, 3)
 def mopitt_month_step(inputs: MopittMonthInputs, bias_offset: float = 0.0,
                       bias_slope: float = 1.0, error_ctm: float = 50.0,
                       ctm_scale: float = 1.0, curve_fn=None, weighting=None,
-                      return_granules: bool = False):
+                      return_granules: bool = False, run_oi: bool = True):
     """AK convolution + averaging + OI for a MOPITT month, one program
     (the opt-sensor counterpart of :func:`full_month_step`; reference
     driver.py:45-51 conv_ak + :108-111 oi)."""
@@ -571,7 +588,7 @@ def mopitt_month_step(inputs: MopittMonthInputs, bias_offset: float = 0.0,
                         ctm_vcd=model_vcd, aux1=inputs.x_col, aux2=model_xcol)
     out = analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
                         error_ctm=error_ctm, ctm_scale=ctm_scale,
-                        curve_fn=curve_fn,
+                        curve_fn=curve_fn, run_oi=run_oi,
                         weights=_granule_weights_traced(
                             weighting, inputs.uncertainty, aks=inputs.aks))
     if return_granules:
@@ -607,7 +624,7 @@ GosatMonthInputs._field_ranks = (4, 4, 4, 4, 4, 4, 3, 3, 3)
 def gosat_month_step(inputs: GosatMonthInputs, bias_offset: float = 0.0,
                      bias_slope: float = 1.0, error_ctm: float = 50.0,
                      ctm_scale: float = 1.0, curve_fn=None, weighting=None,
-                     return_granules: bool = False):
+                     return_granules: bool = False, run_oi: bool = True):
     """AK convolution + averaging + xcol-pair OI for a GOSAT month
     (reference ak_conv_gosat.py:8-146; model VCD stays NaN — :138)."""
     from oisat_tpu.ops.vertical import ak_conv_gosat_fields
@@ -620,7 +637,7 @@ def gosat_month_step(inputs: GosatMonthInputs, bias_offset: float = 0.0,
                         ctm_vcd=nanlike, aux1=inputs.x_col, aux2=model_xcol)
     out = analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
                         error_ctm=error_ctm, gosat_mode=True,
-                        ctm_scale=ctm_scale, curve_fn=curve_fn,
+                        ctm_scale=ctm_scale, curve_fn=curve_fn, run_oi=run_oi,
                         weights=_granule_weights_traced(
                             weighting, inputs.uncertainty, aks=inputs.aks))
     if return_granules:
@@ -652,7 +669,7 @@ SsmisMonthInputs._field_ranks = (4, 3, 3)
 def ssmis_month_step(inputs: SsmisMonthInputs, bias_offset: float = 0.0,
                      bias_slope: float = 1.0, error_ctm: float = 50.0,
                      ctm_scale: float = 1.0, curve_fn=None, weighting=None,
-                     return_granules: bool = False):
+                     return_granules: bool = False, run_oi: bool = True):
     """PWV + averaging + OI for an SSMIS month, one program."""
     from oisat_tpu.ops.vertical import pwv_fields
 
@@ -662,7 +679,7 @@ def ssmis_month_step(inputs: SsmisMonthInputs, bias_offset: float = 0.0,
                         ctm_vcd=pwv, aux1=nanlike, aux2=nanlike)
     out = analysis_step(ai, bias_offset=bias_offset, bias_slope=bias_slope,
                         error_ctm=error_ctm, ctm_scale=ctm_scale,
-                        curve_fn=curve_fn,
+                        curve_fn=curve_fn, run_oi=run_oi,
                         weights=_granule_weights_traced(weighting,
                                                         inputs.uncertainty))
     if return_granules:

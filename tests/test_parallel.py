@@ -329,3 +329,30 @@ def test_month_step_extensions_sharded_non_divisible():
     np.testing.assert_allclose(np.asarray(out.sat_error),
                                np.asarray(stats.sat_error), rtol=2e-5,
                                atol=1e-6, equal_nan=True)
+
+
+def test_analysis_step_run_oi_false_skips_oi_stage():
+    """run_oi=False: the averaged/bias-corrected fields are identical to the
+    run_oi=True program, the oi slot carries NaN placeholders, and the
+    scaling factor is exactly 1 (the host OI tail overwrites all of it —
+    driver.analyze_month_fused with oi_method='full' / Desroziers)."""
+    inputs = synth_inputs()
+    full = analysis_step(inputs, bias_offset=0.3, bias_slope=0.7)
+    skip = analysis_step(inputs, bias_offset=0.3, bias_slope=0.7,
+                         run_oi=False)
+    for field in ("sat_vcd", "sat_error", "ctm_vcd", "aux1", "aux2"):
+        np.testing.assert_array_equal(np.asarray(getattr(skip, field)),
+                                      np.asarray(getattr(full, field)))
+    assert np.all(np.isnan(np.asarray(skip.oi.xb)))
+    assert np.all(np.isnan(np.asarray(skip.oi.curve)))
+    assert int(skip.oi.reg_index) == -1
+    np.testing.assert_array_equal(np.asarray(skip.scaling_factor), 1.0)
+    # the sharded maker threads run_oi through the cached jit wrapper
+    mesh = make_mesh(8)
+    fn, shard = make_analysis_step(mesh, bias_offset=0.3, bias_slope=0.7,
+                                   run_oi=False)
+    got = fn(shard(inputs))
+    np.testing.assert_allclose(np.asarray(got.sat_vcd),
+                               np.asarray(full.sat_vcd), rtol=1e-12,
+                               equal_nan=True)
+    assert np.all(np.isnan(np.asarray(got.oi.xb)))

@@ -284,3 +284,44 @@ def test_tempo_dry_run_offline(tmp_path, monkeypatch):
 
     with pytest.raises(ValueError, match="unsupported TEMPO"):
         d.download_tempo_L2("CHEESE", tmp_path, earthaccess_mod=fake)
+
+
+def test_fetch_complete_file_not_redownloaded_on_range_ignoring_server(tmp_path):
+    """A server that ignores Range (200 to the bytes=N- probe) but sends
+    Content-Length: an already-complete local file must be detected via the
+    length match and returned without rewriting (resume-efficiency contract
+    of the old full-GET flow, kept by the Range-first probe)."""
+    import http.server
+    import threading
+
+    from oisat_tpu.downloader import _fetch
+
+    src = tmp_path / "srv"
+    src.mkdir()
+    payload = b"x" * 4096
+    (src / "granule.nc").write_bytes(payload)
+
+    class Handler(http.server.SimpleHTTPRequestHandler):
+        # SimpleHTTPRequestHandler ignores Range: always 200 + Content-Length
+        def __init__(self, *a, **kw):
+            super().__init__(*a, directory=str(src), **kw)
+
+        def log_message(self, *a):
+            pass
+
+    httpd = http.server.ThreadingHTTPServer(("127.0.0.1", 0), Handler)
+    port = httpd.server_address[1]
+    threading.Thread(target=httpd.serve_forever, daemon=True).start()
+    try:
+        url = f"http://127.0.0.1:{port}/granule.nc"
+        out = tmp_path / "dl"
+        dest = _fetch(url, out)
+        assert dest.read_bytes() == payload
+        # same-size sentinel: if _fetch re-downloads, this reverts to payload
+        sentinel = b"y" * 4096
+        dest.write_bytes(sentinel)
+        dest2 = _fetch(url, out)
+        assert dest2 == dest
+        assert dest2.read_bytes() == sentinel  # early return, no rewrite
+    finally:
+        httpd.shutdown()
