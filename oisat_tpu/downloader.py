@@ -67,6 +67,26 @@ def _disposition_filename(cd: str | None):
     return os.path.basename(name) or None
 
 
+# Downloads always ask for the identity transfer encoding: with requests'
+# default Accept-Encoding: gzip, Content-Length is the *compressed* entity
+# size while iter_content writes decoded bytes, so the size==Content-Length
+# completeness checks below could never fire (and Range offsets into the
+# compressed stream would be incoherent).  The payloads are HDF/netCDF —
+# already compressed — so identity costs nothing.
+_IDENTITY = {"Accept-Encoding": "identity"}
+
+
+def _is_complete(path: Path, response) -> bool:
+    """True when ``path``'s size equals the response's Content-Length —
+    the same complete-file test ``wget --continue`` applies.  Note the
+    wget-parity consequence: a file regenerated upstream with identical
+    byte length is treated as already-downloaded (the reference's
+    ``wget --continue`` fetchers, e.g. reference downloader.py:205,429,
+    behave the same way); delete the local file to force a refresh."""
+    total = response.headers.get("Content-Length")
+    return total is not None and path.stat().st_size == int(total)
+
+
 def _fetch(url, output_fld: Path, session=None, timeout=600):
     """Resumable streamed download (the wget --continue role).
 
@@ -90,7 +110,8 @@ def _fetch(url, output_fld: Path, session=None, timeout=600):
         # file already exists, a 416 proves it complete without a
         # throwaway full GET — the only complete-file signal a server
         # without Content-Length ever gives
-        r = session.get(url, headers={"Range": f"bytes={guess.stat().st_size}-"},
+        r = session.get(url, headers={"Range": f"bytes={guess.stat().st_size}-",
+                                      **_IDENTITY},
                         stream=True, timeout=timeout)
         if r.status_code == 416:  # already complete
             r.close()
@@ -102,8 +123,7 @@ def _fetch(url, output_fld: Path, session=None, timeout=600):
             if r.status_code == 206:
                 mode = "ab"
             else:  # 200: Range ignored
-                total = r.headers.get("Content-Length")
-                if total is not None and guess.stat().st_size == int(total):
+                if _is_complete(guess, r):
                     r.close()
                     return guess  # already complete, server just can't 416
                 mode = "wb"
@@ -114,19 +134,19 @@ def _fetch(url, output_fld: Path, session=None, timeout=600):
             r.close()
             r = None
     if r is None:
-        r = session.get(url, stream=True, timeout=timeout)
+        r = session.get(url, stream=True, timeout=timeout, headers=_IDENTITY)
         r.raise_for_status()
         fname = (_disposition_filename(r.headers.get("Content-Disposition"))
                  or url_name)
         dest = output_fld / fname
         if dest.exists():
-            total = r.headers.get("Content-Length")
-            if total is not None and dest.stat().st_size == int(total):
+            if _is_complete(dest, r):
                 r.close()
                 return dest  # already complete
             # partial file: retry with a Range header (wget --continue)
             r.close()
-            r = session.get(url, headers={"Range": f"bytes={dest.stat().st_size}-"},
+            r = session.get(url, headers={"Range": f"bytes={dest.stat().st_size}-",
+                                          **_IDENTITY},
                             stream=True, timeout=timeout)
             if r.status_code == 416:  # already complete
                 return dest

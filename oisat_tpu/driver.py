@@ -343,6 +343,15 @@ class oisatgmi:
           :meth:`oi`'s machinery (Desroziers re-estimation, or the
           full-covariance blocked-Cholesky solve of
           :mod:`oisat_tpu.ops.oi_full`).
+
+        Return contract: the driver attributes (``self.sat_averaged_vcd``
+        … ``self.scaling_factor``, ``self.oi_diagnostics``) always carry
+        the final results.  The returned :class:`AnalysisOutputs` mirrors
+        them EXCEPT on the host-tail months above (``oi_method="full"``
+        or Desroziers), where the in-program OI stage is skipped as dead
+        compute: there ``out.oi`` holds NaN placeholders (``reg_index``
+        -1) and ``out.scaling_factor`` is all ones — read the driver
+        attributes, not the return value, for OI results.
         """
         import datetime
 
