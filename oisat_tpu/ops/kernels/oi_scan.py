@@ -2,14 +2,28 @@
 
 The curve phase of the OI update computes, for each of the 99 factors,
 ``nanmean(AK_r)`` over the grid.  The XLA ``lax.scan`` formulation re-reads
-Sa/So from HBM once per factor (~99 x 2 passes); this kernel loads each
-(Sa, So) tile into VMEM once and loops the factors over it on the VPU —
-cutting HBM traffic by ~99x for the bandwidth-bound phase.
+its input from HBM once per factor (~99 passes); this kernel loads each
+cell tile into VMEM once and loops the factors over it on the VPU.
 
-Layout: the flattened cell arrays are padded with NaN to (M, 128) tiles;
-grid = (num_row_tiles, R) with the factor axis innermost, so Pallas keeps
-the Sa/So block resident across the inner iterations and revisits the
-per-factor (1, 2) accumulator block across row tiles (init at tile 0).
+Per-cell work is hoisted to its algebraic floor
+(:func:`oisat_tpu.ops.oi.curve_inputs`): ``AK_r = r/(r + u)`` with
+``u = So/Sa`` and the validity count both computed ONCE in XLA (they are
+factor-independent; invalid cells carry ``u = +inf`` and contribute 0),
+so the kernel's inner loop is one add + one division + one reduction-add
+per (cell, factor) — no per-factor masking, ``isfinite`` or count.
+
+Layout: the flattened ``u`` array is padded with ``+inf`` to (M, 128)
+tiles; grid = (num_row_tiles,) with the factor loop INSIDE the kernel body
+accumulating into a (1, LANES) VMEM block (factor i -> lane i), revisited
+across row tiles (init at tile 0).
+
+Measured (v5e, 4.1M cells x 99 factors): 1.51 ms at rows_per_tile=2048.
+After the algebraic hoist, XLA's ``lax.scan`` engine fuses the whole factor
+loop over one read of ``u`` and measures 1.35 ms — slightly FASTER; both
+sit at the VPU division floor (~410M f32 divides).  ``oi(curve_impl="auto")``
+therefore picks the XLA engine on a single chip; this kernel remains the
+engine for the shard_map'd mesh path (a bare pallas_call is not
+SPMD-partitioned) and the explicit ``curve_impl="pallas"`` option.
 """
 
 from __future__ import annotations
@@ -29,104 +43,101 @@ __all__ = ["ak_curve_pallas", "ak_curve_pallas_sharded"]
 LANES = 128
 
 
-def _kernel(regs_ref, sa_ref, so_ref, out_ref):
+def _kernel(regs_ref, u_ref, out_ref, *, nfactors: int):
     t = pl.program_id(0)
-    i = pl.program_id(1)
 
-    @pl.when((t == 0) & (i == 0))
+    @pl.when(t == 0)
     def _():
-        # SMEM accepts scalar stores only
-        def zero(j, _):
-            out_ref[j, 0] = 0.0
-            out_ref[j, 1] = 0.0
-            return _
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-        jax.lax.fori_loop(0, out_ref.shape[0], zero, None)
+    u = u_ref[...]
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
 
-    reg = regs_ref[i, 0]
-    sa = sa_ref[...]
-    so = so_ref[...]
-    sar = sa * reg
-    denom = sar + so
-    # AK = 1 - Sb/(Sa r) reduces to K = Sa r/(Sa r + So) except at
-    # Sa r == 0 where the reference's 0/0 yields NaN; one division total.
-    ak = jnp.where(sar == 0.0, jnp.nan, sar / denom)
-    valid = jnp.isfinite(ak)
-    s = jnp.sum(jnp.where(valid, ak, 0.0))
-    c = jnp.sum(valid.astype(jnp.float32))
-    out_ref[i, 0] += s
-    out_ref[i, 1] += c
+    # factor loop INSIDE the body: one grid step per row tile (the
+    # per-(tile, factor) grid variant spent most of its time on ~6k
+    # grid-step overheads + SMEM scalar accumulates, measured 2.3 ms vs
+    # this form's sub-ms at 4.1M cells); the per-factor scalar sum lands
+    # in lane i of the (1, LANES) VMEM accumulator via a masked add.
+    def body(i, acc):
+        reg = regs_ref[i, 0]
+        s = jnp.sum(reg / (reg + u))
+        return acc + jnp.where(lanes == i, s, 0.0)
+
+    out_ref[...] += jax.lax.fori_loop(0, nfactors, body, jnp.zeros((1, LANES), jnp.float32))
 
 
 @partial(jax.jit, static_argnames=("rows_per_tile", "interpret"))
-def _scan(sa2d, so2d, regs, rows_per_tile: int, interpret: bool):
-    m = sa2d.shape[0]
+def _scan(u2d, regs, rows_per_tile: int, interpret: bool):
+    m = u2d.shape[0]
     num_tiles = m // rows_per_tile
     r = regs.shape[0]
+    if r > LANES:
+        raise ValueError(f"factor grid larger than {LANES} lanes: {r}")
     out = pl.pallas_call(
-        _kernel,
-        grid=(num_tiles, r),
+        partial(_kernel, nfactors=r),
+        grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # full (R, 1) factor table
-            pl.BlockSpec((rows_per_tile, LANES), lambda t, i: (t, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((rows_per_tile, LANES), lambda t, i: (t, 0),
+            pl.BlockSpec((rows_per_tile, LANES), lambda t: (t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),  # full (R, 2) accumulator
-        out_shape=jax.ShapeDtypeStruct((r, 2), jnp.float32),
+        # (1, LANES) accumulator block, revisited across row tiles;
+        # factor i's sum lives in lane i
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((1, LANES), jnp.float32),
         interpret=interpret,
-    )(regs.reshape(-1, 1), sa2d, so2d)
-    return out
+    )(regs.reshape(-1, 1), u2d)
+    return out[0, :r].reshape(r, 1)
 
 
-def ak_curve_pallas(sa, so, regs, rows_per_tile: int = 512, interpret: bool | None = None):
+def _u_tiles(sa, so, rows_per_tile: int, chunk_tiles: int = 1):
+    """(u2d padded with +inf, valid count) — the XLA prologue shared by the
+    single-chip and sharded wrappers."""
+    from oisat_tpu.ops.oi import curve_inputs
+
+    sa = jnp.asarray(sa, jnp.float32).ravel()
+    so = jnp.asarray(so, jnp.float32).ravel()
+    u, valid = curve_inputs(sa, so)
+    count = jnp.sum(valid.astype(jnp.float32))
+    n = u.shape[0]
+    tile_cells = rows_per_tile * LANES * chunk_tiles
+    padded = int(np.ceil(max(n, 1) / tile_cells)) * tile_cells
+    u2d = jnp.pad(u, (0, padded - n), constant_values=jnp.inf).reshape(-1, LANES)
+    return u2d, count
+
+
+def ak_curve_pallas(sa, so, regs, rows_per_tile: int = 2048, interpret: bool | None = None):
     """Mean-AK curve over ``regs`` — fused Pallas version of
     :func:`oisat_tpu.ops.oi.ak_curve` (identical result)."""
     if interpret is None:
         interpret = interpret_default()
-    sa = jnp.asarray(sa, jnp.float32).ravel()
-    so = jnp.asarray(so, jnp.float32).ravel()
-    n = sa.shape[0]
-    tile_cells = rows_per_tile * LANES
-    padded = int(np.ceil(max(n, 1) / tile_cells)) * tile_cells
-    pad = padded - n
-    sa2d = jnp.pad(sa, (0, pad), constant_values=jnp.nan).reshape(-1, LANES)
-    so2d = jnp.pad(so, (0, pad), constant_values=jnp.nan).reshape(-1, LANES)
+    u2d, count = _u_tiles(sa, so, rows_per_tile)
     regs = jnp.asarray(regs, jnp.float32)
-    out = _scan(sa2d, so2d, regs, rows_per_tile, interpret)
-    s, c = out[:, 0], out[:, 1]
-    return jnp.where(c > 0, s / c, jnp.nan)
+    out = _scan(u2d, regs, rows_per_tile, interpret)
+    return jnp.where(count > 0, out[:, 0] / count, jnp.nan)
 
 
 def ak_curve_pallas_sharded(sa, so, regs, mesh, axis: str = "grid",
-                            rows_per_tile: int = 512, interpret: bool | None = None):
+                            rows_per_tile: int = 2048, interpret: bool | None = None):
     """Multi-device mean-AK curve: the Pallas kernel runs per shard under
-    ``shard_map`` and the (R, 2) sum/count partials are psum-reduced over
-    ``axis`` — the pattern that keeps the fused kernel usable on a v5p-8
-    mesh (a bare Pallas call is not SPMD-partitioned by XLA).
+    ``shard_map`` and the (R, 1) factor sums + the validity count are
+    psum-reduced over ``axis`` — the pattern that keeps the fused kernel
+    usable on a v5p-8 mesh (a bare Pallas call is not SPMD-partitioned by
+    XLA).
     """
     from jax.sharding import PartitionSpec as P
 
     if interpret is None:
         interpret = interpret_default()
     nshards = mesh.shape[axis]
-    sa = jnp.asarray(sa, jnp.float32).ravel()
-    so = jnp.asarray(so, jnp.float32).ravel()
-    n = sa.shape[0]
-    chunk = rows_per_tile * LANES * nshards
-    padded = int(np.ceil(max(n, 1) / chunk)) * chunk
-    pad = padded - n
-    sa2d = jnp.pad(sa, (0, pad), constant_values=jnp.nan).reshape(-1, LANES)
-    so2d = jnp.pad(so, (0, pad), constant_values=jnp.nan).reshape(-1, LANES)
+    u2d, count = _u_tiles(sa, so, rows_per_tile, chunk_tiles=nshards)
     regs = jnp.asarray(regs, jnp.float32)
 
-    def shard_fn(a, b, r):
-        return jax.lax.psum(_scan(a, b, r, rows_per_tile, interpret), axis)
+    def shard_fn(u, r):
+        return jax.lax.psum(_scan(u, r, rows_per_tile, interpret), axis)
 
     f = jax.shard_map(shard_fn, mesh=mesh,
-                      in_specs=(P(axis, None), P(axis, None), P(None)),
+                      in_specs=(P(axis, None), P(None)),
                       out_specs=P(None), check_vma=False)
-    out = f(sa2d, so2d, regs)
-    s, c = out[:, 0], out[:, 1]
-    return jnp.where(c > 0, s / c, jnp.nan)
+    out = f(u2d, regs)
+    return jnp.where(count > 0, out[:, 0] / count, jnp.nan)

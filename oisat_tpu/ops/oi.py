@@ -22,14 +22,17 @@ Semantics preserved exactly (NaN propagation included):
     float64 once (99 points) and cast — reference :16-17,
   * no-knee fallback is the first factor — reference :39-43.
 
-TPU-first shape: the curve is built by a ``lax.scan`` over the 99 factors
-with masked sum/count reductions (no (99, H, W) materialization), then the
-chosen factor's fields are computed in one fused elementwise pass.  The cell
-dimension is embarrassingly parallel: under ``jit`` with a sharded mesh the
-per-factor reductions become ``psum`` over ICI automatically.  A Pallas
-fused-scan kernel (reads Sa/So once per tile, loops the 99 factors in VMEM)
-is available in :mod:`oisat_tpu.ops.kernels.oi_scan` for the bandwidth-bound
-curve phase.
+TPU-first shape: the division by ``Sa`` and the cell validity are hoisted
+out of the factor loop (``AK_r = r/(r + So/Sa)``, :func:`curve_inputs` —
+both are factor-independent), then the curve is built by a ``lax.scan``
+over the 99 factors (no (99, H, W) materialization; XLA fuses the whole
+loop over one read of ``u``) and the chosen factor's fields are computed
+in one fused elementwise pass.  The cell dimension is embarrassingly
+parallel: under ``jit`` with a sharded mesh the per-factor reductions
+become ``psum`` over ICI automatically.  A Pallas fused-scan kernel (same
+hoisted form, explicit VMEM residency) in
+:mod:`oisat_tpu.ops.kernels.oi_scan` serves the explicit ``shard_map``
+mesh path.
 """
 
 from __future__ import annotations
@@ -84,23 +87,46 @@ def _kalman_terms(sa: jax.Array, so: jax.Array, reg: jax.Array):
     return k, sb, ak
 
 
-def _ak_stats(sa: jax.Array, so: jax.Array, reg: jax.Array):
-    """Masked sum & count of the averaging kernel for one factor."""
-    _, _, ak = _kalman_terms(sa, so, reg)
-    valid = jnp.isfinite(ak)
-    s = jnp.sum(jnp.where(valid, ak, 0.0))
-    c = jnp.sum(valid)
-    return s, c
+def curve_inputs(sa: jax.Array, so: jax.Array):
+    """``(u, valid)`` for the mean-AK curve, hoisted out of the factor loop.
+
+    For ``r > 0`` and variances ``>= 0`` the averaging kernel reduces to
+    ``AK_r = Sa·r/(Sa·r + So) = r/(r + u)`` with ``u = So/Sa`` — so both
+    the per-cell division-by-``Sa`` and the validity of a cell are
+    *factor-independent* and can be computed once for all 99 factors:
+
+    * invalid cells — NaN ``Sa``/``So``, ``Sa == 0`` (whose literal
+      ``1 - 0/0`` the reference NaNs, reference
+      optimal_interpolation.py:26-33) and ``Sa == inf`` — get ``u = +inf``
+      so they contribute ``r/inf = 0`` to the factor sums and are excluded
+      by the count;
+    * ``So == inf`` (an unusable observation) stays VALID with
+      ``AK = r/(r+inf) = 0``, kept in the curve mean exactly like the
+      reference (see :func:`_kalman_terms`).
+
+    Contract: variances must be ``>= 0`` (or NaN/inf).  A *negative*
+    finite ``Sa``/``So`` — physically impossible — could make ``r + u``
+    vanish for one factor, which the per-factor ``isfinite`` of the old
+    formulation excluded and this hoisted form does not."""
+    valid = jnp.isfinite(sa) & (sa != 0) & ~jnp.isnan(so)
+    u = jnp.where(valid, so / sa, jnp.inf)
+    return u, valid
 
 
 def ak_curve(sa: jax.Array, so: jax.Array, regs: jax.Array) -> jax.Array:
-    """Mean-AK-vs-regularization curve via a scan (no (R, ...) blowup)."""
+    """Mean-AK-vs-regularization curve via a scan (no (R, ...) blowup).
+
+    Uses the hoisted ``r/(r + So/Sa)`` form (:func:`curve_inputs`): one
+    division by ``Sa`` and one validity count total, then one add + one
+    division per (cell, factor) — the same reformulation the fused Pallas
+    kernel runs."""
+    u, valid = curve_inputs(sa, so)
+    c = jnp.sum(valid)
 
     def body(carry, reg):
-        s, c = _ak_stats(sa, so, reg)
-        return carry, (s, c)
+        return carry, jnp.sum(reg / (reg + u))
 
-    _, (s, c) = jax.lax.scan(body, None, regs)
+    _, s = jax.lax.scan(body, None, regs)
     return jnp.where(c > 0, s / c, jnp.nan)
 
 
@@ -117,9 +143,11 @@ def oi(
 
     All inputs share one shape; NaN marks missing cells and propagates.
     ``regularization_on`` is static (two trace variants).  ``curve_impl``
-    selects the regularization-curve engine: "xla" (lax.scan), "pallas"
-    (fused VMEM-resident kernel, ~3x faster on TPU), or "auto" (pallas on
-    the TPU backend for float32 grids above 2^16 cells).  ``curve_fn``
+    selects the regularization-curve engine: "xla" (lax.scan over the
+    hoisted ``r/(r+u)`` form — after that hoist XLA fuses the whole factor
+    loop over ONE read of ``u`` and measures fastest on a single chip),
+    "pallas" (fused VMEM-resident kernel, within ~10%), or "auto" (the
+    measured winner: xla).  ``curve_fn``
     overrides the engine entirely with a callable ``(sa, so, regs) ->
     curve`` — the hook the sharded analysis step uses to run the Pallas
     kernel under ``shard_map`` on a device mesh (a bare ``pallas_call`` is
@@ -143,14 +171,10 @@ def oi(
     if curve_fn is not None:
         curve = curve_fn(sa, so, regs).astype(dtype)
     else:
-        if curve_impl == "auto":
-            use_pallas = (
-                jax.default_backend() == "tpu"
-                and dtype == jnp.float32
-                and int(np.prod(xa.shape)) >= 1 << 16
-            )
-        else:
-            use_pallas = curve_impl == "pallas"
+        # "auto" = the XLA scan: since the r/(r+u) hoist it beats the
+        # Pallas kernel on the chip (1.35 vs 1.51 ms @ 4.1M cells; both
+        # at the VPU division floor) and it shards under jit for free.
+        use_pallas = curve_impl == "pallas"
         if use_pallas:
             from oisat_tpu.ops.kernels.oi_scan import ak_curve_pallas
 
