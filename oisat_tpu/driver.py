@@ -36,6 +36,40 @@ BIAS_CORRECTIONS = {
 }
 
 
+class _DeferredStack:
+    """Marker for a month-assembly field whose per-granule leaves are
+    device arrays: the stack happens inside :func:`_stack_fields` so the
+    whole assembly is ONE compiled program + ONE dispatch (an eager
+    ``jnp.stack`` per field costs G expand_dims dispatches + a concatenate
+    each, and each distinct field signature is a separate remote-compiled
+    program — the compile census attributed the residual eager assembly
+    programs of the cold month here)."""
+
+    __slots__ = ("arrays",)
+
+    def __init__(self, arrays):
+        self.arrays = tuple(arrays)
+
+
+@jax.jit
+def _stack_fields(lists):
+    """Stack every field of a device-granule month in one program."""
+    return tuple(jnp.stack(t) for t in lists)
+
+
+def _settle_stacks(inputs):
+    """Replace the :class:`_DeferredStack` fields of an assembled month
+    NamedTuple with their device stacks — one jit call for all of them."""
+    idxs = [i for i, v in enumerate(inputs) if isinstance(v, _DeferredStack)]
+    if not idxs:
+        return inputs
+    stacked = _stack_fields(tuple(inputs[i].arrays for i in idxs))
+    vals = list(inputs)
+    for i, s in zip(idxs, stacked):
+        vals[i] = s
+    return type(inputs)(*vals)
+
+
 def _desroziers_step(xa, y_clip, xb, sa_var, so_var, bins, nb):
     """One Desroziers (re-)estimation pass: (sa_step, so_step) scale
     factors — scalars for the global estimator, per-cell maps for the
@@ -372,8 +406,8 @@ class oisatgmi:
             # device mode); settle ALL the validity scalars with one pull
             dv = [getattr(g, "_device_valid", None) for _, g in pairs]
             if any(v is not None for v in dv):
-                flags = iter(np.asarray(jnp.stack(
-                    [v for v in dv if v is not None])))
+                flags = iter(np.asarray(_stack_fields(
+                    (tuple(v for v in dv if v is not None),))[0]))
                 pairs = [(i, g) for (i, g), v in zip(pairs, dv)
                          if v is None or bool(next(flags))]
             grans = [g for _, g in pairs]
@@ -537,8 +571,9 @@ class oisatgmi:
 
         def stack(arrs):
             if arrs and all(isinstance(a, jax.Array) for a in arrs):
-                # device granules: stack in place, nothing to transfer
-                return jnp.stack(arrs)
+                # device granules: stacked in place by ONE jitted program
+                # for the whole month (_settle_stacks), nothing to transfer
+                return _DeferredStack(arrs)
             out = np.stack([np.asarray(a) for a in arrs])
             # preserve f64 sources (parity/tests); everything else is f32
             return out if out.dtype == np.float64 else out.astype(f32)
@@ -550,7 +585,7 @@ class oisatgmi:
             # range (OMPS column-as-pressure, MOPITT air columns) keep f32.
             # Device leaves stack in place — narrowing would only cost.
             out = stack(arrs)
-            if (narrow and not isinstance(out, jax.Array)
+            if (narrow and isinstance(out, np.ndarray)
                     and out.dtype == f32 and fits_f16(out)):
                 return out.astype(np.float16)
             return out
@@ -599,7 +634,7 @@ class oisatgmi:
                                    dtype=np.asarray(pmids[0]).dtype)
                 u_pmids = [pmids[i] for i in slice_order] + [nan_pmid]
                 u_pcs = [pcs[i] for i in slice_order] + [nan_pmid]
-                return FullMonthEtaInputs(
+                return _settle_stacks(FullMonthEtaInputs(
                     sat_pmid_carrier=stack_lv(carriers),
                     sat_pmid_a=stack([t[0] for t in tabs]),
                     sat_pmid_b=stack([t[1] for t in tabs]),
@@ -611,8 +646,8 @@ class oisatgmi:
                     ctm_pmid=stack_lv(u_pmids),
                     ctm_pc=stack_lv(u_pcs),
                     ctm_idx=np.asarray(idxs, np.int32),
-                ), make_full_month_eta_step
-            return FullMonthInputs(
+                )), make_full_month_eta_step
+            return _settle_stacks(FullMonthInputs(
                 sat_pmid=stack_lv([g.pressure_mid for g in grans]),
                 sat_sw=stack_lv([g.scattering_weights for g in grans]),
                 vcd=stack([g.vcd for g in grans]),
@@ -621,7 +656,7 @@ class oisatgmi:
                 tropopause=stack(trops),
                 ctm_pmid=stack_lv(pmids),
                 ctm_pc=stack_lv(pcs),
-            ), make_full_month_step
+            )), make_full_month_step
 
         if kind == "ssmis":
             pcw = []
@@ -637,11 +672,11 @@ class oisatgmi:
                 if g.ctm_upscaled_needed:
                     (pc,) = _maybe_upscale(ctm_data, g, [pc])
                 pcw.append(pc)
-            return SsmisMonthInputs(
+            return _settle_stacks(SsmisMonthInputs(
                 water_pc=stack_lv(pcw),
                 vcd=stack([g.vcd for g in grans]),
                 uncertainty=stack([g.uncertainty for g in grans]),
-            ), make_ssmis_month_step
+            )), make_ssmis_month_step
 
         # opt sensors: MOPITT (vcd OI) vs GOSAT (xcol-pair OI)
         pmids, profs, airpcs = [], [], []
@@ -660,7 +695,7 @@ class oisatgmi:
             profs.append(prof)
             airpcs.append(airpc)
         if sensor == "GOSAT":
-            return GosatMonthInputs(
+            return _settle_stacks(GosatMonthInputs(
                 ctm_pmid=stack_lv(pmids),
                 ctm_profile=stack_lv(profs),
                 sat_pmid=stack_lv([g.pressure_mid for g in grans]),
@@ -670,8 +705,8 @@ class oisatgmi:
                 vcd=stack([g.vcd for g in grans]),
                 x_col=stack([g.x_col for g in grans]),
                 uncertainty=stack([g.uncertainty for g in grans]),
-            ), make_gosat_month_step
-        return MopittMonthInputs(
+            )), make_gosat_month_step
+        return _settle_stacks(MopittMonthInputs(
             ctm_pmid=stack_lv(pmids),
             ctm_profile=stack_lv(profs),
             # NEVER f16: air partial columns are ~1e9 per layer, beyond f16
@@ -685,7 +720,7 @@ class oisatgmi:
             vcd=stack([g.vcd for g in grans]),
             x_col=stack([g.x_col for g in grans]),
             uncertainty=stack([g.uncertainty for g in grans]),
-        ), make_mopitt_month_step
+        )), make_mopitt_month_step
 
     def settle_device_granules(self):
         """Apply the deferred off-domain check of device-granule mode:
@@ -699,7 +734,8 @@ class oisatgmi:
               for g in sat]
         if not any(v is not None for v in dv):
             return
-        flags = iter(np.asarray(jnp.stack([v for v in dv if v is not None])))
+        flags = iter(np.asarray(_stack_fields(
+            (tuple(v for v in dv if v is not None),))[0]))
         self.reader_obj.sat_data = [
             None if (v is not None and not bool(next(flags))) else g
             for g, v in zip(sat, dv)]

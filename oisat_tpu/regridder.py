@@ -394,18 +394,29 @@ def _regrid_device(batch, batch_lv, batch_lv_wide, err, idx, w, mask,
     return out, out_err
 
 
-@partial(jax.jit, static_argnames=("layout", "affine"))
-def _finish_device_fields(gridded, err_gridded, a, b, layout, affine: bool):
-    """Device-granule post-processing as ONE program: the error sqrt, the
-    deferred-validity scalar, every named 2-D row pick, the contiguous 3-D
-    stack slices, and the affine pmid reconstruction.
+@partial(jax.jit, static_argnames=("layout", "affine", "hw"))
+def _finish_device_fields(gridded, err_gridded, a, b, inv, layout,
+                          affine: bool, hw):
+    """Device-granule post-processing as ONE program: the f16 row-order
+    restore, the flat→(H, W) reshape, the error sqrt, the deferred-validity
+    scalar, every named 2-D row pick, the contiguous 3-D stack slices, and
+    the affine pmid reconstruction.
 
     Done eagerly these were ~12-18 tiny dispatches per orbit through the
     device tunnel (each also a distinct compiled program on the remote
     service: the compile census attributed most of the cold month's ~24
     eager programs here).  ``layout`` is the batch row order (2-D names +
     "name:z" stack rows + optionally "pressure_mid:carrier"), static per
-    sensor/product, so each granule layout compiles exactly once."""
+    sensor/product, so each granule layout compiles exactly once.
+
+    ``inv`` (or None) restores the caller's row order after the f16
+    range split (see ``_regrid_fused``); ``hw`` (static, or None when the
+    batch is already shaped) is the output (H, W)."""
+    if inv is not None:
+        gridded = jnp.take(gridded, inv, axis=0)
+    if hw is not None:
+        gridded = gridded.reshape(gridded.shape[:-1] + hw)
+        err_gridded = err_gridded.reshape(err_gridded.shape[:-1] + hw)
     idx = {n: i for i, n in enumerate(layout)}
     out = {n: gridded[i] for n, i in idx.items() if ":" not in n}
     out["uncertainty"] = jnp.sqrt(err_gridded[0])
@@ -426,6 +437,19 @@ def _finish_device_fields(gridded, err_gridded, a, b, layout, affine: bool):
         out["pressure_mid"] = (a[:, None, None]
                                + b[:, None, None] * carrier).astype(carrier.dtype)
     return out
+
+
+@partial(jax.jit, static_argnames=("hw",))
+def _finish_device_ssmis(gridded, err_gridded, hw):
+    """SSMIS device-granule post-processing as ONE program: the two row
+    picks + the flat→(H, W) reshape (the raw value travelled through the
+    squared error kernel and keeps no sqrt — see
+    :func:`regrid_ssmis_granule`)."""
+    v, e = gridded[0], err_gridded[0]
+    if hw is not None:
+        v = v.reshape(hw)
+        e = e.reshape(hw)
+    return v, e
 
 
 def _f16_row_mask(batch_lv) -> np.ndarray:
@@ -488,21 +512,34 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
         plan.out_shape, upsc.ky, upsc.kx, upsc.needed)
     f2 = batch.shape[0]
 
+    def _inv_order():
+        if fit.all():
+            return None
+        # device row order is [2-D fields, fitting rows, wide rows];
+        # restore the caller's original row order
+        order = np.concatenate([np.arange(f2), f2 + np.flatnonzero(fit),
+                                np.flatnonzero(~fit) + f2])
+        inv = np.empty_like(order)
+        inv[order] = np.arange(order.size)
+        return inv
+
     def collect():
         """Collection (row reorder + reshape) — deferred when ``lazy`` so
-        the caller can dispatch the next granule first.  ``device`` keeps
-        the results as device arrays (no D2H at all — the fused month
-        stacks them in place); otherwise they come back as numpy."""
-        o = out if device else np.asarray(out)
-        if not fit.all():
-            # device row order is [2-D fields, fitting rows, wide rows];
-            # restore the caller's original row order
-            order = np.concatenate([np.arange(f2), f2 + np.flatnonzero(fit),
-                                    f2 + np.flatnonzero(~fit)])
-            inv = np.empty_like(order)
-            inv[order] = np.arange(order.size)
+        the caller can dispatch the next granule first.
+
+        ``device`` keeps the results as device arrays with the reorder +
+        reshape DEFERRED (no dispatch here at all): returns
+        ``(flat_values, flat_err, inv_or_None)`` for the caller's jitted
+        finisher to fold in-program (each eager reshape/gather on a device
+        array is a compiled program + a tunnel dispatch per granule);
+        otherwise numpy results come back fully shaped."""
+        if device:
+            return out, out_err, _inv_order()
+        o = np.asarray(out)
+        inv = _inv_order()
+        if inv is not None:
             o = o[inv]
-        oe = out_err if device else np.asarray(out_err)
+        oe = np.asarray(out_err)
         hw = plan.out_shape if upsc.needed else upsc.out_lat.shape
         return (o.reshape(o.shape[:-1] + hw) if not upsc.needed else o,
                 oe.reshape(oe.shape[:-1] + hw) if not upsc.needed else oe)
@@ -647,19 +684,21 @@ def regrid_granule(
                             batch_lv=batch_lv, lazy=True, device=device)
 
     def finish():
-        gridded, err_gridded = collect()
         name_idx = {n: i for i, n in enumerate(names + names_lv)}
 
         if device:
-            # ALL device post-processing (row picks, stack slices, error
-            # sqrt, validity scalar, affine pmid) as one program + one
-            # dispatch — see _finish_device_fields
+            # ALL device post-processing (row reorder, reshape, row picks,
+            # stack slices, error sqrt, validity scalar, affine pmid) as
+            # one program + one dispatch — see _finish_device_fields
+            flat, flat_err, inv = collect()
             ab = pmid_affine if pmid_affine is not None else (
                 np.zeros(1), np.zeros(1))
             d = _finish_device_fields(
-                gridded, err_gridded, jnp.asarray(ab[0]), jnp.asarray(ab[1]),
+                flat, flat_err, jnp.asarray(ab[0]), jnp.asarray(ab[1]),
+                None if inv is None else jnp.asarray(inv),
                 layout=tuple(names + names_lv),
-                affine=pmid_affine is not None)
+                affine=pmid_affine is not None,
+                hw=None if upsc.needed else tuple(upsc.out_lat.shape))
 
             def field(n, default=None):
                 return d.get(n, default)
@@ -677,6 +716,8 @@ def regrid_granule(
             # a round-trip through the device tunnel)
             valid = d["valid"]
         else:
+            gridded, err_gridded = collect()
+
             def field(n, default=None):
                 i = name_idx.get(n)
                 return default if i is None else gridded[i]
@@ -810,11 +851,18 @@ def regrid_ssmis_granule(
         dtype, lazy=True, device=device)
 
     def finish():
-        gridded, err_gridded = collect()
+        if device:
+            flat, flat_err, _inv = collect()  # single-row batch: no reorder
+            vcd, unc = _finish_device_ssmis(
+                flat, flat_err,
+                hw=None if upsc.needed else tuple(upsc.out_lat.shape))
+        else:
+            gridded, err_gridded = collect()
+            vcd, unc = gridded[0], err_gridded[0]
         g = satellite_ssmis(
-            vcd=gridded[0],
+            vcd=vcd,
             # raw value through the squared kernel, no sqrt
-            uncertainty=err_gridded[0], time=sat_data.time,
+            uncertainty=unc, time=sat_data.time,
             latitude_center=upsc.out_lat, longitude_center=upsc.out_lon,
             ctm_upscaled_needed=upsc.needed, ctm_vcd=[], sensor="SSMIS",
         )

@@ -704,3 +704,46 @@ def test_fused_oi_full_tail_matches_staged(monkeypatch):
     # O(0.1-1) here, so an absolute tolerance is the meaningful bound
     _compare(fused, staged, ("error_OI",), rtol=5e-2, atol=2e-2)
     assert "chi2" in fused.oi_diagnostics
+
+
+def test_fused_device_month_has_no_eager_assembly_programs(monkeypatch):
+    """The device-granule fused month must assemble in FUSED programs only:
+    the field stacks ride _stack_fields, the validity pull rides it too,
+    and the regrid collect defers reorder/reshape into
+    _finish_device_fields — no eager jnp ops (each would be a separate
+    remote-compiled program + a per-granule tunnel dispatch on the real
+    chip; the round-4 compile census work pinned the cold-month floor
+    here)."""
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    import jax
+
+    from oisat_tpu.utils.compile_census import CompileCensus
+
+    clon, clat = ctm_grid()
+    ctm = synthetic_ctm()
+    # a granule count no other test uses, so any eager per-field stack
+    # would be a FRESH signature and show up in the census
+    grans = []
+    for s in range(5):
+        g = regrid_granule(1, 0.25, synthetic_granule(s, 4 + s), clon, clat,
+                           flag_thresh=0.5, device=True)
+        g.time = g.time.replace(day=4 + s)
+        grans.append(g)
+    far = synthetic_granule(9, 12)
+    far.latitude_center = far.latitude_center + 60.0
+    far.time = far.time.replace(day=12)
+    grans.append(regrid_granule(1, 0.25, far, clon, clat, flag_thresh=0.5,
+                                device=True))
+    assert all(isinstance(g.vcd, jax.Array) for g in grans)
+
+    obj = oisatgmi()
+    obj.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=grans)
+    with CompileCensus(capture_names=True) as census:
+        obj.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01",
+                                error_ctm=50.0)
+    eager = {"jit(concatenate)", "jit(broadcast_in_dim)", "jit(reshape)",
+             "jit(squeeze)", "jit(sqrt)", "jit(isfinite)", "jit(_reduce_any)",
+             "jit(dynamic_slice)", "jit(convert_element_type)"}
+    names = [n for _, n in census.names]
+    assert not (set(names) & eager), f"eager assembly programs: {names}"
+    assert np.isfinite(np.asarray(obj.ctm_averaged_vcd_corrected)).any()
