@@ -217,3 +217,42 @@ def test_staged_amf_recal_eta_matches_full(monkeypatch):
         np.testing.assert_allclose(np.asarray(g1.new_amf)[mn],
                                    np.asarray(g0.new_amf)[mn],
                                    rtol=1e-6, atol=1e-9)
+
+
+def test_device_mode_mixed_rows_match_host(monkeypatch):
+    """Device-granule mode with a MIXED f16/wide level-stack batch must
+    restore the caller's row order inside the jitted finisher
+    (_finish_device_fields' ``inv`` gather): the device batch travels as
+    [2-D fields, f16-fitting rows, wide rows], and a wrong permutation
+    would silently swap whole fields/levels between e.g. scattering
+    weights and pressures."""
+    import jax
+
+    _production_f16(monkeypatch)
+    g = _amf_granule_f32(seed=3)
+    # push ONE scattering-weight level beyond f16 range so the batch
+    # splits (the random pressure stack is non-affine, so its levels all
+    # travel too — fitting); everything else narrows
+    g.scattering_weights[2] *= 1.0e5
+    clon, clat = ctm_grid()
+    host = regrid_granule(1, 0.25, g, clon, clat, flag_thresh=0.5,
+                          device=False)
+    dev = regrid_granule(1, 0.25, g, clon, clat, flag_thresh=0.5,
+                         device=True)
+    assert host is not None
+    assert isinstance(dev.vcd, jax.Array)
+    assert bool(np.asarray(dev._device_valid))
+    for name in ("vcd", "amf", "uncertainty", "tropopause",
+                 "pressure_mid", "scattering_weights"):
+        h = np.asarray(getattr(host, name))
+        d = np.asarray(getattr(dev, name))
+        assert h.shape == d.shape, name
+        np.testing.assert_allclose(d, h, rtol=1e-6, atol=0,
+                                   equal_nan=True, err_msg=name)
+    # the wide level really is wide on the output too (reorder proof)
+    sw = np.asarray(dev.scattering_weights)
+    m2 = np.isfinite(sw[2])
+    assert m2.any() and np.nanmax(np.abs(sw[2][m2])) > 6.0e4
+    others = np.concatenate([sw[:2], sw[3:]])
+    mo = np.isfinite(others)
+    assert np.nanmax(np.abs(others[mo])) < 6.0e4
