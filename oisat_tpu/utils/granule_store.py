@@ -28,10 +28,6 @@ _CLASSES = {"satellite_amf": satellite_amf, "satellite_opt": satellite_opt,
             "satellite_ssmis": satellite_ssmis}
 
 
-def _is_array(v):
-    return isinstance(v, np.ndarray) or (np.isscalar(v) and not isinstance(v, str))
-
-
 def save_granules(path, granules):
     """Write a granule list (entries may be None)."""
     with h5py.File(path, "w") as f:
