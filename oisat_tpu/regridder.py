@@ -37,7 +37,7 @@ from oisat_tpu.ops.weights import (
 
 __all__ = ["Upscaler", "make_upscaler", "regrid_granule", "regrid_ssmis_granule",
            "fast_swath_default", "fits_f16", "F16_SAFE_MAX", "PendingGranule",
-           "lazy_collection"]
+           "lazy_collection", "regrid_mesh", "set_regrid_mesh"]
 
 
 class PendingGranule:
@@ -367,10 +367,10 @@ def _stack(fields):
     return np.stack([np.asarray(f, np.float64).ravel() for f in fields])
 
 
-@partial(jax.jit, static_argnames=("fine_shape", "ky", "kx", "passthrough"))
-def _regrid_device(batch, batch_lv, batch_lv_wide, err, idx, w, mask,
-                   up_idx, up_w, up_mask,
-                   fine_shape, ky: int, kx: int, passthrough: bool):
+def _regrid_device_impl(batch, batch_lv, batch_lv_wide, err, idx, w, mask,
+                        up_idx, up_w, up_mask,
+                        fine_shape, ky: int, kx: int, passthrough: bool,
+                        row_sharding=None):
     """The whole per-granule device pipeline as ONE program: interp to the
     fine grid (value batch + error-variance field), box filter, map onto
     the CTM grid.  One remote dispatch per granule instead of ~6 (dispatch
@@ -385,6 +385,14 @@ def _regrid_device(batch, batch_lv, batch_lv_wide, err, idx, w, mask,
                              batch_lv_wide.astype(batch.dtype)], axis=0)
     fine = apply_plan_arrays(batch, idx, w, mask).reshape(batch.shape[:-1] + fine_shape)
     fine_err = apply_plan_arrays(err, idx, w, mask).reshape(err.shape[:-1] + fine_shape)
+    if row_sharding is not None:
+        # SPMD over a mesh: shard the fine grid by rows; GSPMD partitions
+        # the producing gather by its output rows, inserts the halo
+        # exchange the box filter needs at shard boundaries, and the
+        # collectives of the fine->CTM gather below — identical values to
+        # the single-device program (see _sharded_regrid_fn)
+        fine = jax.lax.with_sharding_constraint(fine, row_sharding)
+        fine_err = jax.lax.with_sharding_constraint(fine_err, row_sharding)
     if passthrough:
         return fine, fine_err
     zf = boxfilter_same_symm(fine, ky, kx)
@@ -392,6 +400,75 @@ def _regrid_device(batch, batch_lv, batch_lv_wide, err, idx, w, mask,
     out = apply_plan_arrays(zf.reshape(zf.shape[:-2] + (-1,)), up_idx, up_w, up_mask)
     out_err = apply_plan_arrays(zef.reshape(zef.shape[:-2] + (-1,)), up_idx, up_w, up_mask)
     return out, out_err
+
+
+_regrid_device = partial(jax.jit, static_argnames=("fine_shape", "ky", "kx",
+                                                   "passthrough",
+                                                   "row_sharding"))(_regrid_device_impl)
+
+
+# ---- SPMD regrid over a device mesh ----------------------------------------
+# One granule's regrid program sharded over every mesh device: the swath
+# pixel batch is small and replicated; the FINE-GRID TARGET axis (the big
+# one — plan idx/w rows and everything computed from them) is sharded over
+# all mesh axes.  Under jit-with-shardings XLA's SPMD partitioner inserts
+# the halo exchanges the box filter needs at shard boundaries and the
+# gather collectives of the fine->CTM upscale — no hand-written
+# collectives, the same program text as the single-device path (TPU-first:
+# this is how a v5p-8 regrids one huge TEMPO 0.05-deg granule; through a
+# single chip it is exactly _regrid_device).  Opt in with `regrid_mesh`
+# (run/job.py does when `mesh_devices` > 1).
+
+_regrid_mesh_local = __import__("threading").local()
+_sharded_regrid_cache = LockedLRU(4)
+
+
+class regrid_mesh:
+    """Context manager: regrid device programs inside run SPMD over
+    ``mesh`` (None or a 1-device mesh = single-device, the default)."""
+
+    def __init__(self, mesh):
+        self.mesh = mesh
+
+    def __enter__(self):
+        self._prev = getattr(_regrid_mesh_local, "mesh", None)
+        _regrid_mesh_local.mesh = self.mesh
+        return self
+
+    def __exit__(self, *exc):
+        _regrid_mesh_local.mesh = self._prev
+        return False
+
+
+def set_regrid_mesh(mesh) -> None:
+    """Process-wide variant of :class:`regrid_mesh` (the job runner's
+    entry-point wiring; granule readers then regrid SPMD with no
+    per-call-site plumbing)."""
+    _regrid_mesh_local.mesh = mesh
+
+
+def _regrid_mesh_default():
+    m = getattr(_regrid_mesh_local, "mesh", None)
+    return m if (m is not None and m.size > 1) else None
+
+
+def _sharded_regrid_fn(mesh):
+    """The regrid program constrained to shard its fine grid by rows over
+    every axis of ``mesh`` (cached per mesh).  The constraint rides the
+    shared ``_regrid_device`` jit wrapper as a static argument, so the
+    single-device and SPMD paths are one program text; GSPMD handles
+    non-divisible row counts (uneven final shard) internally, which is why
+    this is a mid-program constraint and not an ``in_shardings`` (argument
+    shardings reject non-divisible global shapes)."""
+    hit = _sharded_regrid_cache.get(mesh)
+    if hit is not None:
+        return hit
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    row = NamedSharding(mesh, P(None, tuple(mesh.axis_names), None))
+    fn = partial(_regrid_device, row_sharding=row)
+    _sharded_regrid_cache.put(mesh, fn)
+    return fn
 
 
 @partial(jax.jit, static_argnames=("layout", "affine", "hw"))
@@ -503,7 +580,9 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
         fit = np.ones((batch_lv.shape[0],), bool)
         lv16, lv_wide = batch_lv, batch_lv[:0]
         lv_dtype = dtype
-    out, out_err = _regrid_device(
+    mesh = _regrid_mesh_default()
+    regrid_fn = _regrid_device if mesh is None else _sharded_regrid_fn(mesh)
+    out, out_err = regrid_fn(
         jnp.asarray(batch.astype(dtype)), jnp.asarray(lv16.astype(lv_dtype)),
         jnp.asarray(lv_wide.astype(dtype)),
         jnp.asarray(err_batch.astype(dtype)),

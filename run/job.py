@@ -70,6 +70,14 @@ def run_month(ctrl, year: int, month: int):
     # when the fused month will run, regrid outputs stay ON DEVICE (no
     # device->host->device round trip; the month step stacks them in place)
     os.environ["OISAT_DEVICE_GRANULES"] = "1" if fused_eligible(ctrl) else "0"
+    # resolve the mesh ONCE, before read_data: an invalid mesh_devices must
+    # fail loudly up front, and with >1 device the granule regrid programs
+    # themselves run SPMD over the mesh (regridder._sharded_regrid_fn —
+    # fine-grid rows sharded, XLA inserts the box-filter halo exchange)
+    mesh = mesh_from_ctrl(ctrl)
+    from oisat_tpu.regridder import set_regrid_mesh
+
+    set_regrid_mesh(mesh)
     ctm_name = ctrl["ctm_name"]
     read_ak = "False" if ctm_name == "FREE" else ctrl["read_AK"]
     gas = ctrl["gas"]
@@ -89,7 +97,8 @@ def run_month(ctrl, year: int, month: int):
                               f"{year}{month:02}", tempo_hour=hour, **common)
                 # each TEMPO hour is just another fusable month of granules
                 _analyze(obj, ctrl, sensor, gas, start, end,
-                         savedaily=("./diag_mat/", f"{year}{month:02}_{hour}UTC"))
+                         savedaily=("./diag_mat/", f"{year}{month:02}_{hour}UTC"),
+                         mesh=mesh)
                 tag = f"{gas}_{year}{month:02}_{hour}UTC"
                 obj.reporting(tag, gas, ctrl["output_pdf_dir"])
                 obj.write_to_nc(tag, ctrl["output_nc_dir"])
@@ -101,13 +110,13 @@ def run_month(ctrl, year: int, month: int):
     obj.read_data(ctm_name, Path(ctrl["ctm_dir"]), gas, ctrl["ctm_freq"],
                   sensor + "_" + gas, Path(ctrl["sat_dir"]), f"{year}{month:02}", **common)
     _analyze(obj, ctrl, sensor, gas, start, end,
-             savedaily=(ctrl["output_nc_dir"], f"{year}_{month:02}"))
+             savedaily=(ctrl["output_nc_dir"], f"{year}_{month:02}"), mesh=mesh)
     tag = f"{gas}_{year}{month:02}"
     obj.reporting(tag, gas, ctrl["output_pdf_dir"])
     obj.write_to_nc(tag, ctrl["output_nc_dir"])
 
 
-def _analyze(obj, ctrl, sensor, gas, start, end, savedaily):
+def _analyze(obj, ctrl, sensor, gas, start, end, savedaily, mesh=None):
     """Fused-or-staged analysis for one batch of granules (a month, or one
     TEMPO UTC hour).  The fused path runs the observation operator +
     averaging + bias + OI as ONE device program (oisat_tpu/parallel) under
@@ -122,10 +131,10 @@ def _analyze(obj, ctrl, sensor, gas, start, end, savedaily):
         raise ValueError(f"oi_method must be 'scalar' or 'full', got {oi_method!r}")
     length_scale_km = float(ctrl.get("length_scale_km", 300.0))
     if fused_eligible(ctrl):
-        # resolve the mesh OUTSIDE the fused-month fallback: an invalid
-        # mesh_devices (more chips than the host has, a typo) must fail
-        # loudly, not silently degrade the job to one chip
-        mesh = mesh_from_ctrl(ctrl)
+        # the mesh arrives resolved from run_month (an invalid mesh_devices
+        # failed loudly before read_data); direct callers may omit it
+        if mesh is None:
+            mesh = mesh_from_ctrl(ctrl)
         try:
             obj.analyze_month_fused(
                 sensor, gas, start, end, error_ctm=ctrl["ctm_error"],
