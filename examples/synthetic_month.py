@@ -13,6 +13,11 @@ Two paths (the same ones the `fused_month` control key switches between):
   python examples/synthetic_month.py --fused    # ONE device program for the month
   python examples/synthetic_month.py --oi-method full   # full-covariance OI tail
 
+Multi-device (SPMD regrid + sharded month step; works on a virtual CPU mesh):
+
+  XLA_FLAGS=--xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu \
+      python examples/synthetic_month.py --fused --mesh 8
+
 Runs on whatever JAX backend is visible (CPU works fine; first TPU run pays
 one compile).  Outputs land in ./demo_out/.  For real data, write a
 ``control.yml`` and use ``run/job.py`` — see docs/MIGRATION.md.
@@ -82,12 +87,23 @@ def main():
                     help="per-cell OI (reference semantics) or the "
                          "full-covariance blocked-Cholesky solve")
     ap.add_argument("--granules", type=int, default=6)
+    ap.add_argument("--mesh", type=int, default=1,
+                    help="shard the device programs over N devices "
+                         "(the `mesh_devices` control key)")
     ap.add_argument("--out", default="demo_out")
     args = ap.parse_args()
     out = Path(args.out)
     out.mkdir(exist_ok=True)
 
     ctm, clon, clat = make_ctm()
+
+    mesh = None
+    if args.mesh > 1:
+        from oisat_tpu.parallel.mesh import make_mesh
+        from oisat_tpu.regridder import set_regrid_mesh
+
+        mesh = make_mesh(args.mesh)
+        set_regrid_mesh(mesh)  # regrid programs run SPMD over the mesh
 
     # 1. regrid each granule onto the CTM grid (what read_data does per file).
     #    In fused mode the regrid outputs STAY ON DEVICE (device-granule mode).
@@ -105,7 +121,7 @@ def main():
         # observation operator + averaging + bias + OI as ONE program
         print("running the fused month program ...")
         obj.analyze_month_fused("OMI", "NO2", start, end, error_ctm=50.0,
-                                oi_method=args.oi_method)
+                                oi_method=args.oi_method, mesh=mesh)
     else:
         print("running the staged pipeline ...")
         obj.recal_amf()                       # AMF recalculation (obs operator)
