@@ -419,36 +419,42 @@ _regrid_device = partial(jax.jit, static_argnames=("fine_shape", "ky", "kx",
 # single chip it is exactly _regrid_device).  Opt in with `regrid_mesh`
 # (run/job.py does when `mesh_devices` > 1).
 
-_regrid_mesh_local = __import__("threading").local()
+# PROCESS-WIDE, deliberately NOT a threading.local: fleet_map's multi-core
+# branch runs readers (and therefore regrids) in ThreadPoolExecutor worker
+# threads, which would never see a mesh set thread-locally by the job
+# runner's main thread — the SPMD regrid would silently degrade to
+# single-device exactly on the hosts that have the cores to fan out.
+_REGRID_MESH = {"mesh": None}
 _sharded_regrid_cache = LockedLRU(4)
 
 
 class regrid_mesh:
     """Context manager: regrid device programs inside run SPMD over
-    ``mesh`` (None or a 1-device mesh = single-device, the default)."""
+    ``mesh`` (None or a 1-device mesh = single-device, the default).
+    Process-wide scope — see the note on ``_REGRID_MESH``."""
 
     def __init__(self, mesh):
         self.mesh = mesh
 
     def __enter__(self):
-        self._prev = getattr(_regrid_mesh_local, "mesh", None)
-        _regrid_mesh_local.mesh = self.mesh
+        self._prev = _REGRID_MESH["mesh"]
+        _REGRID_MESH["mesh"] = self.mesh
         return self
 
     def __exit__(self, *exc):
-        _regrid_mesh_local.mesh = self._prev
+        _REGRID_MESH["mesh"] = self._prev
         return False
 
 
 def set_regrid_mesh(mesh) -> None:
-    """Process-wide variant of :class:`regrid_mesh` (the job runner's
-    entry-point wiring; granule readers then regrid SPMD with no
-    per-call-site plumbing)."""
-    _regrid_mesh_local.mesh = mesh
+    """Entry-point wiring for :class:`regrid_mesh` (run/job.py sets it once
+    per month; granule readers then regrid SPMD with no per-call-site
+    plumbing — including fleet_map's pool worker threads)."""
+    _REGRID_MESH["mesh"] = mesh
 
 
 def _regrid_mesh_default():
-    m = getattr(_regrid_mesh_local, "mesh", None)
+    m = _REGRID_MESH["mesh"]
     return m if (m is not None and m.size > 1) else None
 
 

@@ -413,3 +413,22 @@ def test_sharded_regrid_program_is_partitioned():
     ops = set(re.findall(r"(all-gather|collective-permute)", txt))
     assert "collective-permute" in ops or "all-gather" in ops, ops
     assert "8,81" in txt.replace(" ", "")  # ceil(61/8)-row shards exist
+
+
+def test_regrid_mesh_visible_in_fleet_pool_threads(monkeypatch):
+    """set_regrid_mesh must be process-wide: fleet_map's multi-core branch
+    regrids in ThreadPoolExecutor workers, and a thread-local mesh set by
+    the job runner's main thread would silently disable the SPMD regrid
+    exactly on the hosts with cores to fan out."""
+    import os
+
+    import oisat_tpu.readers.sensors.common as C
+    from oisat_tpu.regridder import _regrid_mesh_default, regrid_mesh
+
+    mesh = make_mesh(8)
+    monkeypatch.setattr(os, "cpu_count", lambda: 8)  # force the pool branch
+    with regrid_mesh(mesh):
+        seen = C.fleet_map(lambda f: _regrid_mesh_default(), [0, 1, 2], 3,
+                           "mesh-vis")
+    assert all(m is mesh for m in seen)
+    assert _regrid_mesh_default() is None  # context restored
