@@ -432,3 +432,32 @@ def test_regrid_mesh_visible_in_fleet_pool_threads(monkeypatch):
                            "mesh-vis")
     assert all(m is mesh for m in seen)
     assert _regrid_mesh_default() is None  # context restored
+
+
+def test_sharded_regrid_ssmis_matches_single_device():
+    """The SSMIS regrid variant (own one-program finisher) through the
+    SPMD regrid path must match single-device too."""
+    from oisat_tpu.datamodel import satellite_ssmis
+    from oisat_tpu.regridder import regrid_mesh, regrid_ssmis_granule
+
+    lat = np.arange(-89.5, 90, 2.0)
+    lon = np.arange(-179.5, 180, 2.0)
+    lon2, lat2 = np.meshgrid(lon, lat)
+    vcd = 20 + 5 * np.sin(lon2 / 20.0) * np.cos(lat2 / 15.0)
+
+    def g():
+        return satellite_ssmis(vcd=vcd.copy(),
+                               uncertainty=np.full(lat2.shape, 1.0),
+                               time=None, latitude_center=lat2,
+                               longitude_center=lon2,
+                               ctm_upscaled_needed=False, ctm_vcd=[],
+                               sensor="SSMIS")
+
+    clon2, clat2 = np.meshgrid(np.arange(-20.0, 10.0, 2.0),
+                               np.arange(20.0, 60.0, 2.0))
+    base = regrid_ssmis_granule(2.0, g(), clon2, clat2)
+    with regrid_mesh(make_mesh(8)):
+        spmd = regrid_ssmis_granule(2.0, g(), clon2, clat2)
+    for n in ("vcd", "uncertainty"):
+        a, b = np.asarray(getattr(base, n)), np.asarray(getattr(spmd, n))
+        np.testing.assert_allclose(b, a, rtol=1e-6, equal_nan=True, err_msg=n)
