@@ -89,6 +89,22 @@ def _emit(metric, value, unit, vs_baseline, detail):
           flush=True)
 
 
+def tunnel_mbps(mb: int = 16) -> float:
+    """Measured device-link roundtrip bandwidth (MB/s), stamped into every
+    transfer-bound row's detail: the axon tunnel's throughput swings from
+    ~0.2 to ~30 MB/s between (and within) sessions, so a transfer-bound
+    measurement without the link health next to it cannot be told apart
+    from a code regression (CLAUDE.md round-4: probe first, bench in a
+    >10 MB/s window, distrust single rows)."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.ones((mb * 1024 * 1024 // 4,), np.float32)
+    t0 = time.perf_counter()
+    np.asarray(jnp.asarray(x))  # H2D + D2H; the D2H forces completion
+    return round(2 * mb / (time.perf_counter() - t0), 1)
+
+
 def _marginal(step_fn, touch, n_steps=300, repeats=3):
     """Marginal-cost device timing (see CLAUDE.md: block_until_ready does
     not block through the axon tunnel): time (N steps + one transfer)
@@ -287,7 +303,8 @@ def bench_regrid(fast: bool, orbits=8):
     assert out is not None
     _emit(f"regrid_orbit_{'fast' if fast else 'parity'}", round(t * 1e3, 1),
           "ms/orbit", None,
-          {"fields": 74, "swath": [1644, 60], "grid_deg": 0.25, "orbits": orbits})
+          {"fields": 74, "swath": [1644, 60], "grid_deg": 0.25, "orbits": orbits,
+           "tunnel_mbps": tunnel_mbps()})
     return t
 
 
@@ -313,7 +330,8 @@ def bench_regrid_pipelined(orbits=8):
     assert all(o is not None for o in outs)
     _emit("regrid_orbit_fast_pipelined", round(t * 1e3, 1), "ms/orbit", None,
           {"fields": 74, "swath": [1644, 60], "grid_deg": 0.25,
-           "orbits": orbits, "pipeline": "fleet_map 2-deep"})
+           "orbits": orbits, "pipeline": "fleet_map 2-deep",
+           "tunnel_mbps": tunnel_mbps()})
     return t
 
 
@@ -420,6 +438,7 @@ def bench_month(orbits=60, fused=False, oi_method="scalar"):
           {"orbits": orbits, "cold_s": round(cold, 1),
            "regrid_s": round(t_re, 1),
            ("analysis_s" if fused else "amf_s"): round(t_amf, 1),
+           "tunnel_mbps": tunnel_mbps(),
            "oi_method": oi_method,
            "reference_budget_s": 43200})
 
@@ -566,6 +585,7 @@ def bench_year(orbits=60):
            "first_month_all_kinds_s": first,
            "steady_month_all_kinds_s": steady,
            "compile_amortization_x": round(first / max(steady, 1e-9), 2),
+           "tunnel_mbps": tunnel_mbps(),
            "reference_budget_s": 48 * 43200,
            "compile_census": census.report()})
 
