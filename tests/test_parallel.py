@@ -461,3 +461,27 @@ def test_sharded_regrid_ssmis_matches_single_device():
     for n in ("vcd", "uncertainty"):
         a, b = np.asarray(getattr(base, n)), np.asarray(getattr(spmd, n))
         np.testing.assert_allclose(b, a, rtol=1e-6, equal_nan=True, err_msg=n)
+
+
+def test_sharded_regrid_passthrough_matches_single_device():
+    """SPMD regrid with the upscaler in pass-through mode (granule grid
+    coarser than the CTM: ctm_upscaled_needed): the program returns the
+    row-sharded fine grid directly, a different exit than the
+    boxfilter+upscale path the other tests cover."""
+    from oisat_tpu.regridder import regrid_granule, regrid_mesh
+    from tests.test_pipeline import ctm_grid, synthetic_granule
+
+    clon, clat = ctm_grid()
+    base = regrid_granule(1, 2.0, synthetic_granule(5, 9), clon, clat,
+                          flag_thresh=0.5)
+    with regrid_mesh(make_mesh(8)):
+        spmd = regrid_granule(1, 2.0, synthetic_granule(5, 9), clon, clat,
+                              flag_thresh=0.5)
+    assert base is not None and base.ctm_upscaled_needed
+    assert spmd.ctm_upscaled_needed
+    for n in ("vcd", "amf", "uncertainty", "pressure_mid",
+              "scattering_weights"):
+        a = np.asarray(getattr(base, n))
+        b = np.asarray(getattr(spmd, n))
+        assert a.shape == b.shape, n
+        np.testing.assert_allclose(b, a, rtol=1e-6, equal_nan=True, err_msg=n)
