@@ -483,19 +483,12 @@ class oisatgmi:
             self.increment_OI = np.asarray(out.oi.increment, np.float64)
             self.error_OI = np.asarray(out.oi.error, np.float64)
             print("The regularization factor is " + str(float(out.oi.reg_factor)))
-            from oisat_tpu.ops.diagnostics import innovation_stats
-
-            if sensor == "GOSAT":
-                # GOSAT assimilates the xcol pair (model VCD is NaN)
-                xa_d, y_d = self.aux2, self.aux1
-            else:
-                xa_d, y_d = self.ctm_averaged_vcd, self.sat_averaged_vcd
-            sa = (np.asarray(xa_d) * error_ctm / 100.0) ** 2
-            st = innovation_stats(jnp.asarray(xa_d), jnp.asarray(y_d),
-                                  jnp.asarray(self.ctm_averaged_vcd_corrected),
-                                  jnp.asarray(sa),
-                                  jnp.asarray(self.sat_averaged_error**2))
-            self.oi_diagnostics = {k: float(v) for k, v in st._asdict().items()}
+            # innovation/chi2 diagnostics computed IN the fused program
+            # (analysis_step folds them over the same xa/y pair the OI
+            # assimilated — GOSAT's xcol swap and the y<0 clamp included);
+            # one batched pull instead of a separate compiled program
+            self.oi_diagnostics = {k: float(v)
+                                   for k, v in out.innovation._asdict().items()}
             return out
 
     def _daily_latlon(self):

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from oisat_tpu.ops.averaging import monthly_stats, monthly_stats_weighted
+from oisat_tpu.ops.diagnostics import InnovationStats, innovation_stats
 from oisat_tpu.ops.oi import OIResult, oi
 from oisat_tpu.utils.lru import LockedLRU
 
@@ -57,6 +58,11 @@ class AnalysisOutputs(NamedTuple):
     aux2: jax.Array
     oi: OIResult
     scaling_factor: jax.Array
+    # in-program innovation/chi2 diagnostics (f32; computed on the SAME
+    # clipped y the OI assimilated) — folding them here removes the last
+    # separate per-month program + dispatch of the fused path; NaN
+    # placeholders (n=0) when run_oi=False
+    innovation: "InnovationStats"
 
 
 class DailyGranules(NamedTuple):
@@ -178,7 +184,8 @@ def analysis_step(inputs: AnalysisInputs, bias_offset: float = 0.0,
     ``run_oi=False`` skips the in-program OI stage (the 99-factor curve
     scan dominates the analysis compute): callers that re-run the OI tail
     host-side (``oi_method: full``, Desroziers re-estimation) would
-    discard it anyway; the ``oi`` slot carries NaN placeholders."""
+    discard it anyway; the ``oi`` and ``innovation`` slots carry NaN
+    placeholders."""
     if weights is None:
         stats = monthly_stats(inputs.vcd, inputs.uncertainty, inputs.ctm_vcd,
                               inputs.aux1, inputs.aux2)
@@ -201,6 +208,11 @@ def analysis_step(inputs: AnalysisInputs, bias_offset: float = 0.0,
                  curve_fn=curve_fn)
         sf = res.xb / xa
         sf = jnp.where(jnp.isnan(sf) | jnp.isinf(sf) | (sf == 0.0), 1.0, sf)
+        # diagnostics on the y the OI actually assimilated (the same
+        # y<0 -> 0 clamp ops/oi.py applies; the staged driver path
+        # clips identically — driver._oi_impl's y_clip)
+        y_assim = jnp.where(y < 0, jnp.zeros_like(y), y)
+        innov = innovation_stats(xa, y_assim, res.xb, sa, so)
     else:
         from oisat_tpu.ops.oi import regularization_grid
 
@@ -211,9 +223,12 @@ def analysis_step(inputs: AnalysisInputs, bias_offset: float = 0.0,
                        curve=jnp.full(regularization_grid().shape, jnp.nan,
                                       xa.dtype))
         sf = jnp.ones_like(xa)
+        z = jnp.asarray(jnp.nan, xa.dtype)
+        innov = InnovationStats(n=jnp.asarray(0, jnp.int32), omb_mean=z,
+                                omb_rms=z, oma_mean=z, oma_rms=z, chi2=z)
     return AnalysisOutputs(sat_vcd=sat_vcd, sat_error=stats.sat_error,
                            ctm_vcd=ctm_vcd, aux1=stats.aux1, aux2=stats.aux2,
-                           oi=res, scaling_factor=sf)
+                           oi=res, scaling_factor=sf, innovation=innov)
 
 
 def make_analysis_step(mesh: Mesh, curve_impl: str = "auto",
@@ -251,6 +266,7 @@ def make_analysis_step(mesh: Mesh, curve_impl: str = "auto",
                 curve=NamedSharding(mesh, P()),
             ),
             scaling_factor=NamedSharding(mesh, field_spec),
+            innovation=InnovationStats(*([NamedSharding(mesh, P())] * 6)),
         )
         return jax.jit(partial(analysis_step, **resolved),
                        in_shardings=(in_sh,), out_shardings=out_sh), in_sh

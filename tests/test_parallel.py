@@ -485,3 +485,29 @@ def test_sharded_regrid_passthrough_matches_single_device():
         b = np.asarray(getattr(spmd, n))
         assert a.shape == b.shape, n
         np.testing.assert_allclose(b, a, rtol=1e-6, equal_nan=True, err_msg=n)
+
+
+def test_analysis_step_innovation_fold():
+    """The in-program innovation/chi2 diagnostics must equal the
+    standalone innovation_stats computed on the step's own outputs with
+    the y<0 clamp the OI applies (the staged driver path's convention)."""
+    from oisat_tpu.ops.diagnostics import innovation_stats
+
+    inputs = synth_inputs()
+    out = analysis_step(inputs, bias_offset=0.1, bias_slope=0.9)
+    xa = np.asarray(out.ctm_vcd, np.float64)
+    y = np.asarray(out.sat_vcd, np.float64)
+    y = np.where(y < 0, 0.0, y)
+    st = innovation_stats(xa, y, np.asarray(out.oi.xb, np.float64),
+                          (xa * 0.5) ** 2,
+                          np.asarray(out.sat_error, np.float64) ** 2)
+    assert int(out.innovation.n) == int(st.n) > 0
+    for f in ("omb_mean", "omb_rms", "oma_mean", "oma_rms", "chi2"):
+        np.testing.assert_allclose(float(getattr(out.innovation, f)),
+                                   float(getattr(st, f)), rtol=1e-4,
+                                   err_msg=f)
+    # run_oi=False: placeholders, not stale numbers
+    skip = analysis_step(inputs, bias_offset=0.1, bias_slope=0.9,
+                         run_oi=False)
+    assert int(skip.innovation.n) == 0
+    assert np.isnan(float(skip.innovation.chi2))
