@@ -324,10 +324,15 @@ class oisatgmi:
         self.ak_OI = np.asarray(res.averaging_kernel)
         self.increment_OI = np.asarray(res.increment)
         self.error_OI = np.asarray(res.error)
-        # observation-space consistency diagnostics (extension)
+        # observation-space consistency diagnostics (extension), on the
+        # y<0 -> 0 clamped observation the OI assimilated — the same
+        # convention as the Desroziers moments above, the oi_method="full"
+        # branch, and the fused program's in-step fold
         from oisat_tpu.ops.diagnostics import innovation_stats
 
-        st = innovation_stats(jnp.asarray(xa), jnp.asarray(y),
+        y_stats = np.where(np.asarray(y, np.float64) < 0, 0.0,
+                           np.asarray(y, np.float64))
+        st = innovation_stats(jnp.asarray(xa), jnp.asarray(y_stats),
                               jnp.asarray(self.ctm_averaged_vcd_corrected),
                               jnp.asarray(sa), jnp.asarray(so))
         self.oi_diagnostics = {k: float(v) for k, v in st._asdict().items()}
