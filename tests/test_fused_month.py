@@ -747,3 +747,39 @@ def test_fused_device_month_has_no_eager_assembly_programs(monkeypatch):
     names = [n for _, n in census.names]
     assert not (set(names) & eager), f"eager assembly programs: {names}"
     assert np.isfinite(np.asarray(obj.ctm_averaged_vcd_corrected)).any()
+
+
+def test_fused_and_staged_diagnostics_agree_with_negative_obs(monkeypatch):
+    """chi2/OmB/OmA must agree between the staged and fused paths when the
+    averaged observation goes NEGATIVE somewhere: both now compute the
+    moments on the y<0 -> 0 clamped observation the OI assimilated (the
+    staged scalar path used the raw y until round 4 session 2)."""
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    clon, clat = ctm_grid()
+    ctm = synthetic_ctm()
+    granules = []
+    for s in range(4):
+        g = synthetic_granule(s, 4 + s)
+        g.vcd = g.vcd - 2.5  # plenty of negative columns
+        granules.append(regrid_granule(1, 0.25, g, clon, clat,
+                                       flag_thresh=0.5))
+    staged = oisatgmi()
+    staged.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=granules)
+    fused = oisatgmi()
+    fused.reader_obj = SimpleNamespace(ctm_data=[ctm],
+                                       sat_data=copy.deepcopy(granules))
+
+    staged.recal_amf()
+    staged.average("2019-07-01", "2019-08-01")
+    staged.bias_correct("OMI", "NO2")
+    staged.oi("OMI", error_ctm=50.0)
+    fused.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01",
+                              error_ctm=50.0)
+
+    # the clamp must actually have bitten for the test to mean anything
+    assert np.nanmin(staged.sat_averaged_vcd) < 0
+    assert staged.oi_diagnostics["n"] == fused.oi_diagnostics["n"] > 0
+    for k in ("omb_mean", "omb_rms", "oma_mean", "oma_rms", "chi2"):
+        np.testing.assert_allclose(fused.oi_diagnostics[k],
+                                   staged.oi_diagnostics[k],
+                                   rtol=5e-4, err_msg=k)
