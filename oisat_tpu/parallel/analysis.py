@@ -137,12 +137,16 @@ def _cached_step_jit(step_fn, mesh, curve_impl, rows_per_tile, kwargs,
 def _resolve_curve_kwargs(mesh: Mesh, curve_impl: str, rows_per_tile: int,
                           kwargs: dict) -> dict:
     """Shared engine-selection policy for every sharded-step maker:
-    "auto" -> shard_map'd Pallas on the TPU backend, XLA lax.scan
-    elsewhere; explicit values force one engine."""
+    "auto" -> the shard_map'd Pallas kernel only on a REAL (>1 device)
+    TPU mesh; XLA lax.scan otherwise — since the r/(r+u) hoist the XLA
+    scan measures faster single-chip (1.35 vs 1.51 ms @ 4.1M cells, see
+    ops/oi.py), exactly like ``oi(curve_impl="auto")``.  Explicit values
+    force one engine."""
     import jax as _jax
 
     if curve_impl == "auto":
-        curve_impl = ("pallas_sharded" if _jax.default_backend() == "tpu"
+        curve_impl = ("pallas_sharded"
+                      if _jax.default_backend() == "tpu" and mesh.size > 1
                       else "xla")
     if curve_impl == "pallas_sharded":
         kwargs = dict(kwargs,

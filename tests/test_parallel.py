@@ -511,3 +511,21 @@ def test_analysis_step_innovation_fold():
                          run_oi=False)
     assert int(skip.innovation.n) == 0
     assert np.isnan(float(skip.innovation.chi2))
+
+
+def test_auto_curve_engine_prefers_xla_single_chip(monkeypatch):
+    """curve_impl="auto" must match oi()'s measured policy: the hoisted
+    XLA scan single-chip, the shard_map'd Pallas kernel only on a real
+    (>1 device) TPU mesh."""
+    import jax
+
+    from oisat_tpu.parallel.analysis import _resolve_curve_kwargs
+
+    monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+    one = make_mesh(1)
+    assert "curve_fn" not in _resolve_curve_kwargs(one, "auto", 512, {})
+    eight = make_mesh(8)
+    assert "curve_fn" in _resolve_curve_kwargs(eight, "auto", 512, {})
+    # non-TPU backends always take the XLA scan
+    monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
+    assert "curve_fn" not in _resolve_curve_kwargs(eight, "auto", 512, {})
