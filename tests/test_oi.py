@@ -100,3 +100,51 @@ def test_inf_observation_variance_matches_reference_and_pallas():
     res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa), jnp.asarray(so))
     assert float(np.asarray(res.xb)[1]) == 5.0
     assert float(np.asarray(res.averaging_kernel)[1]) == 0.0
+
+
+def test_curve_engines_agree_on_edge_value_cross_product():
+    """The hoisted r/(r+So/Sa) curve (ops/oi.curve_inputs) and the Pallas
+    kernel must reproduce the reference's literal f64 per-factor
+    formulation on the full cross-product of edge values (0, normal, inf,
+    NaN) for (Sa, So) — the validity hoist claims each case is
+    factor-independent; this pins every one of them."""
+    import warnings
+
+    from oisat_tpu.ops.kernels.oi_scan import ak_curve_pallas
+    from oisat_tpu.ops.oi import ak_curve, regularization_grid
+
+    vals = np.array([0.0, 1.5, np.inf, np.nan])
+    sa2, so2 = np.meshgrid(vals, vals)
+    sa = sa2.ravel()
+    so = so2.ravel()
+    regs = regularization_grid()
+
+    # the reference's literal per-factor f64 loop
+    # (reference optimal_interpolation.py:26-33)
+    ref = np.empty(regs.size)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        for i, r in enumerate(regs):
+            k = sa * r / (sa * r + so)
+            sb = (1.0 - k) * sa * r
+            ak = 1.0 - sb / (sa * r)
+            ref[i] = np.nanmean(np.where(np.isfinite(ak), ak, np.nan))
+
+    got_xla = np.asarray(ak_curve(jnp.asarray(sa, jnp.float32),
+                                  jnp.asarray(so, jnp.float32),
+                                  jnp.asarray(regs, jnp.float32)))
+    got_pl = np.asarray(ak_curve_pallas(sa.astype(np.float32),
+                                        so.astype(np.float32),
+                                        regs.astype(np.float32),
+                                        interpret=True))
+    np.testing.assert_allclose(got_xla, ref, rtol=2e-6, atol=1e-7)
+    np.testing.assert_allclose(got_pl, ref, rtol=2e-6, atol=1e-7)
+
+    # all-invalid grid -> NaN curve (count 0), both engines
+    nan_sa = np.full(8, np.nan, np.float32)
+    assert np.isnan(np.asarray(ak_curve(jnp.asarray(nan_sa),
+                                        jnp.asarray(nan_sa),
+                                        jnp.asarray(regs, jnp.float32)))).all()
+    assert np.isnan(np.asarray(ak_curve_pallas(nan_sa, nan_sa,
+                                               regs.astype(np.float32),
+                                               interpret=True))).all()
