@@ -118,10 +118,15 @@ def main():
 
     start, end = "2019-07-01", "2019-08-01"
     if args.fused:
-        # observation operator + averaging + bias + OI as ONE program
+        # observation operator + averaging + bias + OI as ONE program.
+        # save_daily= is how the fused path writes the daily .mat files:
+        # raw device granules have no recalculated vcd/ctm_vcd yet, so the
+        # fused program pulls the post-operator daily fields in one batched
+        # D2H transfer (exactly what run/job.py does).
         print("running the fused month program ...")
         obj.analyze_month_fused("OMI", "NO2", start, end, error_ctm=50.0,
-                                oi_method=args.oi_method, mesh=mesh)
+                                oi_method=args.oi_method, mesh=mesh,
+                                save_daily=(str(out / "daily"), "201907"))
     else:
         print("running the staged pipeline ...")
         obj.recal_amf()                       # AMF recalculation (obs operator)
@@ -130,7 +135,8 @@ def main():
         obj.oi("OMI", error_ctm=50.0, method=args.oi_method)
 
     # 2. outputs: the same diag netCDF / daily .mat / PDF files job.py writes
-    obj.savedaily(str(out / "daily"), "NO2", "201907")
+    if not args.fused:
+        obj.savedaily(str(out / "daily"), "NO2", "201907")
     obj.write_to_nc("demo_201907", str(out))
     obj.reporting("NO2_201907_demo", "NO2", str(out))
 

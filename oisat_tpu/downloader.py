@@ -149,6 +149,7 @@ def _fetch(url, output_fld: Path, session=None, timeout=600):
                                           **_IDENTITY},
                             stream=True, timeout=timeout)
             if r.status_code == 416:  # already complete
+                r.close()  # streamed response: free the pooled connection
                 return dest
             r.raise_for_status()
             mode = "ab" if r.status_code == 206 else "wb"  # 200: Range ignored

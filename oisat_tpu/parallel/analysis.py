@@ -236,7 +236,7 @@ def analysis_step(inputs: AnalysisInputs, bias_offset: float = 0.0,
 
 
 def make_analysis_step(mesh: Mesh, curve_impl: str = "auto",
-                       curve_rows_per_tile: int = 512, **kwargs):
+                       curve_rows_per_tile: int = 2048, **kwargs):
     """Jit ``analysis_step`` over a mesh.
 
     Inputs are sharded (obs, grid, None): granules over 'obs', grid rows
@@ -434,7 +434,7 @@ class _ShardedMonth(NamedTuple):
 
 
 def make_full_month_step(mesh: Mesh, curve_impl: str = "auto",
-                         curve_rows_per_tile: int = 512, **kwargs):
+                         curve_rows_per_tile: int = 2048, **kwargs):
     """Jit ``full_month_step`` over a mesh: granules sharded on 'obs', grid
     rows on 'grid', levels replicated.  ``curve_impl`` as in
     :func:`make_analysis_step`."""
@@ -566,7 +566,7 @@ def full_month_eta_step(inputs: FullMonthEtaInputs, bias_offset: float = 0.0,
 
 
 def make_full_month_eta_step(mesh: Mesh, curve_impl: str = "auto",
-                             curve_rows_per_tile: int = 512, **kwargs):
+                             curve_rows_per_tile: int = 2048, **kwargs):
     return _make_month_step(full_month_eta_step, FullMonthEtaInputs, mesh,
                             curve_impl, curve_rows_per_tile, kwargs)
 
@@ -618,7 +618,7 @@ def mopitt_month_step(inputs: MopittMonthInputs, bias_offset: float = 0.0,
 
 
 def make_mopitt_month_step(mesh: Mesh, curve_impl: str = "auto",
-                           curve_rows_per_tile: int = 512, **kwargs):
+                           curve_rows_per_tile: int = 2048, **kwargs):
     return _make_month_step(mopitt_month_step, MopittMonthInputs, mesh,
                             curve_impl, curve_rows_per_tile, kwargs)
 
@@ -669,7 +669,7 @@ def gosat_month_step(inputs: GosatMonthInputs, bias_offset: float = 0.0,
 
 
 def make_gosat_month_step(mesh: Mesh, curve_impl: str = "auto",
-                          curve_rows_per_tile: int = 512, **kwargs):
+                          curve_rows_per_tile: int = 2048, **kwargs):
     return _make_month_step(gosat_month_step, GosatMonthInputs, mesh,
                             curve_impl, curve_rows_per_tile, kwargs)
 
@@ -709,6 +709,6 @@ def ssmis_month_step(inputs: SsmisMonthInputs, bias_offset: float = 0.0,
 
 
 def make_ssmis_month_step(mesh: Mesh, curve_impl: str = "auto",
-                          curve_rows_per_tile: int = 512, **kwargs):
+                          curve_rows_per_tile: int = 2048, **kwargs):
     return _make_month_step(ssmis_month_step, SsmisMonthInputs, mesh,
                             curve_impl, curve_rows_per_tile, kwargs)
