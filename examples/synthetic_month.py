@@ -93,7 +93,7 @@ def main():
     ap.add_argument("--out", default="demo_out")
     args = ap.parse_args()
     out = Path(args.out)
-    out.mkdir(exist_ok=True)
+    out.mkdir(parents=True, exist_ok=True)
 
     ctm, clon, clat = make_ctm()
 

@@ -105,58 +105,67 @@ def _fetch(url, output_fld: Path, session=None, timeout=600):
     r = None
     dest = None
     mode = "wb"
-    if guess is not None and guess.exists() and guess.stat().st_size > 0:
-        # Range-first probe (the wget --continue shape): when the URL-named
-        # file already exists, a 416 proves it complete without a
-        # throwaway full GET — the only complete-file signal a server
-        # without Content-Length ever gives
-        r = session.get(url, headers={"Range": f"bytes={guess.stat().st_size}-",
-                                      **_IDENTITY},
-                        stream=True, timeout=timeout)
-        if r.status_code == 416:  # already complete
-            r.close()
-            return guess
-        r.raise_for_status()
-        name = _disposition_filename(r.headers.get("Content-Disposition"))
-        if name is None or name == url_name:
-            dest = guess
-            if r.status_code == 206:
-                mode = "ab"
-            else:  # 200: Range ignored
-                if _is_complete(guess, r):
-                    r.close()
-                    return guess  # already complete, server just can't 416
-                mode = "wb"
-        else:
-            # server names the file differently (Content-Disposition): the
-            # ranged offset was computed against the wrong file — restart
-            # with the normal full-GET flow below
-            r.close()
-            r = None
-    if r is None:
-        r = session.get(url, stream=True, timeout=timeout, headers=_IDENTITY)
-        r.raise_for_status()
-        fname = (_disposition_filename(r.headers.get("Content-Disposition"))
-                 or url_name)
-        dest = output_fld / fname
-        if dest.exists():
-            if _is_complete(dest, r):
-                r.close()
-                return dest  # already complete
-            # partial file: retry with a Range header (wget --continue)
-            r.close()
-            r = session.get(url, headers={"Range": f"bytes={dest.stat().st_size}-",
-                                          **_IDENTITY},
+    # Every exit (return, raise_for_status, mid-stream exception) must free
+    # the streamed response, or the shared session's pooled connection stays
+    # checked out until GC — a campaign retry loop pins sockets.  The
+    # finally closes whichever response is live; replacement sites close the
+    # old one before reassigning.
+    try:
+        if guess is not None and guess.exists() and guess.stat().st_size > 0:
+            # Range-first probe (the wget --continue shape): when the
+            # URL-named file already exists, a 416 proves it complete
+            # without a throwaway full GET — the only complete-file signal
+            # a server without Content-Length ever gives
+            r = session.get(url,
+                            headers={"Range": f"bytes={guess.stat().st_size}-",
+                                     **_IDENTITY},
                             stream=True, timeout=timeout)
             if r.status_code == 416:  # already complete
-                r.close()  # streamed response: free the pooled connection
-                return dest
+                return guess
             r.raise_for_status()
-            mode = "ab" if r.status_code == 206 else "wb"  # 200: Range ignored
-    with open(dest, mode) as f:
-        for chunk in r.iter_content(1 << 20):
-            f.write(chunk)
-    return dest
+            name = _disposition_filename(r.headers.get("Content-Disposition"))
+            if name is None or name == url_name:
+                dest = guess
+                if r.status_code == 206:
+                    mode = "ab"
+                else:  # 200: Range ignored
+                    if _is_complete(guess, r):
+                        return guess  # already complete, server can't 416
+                    mode = "wb"
+            else:
+                # server names the file differently (Content-Disposition):
+                # the ranged offset was computed against the wrong file —
+                # restart with the normal full-GET flow below
+                r.close()
+                r = None
+        if r is None:
+            r = session.get(url, stream=True, timeout=timeout,
+                            headers=_IDENTITY)
+            r.raise_for_status()
+            fname = (_disposition_filename(r.headers.get("Content-Disposition"))
+                     or url_name)
+            dest = output_fld / fname
+            if dest.exists():
+                if _is_complete(dest, r):
+                    return dest  # already complete
+                # partial file: retry with a Range header (wget --continue)
+                r.close()
+                r = session.get(url,
+                                headers={"Range": f"bytes={dest.stat().st_size}-",
+                                         **_IDENTITY},
+                                stream=True, timeout=timeout)
+                if r.status_code == 416:  # already complete
+                    return dest
+                r.raise_for_status()
+                # 200 below means the server ignored Range
+                mode = "ab" if r.status_code == 206 else "wb"
+        with open(dest, mode) as f:
+            for chunk in r.iter_content(1 << 20):
+                f.write(chunk)
+        return dest
+    finally:
+        if r is not None:
+            r.close()
 
 
 class downloader:

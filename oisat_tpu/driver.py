@@ -57,6 +57,19 @@ def _stack_fields(lists):
     return tuple(jnp.stack(t) for t in lists)
 
 
+def _settled_valid(dv):
+    """Resolve deferred ``_device_valid`` scalars to host booleans with ONE
+    batched device pull (an eager per-scalar ``bool()`` would cost a tunnel
+    dispatch each).  ``dv`` holds one entry per granule: the device scalar,
+    or None for granules that carry no flag (host-mode regrid already
+    applied the off-domain check) — those resolve to True."""
+    if not any(v is not None for v in dv):
+        return [True] * len(dv)
+    flags = iter(np.asarray(_stack_fields(
+        (tuple(v for v in dv if v is not None),))[0]))
+    return [True if v is None else bool(next(flags)) for v in dv]
+
+
 def _settle_stacks(inputs):
     """Replace the :class:`_DeferredStack` fields of an assembled month
     NamedTuple with their device stacks — one jit call for all of them."""
@@ -384,8 +397,10 @@ class oisatgmi:
           :mod:`oisat_tpu.ops.oi_full`).
 
         Return contract: the driver attributes (``self.sat_averaged_vcd``
-        … ``self.scaling_factor``, ``self.oi_diagnostics``) always carry
-        the final results.  The returned :class:`AnalysisOutputs` mirrors
+        … ``self.ctm_averaged_vcd_corrected``, ``self.oi_diagnostics``)
+        always carry the final results (the scaling factor itself is
+        derived from them inside :meth:`write_to_nc`, never stored on the
+        driver).  The returned :class:`AnalysisOutputs` mirrors
         them EXCEPT on the host-tail months above (``oi_method="full"``
         or Desroziers), where the in-program OI stage is skipped as dead
         compute: there ``out.oi`` holds NaN placeholders (``reg_index``
@@ -410,11 +425,7 @@ class oisatgmi:
             # device-granule months defer the off-domain check (regridder
             # device mode); settle ALL the validity scalars with one pull
             dv = [getattr(g, "_device_valid", None) for _, g in pairs]
-            if any(v is not None for v in dv):
-                flags = iter(np.asarray(_stack_fields(
-                    (tuple(v for v in dv if v is not None),))[0]))
-                pairs = [(i, g) for (i, g), v in zip(pairs, dv)
-                         if v is None or bool(next(flags))]
+            pairs = [p for p, ok in zip(pairs, _settled_valid(dv)) if ok]
             grans = [g for _, g in pairs]
             if not grans:
                 raise ValueError("no valid satellite granules to fuse")
@@ -732,11 +743,8 @@ class oisatgmi:
               for g in sat]
         if not any(v is not None for v in dv):
             return
-        flags = iter(np.asarray(_stack_fields(
-            (tuple(v for v in dv if v is not None),))[0]))
         self.reader_obj.sat_data = [
-            None if (v is not None and not bool(next(flags))) else g
-            for g, v in zip(sat, dv)]
+            g if ok else None for g, ok in zip(sat, _settled_valid(dv))]
 
     # -- stage-boundary checkpointing (extension; SURVEY.md §5) --------------
     def save_state(self, path):

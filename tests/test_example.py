@@ -10,7 +10,8 @@ import numpy as np
 
 def test_synthetic_month_example(tmp_path, monkeypatch):
     repo = Path(__file__).resolve().parent.parent
-    out = tmp_path / "demo"
+    # nested path: the example must create missing parents, not crash
+    out = tmp_path / "nested" / "demo"
     monkeypatch.setattr(sys, "argv",
                         ["synthetic_month.py", "--granules", "2",
                          "--out", str(out)])

@@ -783,3 +783,17 @@ def test_fused_and_staged_diagnostics_agree_with_negative_obs(monkeypatch):
         np.testing.assert_allclose(fused.oi_diagnostics[k],
                                    staged.oi_diagnostics[k],
                                    rtol=5e-4, err_msg=k)
+
+
+def test_settled_valid_alignment():
+    """_settled_valid keeps the flag<->granule alignment with Nones
+    interleaved (flagless granules resolve True, device flags in order)."""
+    import jax.numpy as jnp
+
+    from oisat_tpu.driver import _settled_valid
+
+    t = jnp.asarray(True)
+    f = jnp.asarray(False)
+    assert _settled_valid([]) == []
+    assert _settled_valid([None, None]) == [True, True]
+    assert _settled_valid([None, f, t, None, f]) == [True, False, True, True, False]

@@ -325,3 +325,63 @@ def test_fetch_complete_file_not_redownloaded_on_range_ignoring_server(tmp_path)
         assert dest2.read_bytes() == sentinel  # early return, no rewrite
     finally:
         httpd.shutdown()
+
+
+def test_fetch_closes_responses_on_all_paths(tmp_path):
+    """Every streamed response must be freed even when raise_for_status or
+    the write loop raises — a leaked response pins the shared session's
+    pooled connection, which a campaign retry loop accumulates."""
+    import pytest
+
+    from oisat_tpu.downloader import _fetch
+
+    class FakeResp:
+        def __init__(self, status, body=b"", headers=None, explode=False):
+            self.status_code = status
+            self.headers = headers or {}
+            self._body = body
+            self._explode = explode
+            self.closed = False
+
+        def raise_for_status(self):
+            if self.status_code >= 400:
+                raise OSError(f"http {self.status_code}")
+
+        def iter_content(self, n):
+            if self._explode:
+                raise OSError("mid-stream reset")
+            yield self._body
+
+        def close(self):
+            self.closed = True
+
+    class FakeSession:
+        def __init__(self, resps):
+            self.resps = list(resps)
+            self.seen = []
+
+        def get(self, url, **kw):
+            r = self.resps.pop(0)
+            self.seen.append(r)
+            return r
+
+    # error on the ranged probe's status check
+    (tmp_path / "a").mkdir()
+    (tmp_path / "a" / "g.nc").write_bytes(b"partial")
+    s = FakeSession([FakeResp(403)])
+    with pytest.raises(OSError):
+        _fetch("http://x/g.nc", tmp_path / "a", session=s)
+    assert all(r.closed for r in s.seen)
+
+    # error mid-stream in the write loop
+    (tmp_path / "b").mkdir()
+    s = FakeSession([FakeResp(200, explode=True)])
+    with pytest.raises(OSError):
+        _fetch("http://x/h.nc", tmp_path / "b", session=s)
+    assert all(r.closed for r in s.seen)
+
+    # happy path also frees the connection
+    s = FakeSession([FakeResp(200, body=b"data")])
+    dest = _fetch("http://x/i.nc", tmp_path / "b", session=s)
+    assert dest.read_bytes() == b"data"
+    assert all(r.closed for r in s.seen)
