@@ -184,13 +184,16 @@ def averaging(startdate: str, enddate: str, reader_obj, weighting=None):
                 a2 = np.full_like(vcd, np.nan)
             if weighting is not None:
                 w = _granule_weights(sel, weighting, err=err)
-            # pad the granule axis to a power-of-two bucket: each distinct
-            # G would otherwise compile its own program through the remote
-            # compile service (30 s-6 min each; CLAUDE.md) — NaN granules
-            # are invisible to every masked statistic here
+            # pad the granule axis to a bucket: each distinct G would
+            # otherwise compile its own program through the remote compile
+            # service (30 s-6 min each; CLAUDE.md) — NaN granules are
+            # invisible to every masked statistic here.  min_size MUST be
+            # granule-scale, not the pixel-axis default: the 1024 default
+            # padded a 60-granule month to 1024 stacks — ~17x the H2D
+            # bytes of the staged averaging leg, all NaN
             from oisat_tpu.ops.regrid import pad_to_bucket
 
-            gp = pad_to_bucket(vcd.shape[0])
+            gp = pad_to_bucket(vcd.shape[0], min_size=16, steps_per_octave=4)
             if gp != vcd.shape[0]:
                 npad = gp - vcd.shape[0]
 

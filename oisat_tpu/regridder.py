@@ -565,7 +565,7 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
     if batch_lv is None:
         batch_lv = np.zeros((0, batch.shape[-1]))
     n = batch.shape[-1]
-    b = pad_to_bucket(n)
+    b = pad_to_bucket(n, steps_per_octave=4, align=128)
     if b != n:
         pad = [(0, 0), (0, b - n)]
         batch = np.pad(batch, pad, constant_values=np.nan)

@@ -203,3 +203,33 @@ def test_structured_builder_rejects_mismatched_lat():
     lat = np.ones((5, 4))  # transposed: documented None fallback
     tlon, tlat = np.meshgrid(np.linspace(0, 1, 3), np.linspace(0, 1, 3))
     assert build_plan_structured(lon, lat, tlon, tlat, threshold=1.0) is None
+
+
+def test_pad_to_bucket_grid():
+    """Bucket policy: pow2 default unchanged; sub-octave grid is monotonic,
+    never below the data, aligned, and tighter than pow2."""
+    from oisat_tpu.ops.regrid import pad_to_bucket
+
+    # default = the historical power-of-two grid
+    assert pad_to_bucket(1) == 1024
+    assert pad_to_bucket(1024) == 1024
+    assert pad_to_bucket(1025) == 2048
+    assert pad_to_bucket(98640) == 131072
+    # quarter-octave: worst-case ~19% padding instead of ~100%
+    b = pad_to_bucket(98640, steps_per_octave=4, align=128)
+    assert 98640 <= b < 98640 * 1.2
+    assert b % 128 == 0
+    prev = 0
+    for n in range(1, 300000, 997):
+        bb = pad_to_bucket(n, steps_per_octave=4, align=128)
+        assert bb >= n and bb >= prev  # monotonic, covers the data
+        prev = bb
+    # quantized: many lengths share few buckets (compile-count bound)
+    buckets = {pad_to_bucket(n, steps_per_octave=4, align=128)
+               for n in range(1024, 1100000)}
+    import math
+    assert len(buckets) <= 4 * math.ceil(math.log2(1100000 / 1024)) + 2
+
+    # granule-axis scale: a 60-granule month must NOT pad to 1024
+    g = pad_to_bucket(60, min_size=16, steps_per_octave=4)
+    assert 60 <= g <= 72
