@@ -584,8 +584,15 @@ class oisatgmi:
                 # for the whole month (_settle_stacks), nothing to transfer
                 return _DeferredStack(arrs)
             out = np.stack([np.asarray(a) for a in arrs])
-            # preserve f64 sources (parity/tests); everything else is f32
-            return out if out.dtype == np.float64 else out.astype(f32)
+            # f64 sources keep full precision ONLY in full-precision mode
+            # (parity / OISAT_F16_TRANSFER=0); in production narrow mode
+            # they take the f32 transfer dtype like the staged _stack16 —
+            # otherwise host f64 intermediates (matched CTM slices, the
+            # NaN pad slice's dtype promotion) dodge the f16 narrowing
+            # below and ship twice the bytes
+            if out.dtype == np.float64 and not narrow:
+                return out
+            return out.astype(f32) if out.dtype != f32 else out
 
         def stack_lv(arrs):
             # per-level stacks take the narrow transfer dtype, like the

@@ -187,6 +187,14 @@ def _stack16(arrs):
     from oisat_tpu.regridder import f16_transfer_default, fits_f16
 
     out = np.stack(arrs)
+    if f16_transfer_default() and out.dtype == np.float64:
+        # f64 HOST intermediates (matched CTM pmid/profile slices) take the
+        # production transfer dtype too: without this cast they shipped at
+        # f32 (post-canonicalization) while the f32-sourced fields went
+        # f16 — 2x the bytes for no fidelity (device compute is f32 either
+        # way).  Full-precision contract (parity / OISAT_F16_TRANSFER=0)
+        # keeps f64 untouched.
+        out = out.astype(np.float32)
     if out.dtype == np.float32 and f16_transfer_default() and fits_f16(out):
         return jnp.asarray(out.astype(np.float16))
     return jnp.asarray(out)
