@@ -45,7 +45,13 @@ def make_ctm(seed=0, nt=8, nz=12):
     rng = np.random.default_rng(seed)
     clon, clat = np.meshgrid(np.arange(-10, 11, 1.25), np.arange(30, 46, 1.0))
     H, W = clat.shape
-    pmid = np.sort(rng.uniform(60, 1000, (nt, nz, H, W)), axis=1)[:, ::-1].copy()
+    # hybrid-eta pressure grid, like the real GMI: pmid = A + B * psurf —
+    # the fused month then ships each matched CTM slice as ONE carrier
+    # level + an (Lc,) table pair instead of the full 3-D stack
+    eta_a = np.concatenate([[0.0], np.linspace(40.0, 600.0, nz - 1)])
+    eta_b = np.concatenate([[1.0], np.linspace(0.9, 0.01, nz - 1)])
+    psurf = 1000.0 + 30.0 * rng.standard_normal((nt, H, W))
+    pmid = eta_a[None, :, None, None] + eta_b[None, :, None, None] * psurf[:, None]
     dp = rng.uniform(10, 40, (nt, nz, H, W))
     # ~0.5 ppbv NO2 over 12 layers integrates to a 3-4 x1e15 molec/cm2
     # column — the same magnitude as the synthetic observations below
@@ -65,6 +71,12 @@ def make_granule(seed, day, nz=6):
     lon = np.ones((ny, 1)) * np.linspace(-9.8, 9.9, nx)[None, :]
     qa = np.ones((ny, nx))
     qa[rng.random((ny, nx)) < 0.01] = 0.0
+    # hybrid-eta pressure grid (A + B * psurf), like every real product
+    # (reference reader.py:954-957) — this is what lets the production
+    # regrid/transfer paths compress the stack to one carrier level
+    eta_a = np.linspace(5.0, 900.0, nz)[::-1].copy()
+    eta_b = np.linspace(1.0, 0.01, nz)
+    psurf = 1000.0 + 30.0 * rng.standard_normal((ny, nx))
     return satellite_amf(
         vcd=np.abs(rng.normal(3, 1, (ny, nx))),
         amf=np.abs(rng.normal(2, 0.3, (ny, nx))),
@@ -73,7 +85,7 @@ def make_granule(seed, day, nz=6):
         latitude_center=lat, longitude_center=lon,
         uncertainty=np.abs(rng.normal(1, 0.2, (ny, nx))),
         quality_flag=qa,
-        pressure_mid=np.sort(rng.uniform(100, 950, (nz, ny, nx)), axis=0)[::-1].copy(),
+        pressure_mid=eta_a[:, None, None] + eta_b[:, None, None] * psurf[None],
         scattering_weights=np.abs(rng.normal(1, 0.2, (nz, ny, nx))),
     )
 

@@ -650,6 +650,29 @@ class oisatgmi:
                                    dtype=np.asarray(pmids[0]).dtype)
                 u_pmids = [pmids[i] for i in slice_order] + [nan_pmid]
                 u_pcs = [pcs[i] for i in slice_order] + [nan_pmid]
+                # CTM-side carrier compression (independent of the
+                # sat-side tables above): GMI/ECCOH pressure stacks are
+                # hybrid-eta affine too, so ship ONE carrier level + a
+                # (U+1, Lc) table pair per unique slice instead of the
+                # full (U+1, Lc, H, W) stack — the CTM slices are the
+                # dominant analysis-leg H2D of a device-granule month.
+                # CMAQ's MCIP 3-D pressures fail the fit and keep the
+                # full stack (the (1, 1) dummy tables flag it)
+                cafs = [_affine_stack(np.asarray(pmids[i]))
+                        for i in slice_order]
+                if cafs and all(af is not None for af in cafs):
+                    nan_hw = np.full(np.asarray(pmids[0]).shape[-2:],
+                                     np.nan, np.float32)
+                    ctm_pm_in = stack_lv(
+                        [np.asarray(pmids[i])[af[2]]
+                         for i, af in zip(slice_order, cafs)]
+                        + [nan_hw])[:, None]
+                    nan_tab = np.full(np.asarray(pmids[0]).shape[0], np.nan)
+                    ctm_a = stack([af[0] for af in cafs] + [nan_tab])
+                    ctm_b = stack([af[1] for af in cafs] + [nan_tab])
+                else:
+                    ctm_pm_in = stack_lv(u_pmids)
+                    ctm_a = ctm_b = np.zeros((1, 1), np.float32)
                 return _settle_stacks(FullMonthEtaInputs(
                     sat_pmid_carrier=stack_lv(carriers),
                     sat_pmid_a=stack([t[0] for t in tabs]),
@@ -659,9 +682,10 @@ class oisatgmi:
                     amf=stack([g.amf for g in grans]),
                     uncertainty=stack([g.uncertainty for g in grans]),
                     tropopause=stack(trops),
-                    ctm_pmid=stack_lv(u_pmids),
+                    ctm_pmid=ctm_pm_in,
                     ctm_pc=stack_lv(u_pcs),
                     ctm_idx=np.asarray(idxs, np.int32),
+                    ctm_pmid_a=ctm_a, ctm_pmid_b=ctm_b,
                 )), make_full_month_eta_step
             return _settle_stacks(FullMonthInputs(
                 sat_pmid=stack_lv([g.pressure_mid for g in grans]),

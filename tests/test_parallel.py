@@ -529,3 +529,63 @@ def test_auto_curve_engine_prefers_xla_single_chip(monkeypatch):
     # non-TPU backends always take the XLA scan
     monkeypatch.setattr(jax, "default_backend", lambda: "cpu")
     assert "curve_fn" not in _resolve_curve_kwargs(eight, "auto", 512, {})
+
+
+def test_eta_step_compressed_ctm_matches_full():
+    """Carrier-compressed CTM stacks (hybrid-eta affine pmid) must yield
+    the same month analysis as the full (U+1, Lc, H, W) transfer, single
+    device AND sharded over a non-divisible mesh."""
+    from oisat_tpu.parallel.analysis import (
+        FullMonthEtaInputs,
+        full_month_eta_step,
+        make_full_month_eta_step,
+    )
+    from oisat_tpu.parallel.mesh import make_mesh
+
+    rng = np.random.default_rng(21)
+    G, Ls, Lc, H, W, U = 5, 6, 12, 17, 24, 3
+    f32 = np.float32
+    # hybrid-eta CTM stack: pmid[u] = a + b * ps[u]; level 0 IS ps
+    a = np.concatenate([[0.0], np.linspace(40, 600, Lc - 1)]).astype(f32)
+    b = np.concatenate([[1.0], np.linspace(0.9, 0.01, Lc - 1)]).astype(f32)
+    ps = (1000.0 + 30.0 * rng.standard_normal((U + 1, H, W))).astype(f32)
+    ctm_pmid = (a[None, :, None, None]
+                + b[None, :, None, None] * ps[:, None]).astype(f32)
+    ctm_pmid[-1] = np.nan
+    ps[-1] = np.nan
+    ctm_pc = np.abs(rng.normal(5, 1, (U + 1, Lc, H, W))).astype(f32)
+    ctm_pc[-1] = np.nan
+    vcd = np.abs(rng.normal(3, 1, (G, H, W))).astype(f32)
+    vcd[rng.random((G, H, W)) < 0.1] = np.nan
+    common = dict(
+        sat_pmid_carrier=np.abs(rng.normal(1000, 30, (G, H, W))).astype(f32),
+        sat_pmid_a=(np.linspace(5, 800, Ls)[::-1].astype(f32)
+                    * np.ones((G, 1), f32)),
+        sat_pmid_b=(np.linspace(1.0, 0.01, Ls).astype(f32)
+                    * np.ones((G, 1), f32)),
+        sat_sw=np.abs(rng.normal(1, 0.2, (G, Ls, H, W))).astype(f32),
+        vcd=vcd,
+        amf=np.abs(rng.normal(2, 0.3, (G, H, W))).astype(f32),
+        uncertainty=np.abs(rng.normal(1, 0.2, (G, H, W))).astype(f32),
+        tropopause=rng.uniform(100, 200, (G, H, W)).astype(f32),
+        ctm_idx=(np.arange(G) % U).astype(np.int32),
+    )
+    full = FullMonthEtaInputs(ctm_pmid=ctm_pmid, ctm_pc=ctm_pc, **common)
+    comp = FullMonthEtaInputs(
+        ctm_pmid=ps[:, None], ctm_pc=ctm_pc,
+        ctm_pmid_a=np.tile(a, (U + 1, 1)), ctm_pmid_b=np.tile(b, (U + 1, 1)),
+        **common)
+    ref = full_month_eta_step(full)
+    got = full_month_eta_step(comp)
+    np.testing.assert_allclose(np.asarray(got.oi.xb), np.asarray(ref.oi.xb),
+                               rtol=1e-5, atol=1e-7, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(got.ctm_vcd),
+                               np.asarray(ref.ctm_vcd),
+                               rtol=1e-5, atol=1e-7, equal_nan=True)
+    # sharded: non-divisible G and H; padded granules gather the NaN slice
+    mesh = make_mesh(8)
+    fn, shard = make_full_month_eta_step(mesh)
+    got_sh = fn(shard(comp))
+    np.testing.assert_allclose(np.asarray(got_sh.oi.xb),
+                               np.asarray(ref.oi.xb),
+                               rtol=1e-5, atol=1e-7, equal_nan=True)
