@@ -319,38 +319,51 @@ def _affine_stack(stack, rtol: float = 1e-5):
     transfer-bound link that removes ~45% of the per-granule traffic.
 
     Returns (a, b, carrier_index) as float64 arrays, or None when the
-    stack is not affine (then every level travels, as before)."""
-    s = np.asarray(stack, np.float64)
+    stack is not affine (then every level travels, as before).
+
+    Runs per granule on the host, so it is written allocation-lean and
+    fully vectorized in the INPUT dtype (the per-level f64 loop it
+    replaces cost ~0.18 s/orbit — half the host-side regrid time)."""
+    s = np.asarray(stack)
+    if s.dtype not in (np.float32, np.float64):
+        s = s.astype(np.float64)
     L = s.shape[0]
     if L < 3:
         return None  # nothing worth compressing
     flat = s.reshape(L, -1)
-    nan0 = np.isnan(flat[0])
-    for l in range(1, L):
-        if not np.array_equal(np.isnan(flat[l]), nan0):
-            return None
-    finite = ~nan0
-    if finite.sum() < 2:
+    nan = np.isnan(flat)
+    nan0 = nan[0]
+    if nan.any() and not np.array_equiv(nan, nan0[None]):
         return None
-    ff = flat[:, finite]
-    # carrier: first level with spread (a constant stack uses level 0, b=0)
-    spreads = ff.max(axis=1) - ff.min(axis=1)
-    carriers = np.flatnonzero(spreads > 0)
-    ci = int(carriers[0]) if carriers.size else 0
-    p0 = ff[ci]
-    i = int(np.argmin(p0))
-    j = int(np.argmax(p0))
-    dp = p0[j] - p0[i]
-    a = np.empty(L)
-    b = np.empty(L)
-    scale = np.maximum(np.abs(ff).max(axis=1), 1e-300)
-    for l in range(L):
-        bl = (ff[l, j] - ff[l, i]) / dp if dp > 0 else 0.0
-        al = ff[l, i] - bl * p0[i]
-        if np.max(np.abs(ff[l] - (al + bl * p0))) > rtol * scale[l]:
+    n_finite = flat.shape[1] - int(nan0.sum())
+    if n_finite < 2:
+        return None
+    with np.errstate(invalid="ignore"):
+        lo = np.nanmin(flat, axis=1)
+        hi = np.nanmax(flat, axis=1)
+        # carrier: first level with spread (a constant stack: level 0, b=0)
+        carriers = np.flatnonzero(hi > lo)
+        ci = int(carriers[0]) if carriers.size else 0
+        p0 = flat[ci]
+        i = int(np.nanargmin(p0))
+        j = int(np.nanargmax(p0))
+        dp = float(p0[j]) - float(p0[i])
+        if dp > 0:
+            b = (flat[:, j].astype(np.float64) - flat[:, i]) / dp
+        else:
+            b = np.zeros(L)
+        a = flat[:, i].astype(np.float64) - b * p0[i]
+        # one vectorized residual check over the whole stack, in the input
+        # dtype (a few-ulp prediction rounding is far inside rtol; an f64
+        # upcast would double the temporary).  NaNs at the shared mask
+        # positions drop out of the nanmax.
+        ad = a.astype(flat.dtype, copy=False)
+        bd = b.astype(flat.dtype, copy=False)
+        resid = flat - (ad[:, None] + bd[:, None] * p0[None, :])
+        np.abs(resid, out=resid)
+        scale = np.maximum(np.maximum(np.abs(lo), np.abs(hi)), 1e-300)
+        if np.any(np.nanmax(resid, axis=1) > rtol * scale):
             return None
-        a[l] = al
-        b[l] = bl
     return a, b, ci
 
 
