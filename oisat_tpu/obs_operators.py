@@ -220,15 +220,26 @@ def _ctm_slice_key(granule, closest):
 
 
 def _amf_recal_eta(carrier, a_tab, b_tab, sw, ctm_pmid_u, ctm_pc_u, idx,
-                   trop, vcd, amf, has_trop):
+                   trop, vcd, amf, has_trop, ctm_a=None, ctm_b=None):
     """Transfer-compressed batched AMF recal: the per-granule pressure
     stack travels as one carrier level + (G, Ls) affine tables, and the
     matched CTM slices travel once each, gathered by index on device —
-    the same decompression the fused month step uses."""
+    the same decompression the fused month step uses.
+
+    When the CTM stacks are hybrid-eta affine too (GMI/ECCOH),
+    ``ctm_pmid_u`` is the (U, 1, H, W) carrier and ``ctm_a``/``ctm_b``
+    carry the (U, Lc) tables (None -> full (U, Lc, H, W) layout; the
+    pytree-structure difference keeps the two layouts as separate
+    programs, mirroring the fused step's shape branch)."""
     from oisat_tpu.parallel.analysis import decompress_pmid
 
     sat_pmid = decompress_pmid(carrier, a_tab, b_tab)
-    ctm_pmid = jnp.take(ctm_pmid_u, idx, axis=0)
+    if ctm_a is not None:
+        ctm_pmid = decompress_pmid(jnp.take(ctm_pmid_u[:, 0], idx, axis=0),
+                                   jnp.take(ctm_a, idx, axis=0),
+                                   jnp.take(ctm_b, idx, axis=0))
+    else:
+        ctm_pmid = jnp.take(ctm_pmid_u, idx, axis=0)
     ctm_pc = jnp.take(ctm_pc_u, idx, axis=0)
     return jax.vmap(amf_recal_fields,
                     in_axes=(0, 0, 0, 0, 0, 0, 0, None))(
@@ -283,19 +294,32 @@ def amf_recal(ctm_data: list, sat_data: list):
             keys = [_ctm_slice_key(sat_data[it[0]], it[1]) for it in items]
             order, idxs = dedup_first_seen(keys)
             u_items = [items[i] for i in order]
+            # carrier-compress the unique CTM slices too when affine
+            # (GMI/ECCOH; CMAQ 3-D pressures keep the full layout)
+            u_pm = [np.asarray(it[2]) for it in u_items]
+            cafs = [_affine_stack(pm) for pm in u_pm]
+            if all(c is not None for c in cafs):
+                ctm_pm_arg = _stack16([pm[c[2]][None]
+                                       for pm, c in zip(u_pm, cafs)])
+                ctm_a = stack([c[0] for c in cafs])
+                ctm_b = stack([c[1] for c in cafs])
+            else:
+                ctm_pm_arg = _stack16(u_pm)
+                ctm_a = ctm_b = None
             new_amf, vcd_corr, model_vcd = _amf_recal_batched_eta(
                 _stack16([np.asarray(sat_data[i].pressure_mid)[af[2]]
                           for i, af in zip(gis, afs)]),
                 stack([af[0] for af in afs]),
                 stack([af[1] for af in afs]),
                 _stack16([np.asarray(sat_data[i].scattering_weights) for i in gis]),
-                _stack16([it[2] for it in u_items]),
+                ctm_pm_arg,
                 _stack16([it[3] for it in u_items]),
                 jnp.asarray(np.asarray(idxs, np.int32)),
                 stack([it[4] for it in items]),
                 stack([np.asarray(sat_data[i].vcd) for i in gis]),
                 stack([np.asarray(sat_data[i].amf) for i in gis]),
                 has_trop,
+                ctm_a, ctm_b,
             )
         else:
             new_amf, vcd_corr, model_vcd = _amf_recal_batched(

@@ -175,3 +175,55 @@ def test_ak_conv_gosat_batched_orchestration(monkeypatch):
             np.asarray(g.x_col, np.float64))
         np.testing.assert_allclose(g.ctm_xcol, ref, rtol=5e-5, atol=1e-7)
         assert np.isnan(g.ctm_vcd).all()
+
+
+def test_amf_recal_compressed_ctm_matches_pixelwise_golden(monkeypatch):
+    """With hybrid-eta CTM pressure stacks the staged batch ships the CTM
+    slices as carrier + tables; the decompressed result must still match
+    the f64 pixelwise reference."""
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    import datetime
+
+    from oisat_tpu.datamodel import ctm_model
+
+    clon, clat = ctm_grid()
+    H, W = clat.shape
+    nt, nz = 8, 12
+    rng = np.random.default_rng(12)
+    eta_a = np.concatenate([[0.0], np.linspace(40.0, 600.0, nz - 1)])
+    eta_b = np.concatenate([[1.0], np.linspace(0.9, 0.01, nz - 1)])
+    ps = 1000.0 + 30.0 * rng.standard_normal((nt, H, W))
+    pmid4 = (eta_a[None, :, None, None]
+             + eta_b[None, :, None, None] * ps[:, None]).astype("float32")
+    ctm = ctm_model(clat, clon,
+                    [datetime.datetime(2019, 7, 5, 3 * h) for h in range(nt)],
+                    np.abs(rng.normal(15, 4, (nt, nz, H, W))).astype("float32"),
+                    pmid4, [],
+                    rng.uniform(10, 40, (nt, nz, H, W)).astype("float32"),
+                    "GMI", False)
+    # eta-shaped granule so the sat side compresses too
+    nzs = 6
+    g0 = synthetic_granule(1, 5, nz=nzs)
+    sa = np.linspace(5.0, 900.0, nzs)[::-1].copy()
+    sb = np.linspace(1.0, 0.01, nzs)
+    pss = np.abs(np.random.default_rng(7).normal(1000, 30, g0.vcd.shape))
+    g0.pressure_mid = sa[:, None, None] + sb[:, None, None] * pss[None]
+    g = regrid_granule(1, 0.25, g0, clon, clat, flag_thresh=0.5)
+
+    out = amf_recal([ctm], [g])[0]
+
+    hour = int(np.argmin([abs((g.time - t).total_seconds()) for t in ctm.time]))
+    pmid = np.squeeze(ctm.pressure_mid[hour]).astype(np.float64)
+    prof = np.squeeze(ctm.gas_profile[hour]).astype(np.float64)
+    dp = np.squeeze(ctm.delta_p[hour]).astype(np.float64)
+    pc = np.asarray(partial_column(jnp.asarray(dp), jnp.asarray(prof)))
+    ref = amf_recal_pixelwise(np.asarray(g.pressure_mid, np.float64),
+                              np.asarray(g.scattering_weights, np.float64),
+                              pmid, pc,
+                              np.asarray(g.tropopause, np.float64),
+                              np.asarray(g.vcd, np.float64),
+                              np.asarray(g.amf, np.float64))
+    np.testing.assert_allclose(np.asarray(out.new_amf), ref[0],
+                               rtol=2e-5, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out.ctm_vcd), ref[2],
+                               rtol=2e-5, atol=1e-7)
