@@ -719,6 +719,8 @@ class oisatgmi:
             )), make_ssmis_month_step
 
         # opt sensors: MOPITT (vcd OI) vs GOSAT (xcol-pair OI)
+        from oisat_tpu.regridder import _affine_stack, _affine_tables, parity_mode
+
         pmids, profs, airpcs = [], [], []
         airpc_scale = 1.0 / GRAV / MAIR * N_A * 1e-4 * 1e-15 * 100.0
         for g in grans:
@@ -731,13 +733,29 @@ class oisatgmi:
                 # grid, like the staged operators (obs_operators)
                 pmid, prof, airpc = _maybe_upscale(ctm_data, g,
                                                    [pmid, prof, airpc])
-            pmids.append(pmid)
+            pmids.append(np.asarray(pmid))
             profs.append(prof)
             airpcs.append(airpc)
+        # carrier-compress the CTM pressure stacks (and, for MOPITT, the
+        # air-column stacks against the SAME carrier — both are affine in
+        # surface pressure for GMI/ECCOH).  One layout per month: any
+        # granule failing the fit keeps the whole month full.
+        afs = ([_affine_stack(pm) for pm in pmids]
+               if not parity_mode() else [None])
+        comp = afs if all(af is not None for af in afs) else None
+        if comp is not None:
+            ctm_pm_in = stack_lv([pm[af[2]][None]
+                                  for pm, af in zip(pmids, comp)])
+            pm_a = stack([af[0] for af in comp])
+            pm_b = stack([af[1] for af in comp])
+        else:
+            ctm_pm_in = stack_lv(pmids)
+            pm_a = pm_b = np.zeros((1, 1), np.float32)
         if sensor == "GOSAT":
             return _settle_stacks(GosatMonthInputs(
-                ctm_pmid=stack_lv(pmids),
+                ctm_pmid=ctm_pm_in,
                 ctm_profile=stack_lv(profs),
+                ctm_pmid_a=pm_a, ctm_pmid_b=pm_b,
                 sat_pmid=stack_lv([g.pressure_mid for g in grans]),
                 aks=stack_lv([g.averaging_kernels for g in grans]),
                 apriori_profile=stack_lv([g.apriori_profile for g in grans]),
@@ -746,12 +764,34 @@ class oisatgmi:
                 x_col=stack([g.x_col for g in grans]),
                 uncertainty=stack([g.uncertainty for g in grans]),
             )), make_gosat_month_step
+        airpc_tabs = None
+        if comp is not None:
+            airpc_tabs = [_affine_tables(np.asarray(ap), pm[af[2]])
+                          for ap, pm, af in zip(airpcs, pmids, comp)]
+            if any(t is None for t in airpc_tabs):
+                airpc_tabs = None
+        if airpc_tabs is not None:
+            hc, wc = pmids[0].shape[-2:]
+            # the stack reconstructs on device from the pressure carrier;
+            # ship only the empty placeholder + (G, Lc) tables (f32 —
+            # air columns are ~1e9 per layer, and stack() never narrows
+            # below f32)
+            airpc_in = np.zeros((len(grans), 0, hc, wc), np.float32)
+            ai_a = stack([t[0] for t in airpc_tabs])
+            ai_b = stack([t[1] for t in airpc_tabs])
+        else:
+            # (a carrier pmid with a full airpc is fine — the step's two
+            # shape branches are independent.)  NEVER f16: air partial
+            # columns are ~1e9 per layer, beyond f16 range (stack_lv's
+            # fits_f16 guard would also catch this)
+            airpc_in = stack(airpcs)
+            ai_a = ai_b = np.zeros((1, 1), np.float32)
         return _settle_stacks(MopittMonthInputs(
-            ctm_pmid=stack_lv(pmids),
+            ctm_pmid=ctm_pm_in,
             ctm_profile=stack_lv(profs),
-            # NEVER f16: air partial columns are ~1e9 per layer, beyond f16
-            # range (stack_lv's fits_f16 guard would also catch this)
-            ctm_airpc=stack(airpcs),
+            ctm_airpc=airpc_in,
+            ctm_pmid_a=pm_a, ctm_pmid_b=pm_b,
+            ctm_airpc_a=ai_a, ctm_airpc_b=ai_b,
             sat_pmid=stack_lv([g.pressure_mid for g in grans]),
             aks=stack_lv([g.averaging_kernels for g in grans]),
             apriori_profile=stack_lv([g.apriori_profile for g in grans]),

@@ -594,11 +594,18 @@ def make_full_month_eta_step(mesh: Mesh, curve_impl: str = "auto",
 
 class MopittMonthInputs(NamedTuple):
     """A month of gridded MOPITT granules + matched daily CTM slices
-    (reference ak_conv_mopitt.py:8-149 at month scale)."""
+    (reference ak_conv_mopitt.py:8-149 at month scale).
 
-    ctm_pmid: jax.Array  # (G, Lc, H, W)
+    Transfer-compressed layout (GMI/ECCOH): ``ctm_pmid`` carries only the
+    (G, 1, H, W) carrier level and ``ctm_airpc`` is EMPTY (G, 0, H, W);
+    the (G, Lc) table fields reconstruct both on device — the pressure
+    stack AND the air-column stack are affine in surface pressure, and
+    together they were 2/3 of the month's H2D bytes.  (1, 1) dummy tables
+    mean both fields are full."""
+
+    ctm_pmid: jax.Array  # (G, Lc, H, W) | (G, 1, H, W) carrier
     ctm_profile: jax.Array  # (G, Lc, H, W)
-    ctm_airpc: jax.Array  # (G, Lc, H, W)
+    ctm_airpc: jax.Array  # (G, Lc, H, W) | (G, 0, H, W) when compressed
     sat_pmid: jax.Array  # (G, Ls, H, W)
     aks: jax.Array  # (G, Ls+1, H, W)  surface row first
     apriori_profile: jax.Array  # (G, Ls, H, W)
@@ -607,9 +614,56 @@ class MopittMonthInputs(NamedTuple):
     vcd: jax.Array  # (G, H, W)
     x_col: jax.Array  # (G, H, W)
     uncertainty: jax.Array  # (G, H, W)
+    ctm_pmid_a: jax.Array = np.zeros((1, 1), np.float32)  # (G, Lc)
+    ctm_pmid_b: jax.Array = np.zeros((1, 1), np.float32)
+    ctm_airpc_a: jax.Array = np.zeros((1, 1), np.float32)
+    ctm_airpc_b: jax.Array = np.zeros((1, 1), np.float32)
 
 
-MopittMonthInputs._field_ranks = (4, 4, 4, 4, 4, 4, 3, 3, 3, 3, 3)
+MopittMonthInputs._field_specs = (
+    ("obs", None, "grid", None), ("obs", None, "grid", None),
+    ("obs", None, "grid", None), ("obs", None, "grid", None),
+    ("obs", None, "grid", None), ("obs", None, "grid", None),
+    ("obs", "grid", None), ("obs", "grid", None), ("obs", "grid", None),
+    ("obs", "grid", None), ("obs", "grid", None),
+    # tables replicated: (1, 1) dummies can't shard over 'obs', and the
+    # real (G, Lc) tables are tiny
+    (None, None), (None, None), (None, None), (None, None),
+)
+
+
+def _pad_opt(fields_cls):
+    """NaN-pad like :func:`_pad_to_mesh`, table-aware: rank>=3 fields pad
+    (G, H); real (G, Lc) tables pad G only; (1, 1) dummy tables pass
+    through (they are replicated, never sharded)."""
+    def pad_fn(inputs, n_obs, n_grid):
+        g, h = np.shape(inputs[0])[0], np.shape(inputs[0])[-2]
+        gp = -(-g // n_obs) * n_obs
+        hp = -(-h // n_grid) * n_grid
+        if (gp, hp) == (g, h):
+            return inputs, h
+        out = []
+        for x in inputs:
+            nd = np.ndim(x)
+            pad = [(0, 0)] * nd
+            if nd >= 3:
+                pad[0] = (0, gp - g)
+                pad[-2] = (0, hp - h)
+            elif np.shape(x)[0] == g:
+                pad[0] = (0, gp - g)
+            out.append(_pad_array(x, pad, np.nan)
+                       if any(p != (0, 0) for p in pad) else x)
+        return fields_cls(*out), h
+    return pad_fn
+
+
+def _opt_ctm_pmid(inputs):
+    """Resolve the (possibly carrier-compressed) CTM pressure stack of an
+    opt-sensor month (trace-time shape branch, like the Eta step)."""
+    if inputs.ctm_pmid_a.shape[-1] > 1:
+        return decompress_pmid(inputs.ctm_pmid[:, 0],
+                               inputs.ctm_pmid_a, inputs.ctm_pmid_b)
+    return inputs.ctm_pmid
 
 
 def mopitt_month_step(inputs: MopittMonthInputs, bias_offset: float = 0.0,
@@ -621,8 +675,17 @@ def mopitt_month_step(inputs: MopittMonthInputs, bias_offset: float = 0.0,
     driver.py:45-51 conv_ak + :108-111 oi)."""
     from oisat_tpu.ops.vertical import ak_conv_mopitt_fields
 
+    ctm_pmid = _opt_ctm_pmid(inputs)
+    if inputs.ctm_airpc_a.shape[-1] > 1:
+        # air columns reconstructed from the SAME pressure carrier (both
+        # stacks are affine in surface pressure); the shipped ctm_airpc is
+        # the empty (G, 0, H, W) placeholder
+        ctm_airpc = decompress_pmid(inputs.ctm_pmid[:, 0],
+                                    inputs.ctm_airpc_a, inputs.ctm_airpc_b)
+    else:
+        ctm_airpc = inputs.ctm_airpc
     model_vcd, model_xcol = jax.vmap(ak_conv_mopitt_fields)(
-        inputs.ctm_pmid, inputs.ctm_profile, inputs.ctm_airpc,
+        ctm_pmid, inputs.ctm_profile, ctm_airpc,
         inputs.sat_pmid, inputs.aks, inputs.aprior_col,
         inputs.apriori_profile, inputs.apriori_surface, inputs.vcd)
     ai = AnalysisInputs(vcd=inputs.vcd, uncertainty=inputs.uncertainty,
@@ -646,9 +709,13 @@ def make_mopitt_month_step(mesh: Mesh, curve_impl: str = "auto",
 
 class GosatMonthInputs(NamedTuple):
     """A month of gridded GOSAT granules + matched daily CTM slices.  The
-    OI runs on the XCH4 pair (reference driver.py:112-114)."""
+    OI runs on the XCH4 pair (reference driver.py:112-114).
 
-    ctm_pmid: jax.Array  # (G, Lc, H, W)
+    Same transfer-compressed CTM layout as :class:`MopittMonthInputs`:
+    ``ctm_pmid`` may be the (G, 1, H, W) carrier with real (G, Lc) tables
+    ((1, 1) dummies = full)."""
+
+    ctm_pmid: jax.Array  # (G, Lc, H, W) | (G, 1, H, W) carrier
     ctm_profile: jax.Array  # (G, Lc, H, W)
     sat_pmid: jax.Array  # (G, Ls, H, W)
     aks: jax.Array  # (G, Ls, H, W)
@@ -657,9 +724,17 @@ class GosatMonthInputs(NamedTuple):
     vcd: jax.Array  # (G, H, W)
     x_col: jax.Array  # (G, H, W)
     uncertainty: jax.Array  # (G, H, W)
+    ctm_pmid_a: jax.Array = np.zeros((1, 1), np.float32)  # (G, Lc)
+    ctm_pmid_b: jax.Array = np.zeros((1, 1), np.float32)
 
 
-GosatMonthInputs._field_ranks = (4, 4, 4, 4, 4, 4, 3, 3, 3)
+GosatMonthInputs._field_specs = (
+    ("obs", None, "grid", None), ("obs", None, "grid", None),
+    ("obs", None, "grid", None), ("obs", None, "grid", None),
+    ("obs", None, "grid", None), ("obs", None, "grid", None),
+    ("obs", "grid", None), ("obs", "grid", None), ("obs", "grid", None),
+    (None, None), (None, None),
+)
 
 
 def gosat_month_step(inputs: GosatMonthInputs, bias_offset: float = 0.0,
@@ -671,8 +746,9 @@ def gosat_month_step(inputs: GosatMonthInputs, bias_offset: float = 0.0,
     from oisat_tpu.ops.vertical import ak_conv_gosat_fields
 
     model_xcol = jax.vmap(ak_conv_gosat_fields)(
-        inputs.ctm_pmid, inputs.ctm_profile, inputs.sat_pmid, inputs.aks,
-        inputs.apriori_profile, inputs.pressure_weight, inputs.x_col)
+        _opt_ctm_pmid(inputs), inputs.ctm_profile, inputs.sat_pmid,
+        inputs.aks, inputs.apriori_profile, inputs.pressure_weight,
+        inputs.x_col)
     nanlike = jnp.full_like(inputs.vcd, jnp.nan)
     ai = AnalysisInputs(vcd=inputs.vcd, uncertainty=inputs.uncertainty,
                         ctm_vcd=nanlike, aux1=inputs.x_col, aux2=model_xcol)
@@ -693,6 +769,10 @@ def make_gosat_month_step(mesh: Mesh, curve_impl: str = "auto",
                           curve_rows_per_tile: int = 2048, **kwargs):
     return _make_month_step(gosat_month_step, GosatMonthInputs, mesh,
                             curve_impl, curve_rows_per_tile, kwargs)
+
+
+MopittMonthInputs._pad_fn = staticmethod(_pad_opt(MopittMonthInputs))
+GosatMonthInputs._pad_fn = staticmethod(_pad_opt(GosatMonthInputs))
 
 
 class SsmisMonthInputs(NamedTuple):

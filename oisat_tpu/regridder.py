@@ -344,7 +344,34 @@ def _affine_stack(stack, rtol: float = 1e-5):
         # carrier: first level with spread (a constant stack: level 0, b=0)
         carriers = np.flatnonzero(hi > lo)
         ci = int(carriers[0]) if carriers.size else 0
-        p0 = flat[ci]
+        tab = _affine_tables(flat, flat[ci], rtol, lo=lo, hi=hi)
+    if tab is None:
+        return None
+    return tab[0], tab[1], ci
+
+
+def _affine_tables(stack, carrier, rtol: float = 1e-5, lo=None, hi=None):
+    """Fit every level of ``stack`` as ``a[l] + b[l] * carrier`` against a
+    GIVEN carrier field (the core of :func:`_affine_stack`, exposed so a
+    second stack sharing the same driver field — e.g. a GMI air-column
+    stack against the pressure carrier, both affine in surface pressure —
+    can ride one carrier transfer).  Returns (a, b) float64 or None.
+    ``stack`` may be (L, ...) of any trailing shape; NaN patterns must
+    match the carrier's."""
+    flat = np.asarray(stack)
+    flat = flat.reshape(flat.shape[0], -1)
+    p0 = np.asarray(carrier).ravel()
+    cnan = np.isnan(p0)
+    nan = np.isnan(flat)
+    if (nan.any() or cnan.any()) and not np.array_equiv(nan, cnan[None]):
+        return None
+    if flat.shape[1] - int(cnan.sum()) < 2:
+        return None
+    L = flat.shape[0]
+    with np.errstate(invalid="ignore"):
+        if lo is None:
+            lo = np.nanmin(flat, axis=1)
+            hi = np.nanmax(flat, axis=1)
         i = int(np.nanargmin(p0))
         j = int(np.nanargmax(p0))
         dp = float(p0[j]) - float(p0[i])
@@ -359,12 +386,12 @@ def _affine_stack(stack, rtol: float = 1e-5):
         # positions drop out of the nanmax.
         ad = a.astype(flat.dtype, copy=False)
         bd = b.astype(flat.dtype, copy=False)
-        resid = flat - (ad[:, None] + bd[:, None] * p0[None, :])
+        resid = flat - (ad[:, None] + bd[:, None] * p0[None, :].astype(flat.dtype))
         np.abs(resid, out=resid)
         scale = np.maximum(np.maximum(np.abs(lo), np.abs(hi)), 1e-300)
         if np.any(np.nanmax(resid, axis=1) > rtol * scale):
             return None
-    return a, b, ci
+    return a, b
 
 
 def _quality_mask(quality_flag, flag_thresh: float) -> np.ndarray:

@@ -589,3 +589,90 @@ def test_eta_step_compressed_ctm_matches_full():
     np.testing.assert_allclose(np.asarray(got_sh.oi.xb),
                                np.asarray(ref.oi.xb),
                                rtol=1e-5, atol=1e-7, equal_nan=True)
+
+
+def _eta_ctm_stacks(G, Lc, H, W, seed=5, scale=1.0):
+    """(full_stack, carrier, a, b): pmid[g] = a[g] + b[g]*carrier[g]."""
+    rng = np.random.default_rng(seed)
+    a = (np.concatenate([[0.0], np.linspace(40, 600, Lc - 1)]) * scale)
+    b = np.concatenate([[1.0], np.linspace(0.9, 0.01, Lc - 1)]) * scale
+    ps = (1000.0 + 30.0 * rng.standard_normal((G, H, W)))
+    full = (a[None, :, None, None]
+            + b[None, :, None, None] * ps[:, None]).astype(np.float32)
+    return (full, ps.astype(np.float32)[:, None],
+            np.tile(a, (G, 1)).astype(np.float32),
+            np.tile(b, (G, 1)).astype(np.float32))
+
+
+def test_mopitt_step_compressed_ctm_matches_full():
+    """Carrier-compressed CTM pmid AND air-column stacks must reproduce
+    the full-layout MOPITT month, single device and sharded (the empty
+    (G, 0, H, W) airpc placeholder must shard cleanly too)."""
+    import __graft_entry__ as ge
+    from oisat_tpu.parallel.analysis import (
+        make_mopitt_month_step,
+        mopitt_month_step,
+    )
+
+    G, H, W = 5, 17, 24
+    base = ge._synthetic_mopitt_month(G=G, H=H, W=W)
+    Lc = base.ctm_pmid.shape[1]
+    pm_full, carrier, a, b = _eta_ctm_stacks(G, Lc, H, W)
+    # air columns affine in the SAME carrier (dp is eta-structured too)
+    ai_a = np.tile(np.linspace(1e8, 9e8, Lc), (G, 1)).astype(np.float32)
+    ai_b = np.tile(np.linspace(2e6, 1e5, Lc), (G, 1)).astype(np.float32)
+    ai_full = (ai_a[:, :, None, None]
+               + ai_b[:, :, None, None] * carrier).astype(np.float32)
+    full = base._replace(ctm_pmid=pm_full, ctm_airpc=ai_full)
+    comp = base._replace(ctm_pmid=carrier, ctm_pmid_a=a, ctm_pmid_b=b,
+                         ctm_airpc=np.zeros((G, 0, H, W), np.float32),
+                         ctm_airpc_a=ai_a, ctm_airpc_b=ai_b)
+    ref = mopitt_month_step(full)
+    got = mopitt_month_step(comp)
+    np.testing.assert_allclose(np.asarray(got.oi.xb), np.asarray(ref.oi.xb),
+                               rtol=1e-4, atol=1e-6, equal_nan=True)
+    np.testing.assert_allclose(np.asarray(got.aux2), np.asarray(ref.aux2),
+                               rtol=1e-4, atol=1e-7, equal_nan=True)
+    mesh = make_mesh(8)  # 2x4: neither G=5 nor H=17 divides
+    fn, shard = make_mopitt_month_step(mesh)
+    got_sh = fn(shard(comp))
+    np.testing.assert_allclose(np.asarray(got_sh.oi.xb),
+                               np.asarray(got.oi.xb),
+                               rtol=1e-5, atol=1e-7, equal_nan=True)
+
+
+def test_gosat_step_compressed_ctm_matches_full():
+    from oisat_tpu.parallel.analysis import (
+        GosatMonthInputs,
+        gosat_month_step,
+        make_gosat_month_step,
+    )
+
+    rng = np.random.default_rng(3)
+    G, Ls, Lc, H, W = 5, 6, 12, 17, 24
+    f32 = np.float32
+    pm_full, carrier, a, b = _eta_ctm_stacks(G, Lc, H, W, seed=9)
+    vcd = np.abs(rng.normal(1800, 30, (G, H, W))).astype(f32)
+    vcd[rng.random((G, H, W)) < 0.1] = np.nan
+    common = dict(
+        ctm_profile=np.abs(rng.normal(1800, 50, (G, Lc, H, W))).astype(f32),
+        sat_pmid=np.sort(rng.uniform(100, 950, (G, Ls, H, W)),
+                         axis=1)[:, ::-1].astype(f32),
+        aks=rng.uniform(0.2, 1.0, (G, Ls, H, W)).astype(f32),
+        apriori_profile=np.abs(rng.normal(1750, 50, (G, Ls, H, W))).astype(f32),
+        pressure_weight=np.full((G, Ls, H, W), 1.0 / Ls, f32),
+        vcd=vcd,
+        x_col=np.abs(rng.normal(1800, 30, (G, H, W))).astype(f32),
+        uncertainty=np.abs(rng.normal(10, 2, (G, H, W))).astype(f32),
+    )
+    ref = gosat_month_step(GosatMonthInputs(ctm_pmid=pm_full, **common))
+    comp = GosatMonthInputs(ctm_pmid=carrier, ctm_pmid_a=a, ctm_pmid_b=b,
+                            **common)
+    got = gosat_month_step(comp)
+    np.testing.assert_allclose(np.asarray(got.aux2), np.asarray(ref.aux2),
+                               rtol=1e-4, atol=1e-6, equal_nan=True)
+    mesh = make_mesh(8)
+    fn, shard = make_gosat_month_step(mesh)
+    got_sh = fn(shard(comp))
+    np.testing.assert_allclose(np.asarray(got_sh.aux2), np.asarray(got.aux2),
+                               rtol=1e-5, atol=1e-6, equal_nan=True)
