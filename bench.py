@@ -357,6 +357,18 @@ def bench_matfree(n_cells=64800):
           {"cells": H * W, **info})
 
 
+def _eta_pmid(nz, hw, rng):
+    """A hybrid-eta CTM pressure stack (A + B*psurf), like every real CTM
+    backend (GMI PL, ECCOH, the OMI/OMPS eta tables) — random-sorted
+    pressures would keep the production carrier-compression paths idle in
+    the benchmark and misrepresent real-month transfer volumes.  Workload
+    changed round 4 session 3; rows since stamp `ctm: eta`."""
+    eta_a = np.concatenate([[0.0], np.linspace(40.0, 600.0, nz - 1)])
+    eta_b = np.concatenate([[1.0], np.linspace(0.9, 0.01, nz - 1)])
+    ps = 1000.0 + 30.0 * rng.standard_normal(hw)
+    return eta_a[:, None, None] + eta_b[:, None, None] * ps[None]
+
+
 def bench_month(orbits=60, fused=False, oi_method="scalar"):
     """Synthetic-month steady state (BASELINE.md row): regrid + AMF recal +
     averaging + OI for `orbits` orbits.  vs_baseline = the reference's 12 h
@@ -404,11 +416,10 @@ def bench_month(orbits=60, fused=False, oi_method="scalar"):
                 grans.append(g)
         t_regrid = time.perf_counter()
         rng = np.random.default_rng(0)
-        pm3 = np.sort(rng.uniform(60, 1000, (nz,) + hw), axis=0)[::-1]
         ctm = SimpleNamespace(
             ctmtype="FREE", averaged=True, latitude=clat2, longitude=clon2,
             time=[datetime.datetime(2019, 7, 15, h) for h in range(0, 24, 3)],
-            pressure_mid=pm3, delta_p=np.full((nz,) + hw, 40.0),
+            pressure_mid=_eta_pmid(nz, hw, rng), delta_p=np.full((nz,) + hw, 40.0),
             gas_profile=np.abs(rng.normal(2, 0.5, (nz,) + hw)),
         )
         if fused:
@@ -439,7 +450,7 @@ def bench_month(orbits=60, fused=False, oi_method="scalar"):
            "regrid_s": round(t_re, 1),
            ("analysis_s" if fused else "amf_s"): round(t_amf, 1),
            "tunnel_mbps": tunnel_mbps(),
-           "oi_method": oi_method,
+           "oi_method": oi_method, "ctm": "eta",
            "reference_budget_s": 43200})
 
 
@@ -467,7 +478,7 @@ def bench_year(orbits=60):
     hw = clat2.shape
     nz, ls = 20, 9
     rng = np.random.default_rng(0)
-    pm3 = np.sort(rng.uniform(60, 1000, (nz,) + hw), axis=0)[::-1]
+    pm3 = _eta_pmid(nz, hw, rng)
 
     def ctm(month):
         return SimpleNamespace(
@@ -586,6 +597,7 @@ def bench_year(orbits=60):
            "steady_month_all_kinds_s": steady,
            "compile_amortization_x": round(first / max(steady, 1e-9), 2),
            "tunnel_mbps": tunnel_mbps(),
+           "ctm": "eta",
            "reference_budget_s": 48 * 43200,
            "compile_census": census.report()})
 
