@@ -73,9 +73,12 @@ def make_granule(seed, day, nz=6):
     qa[rng.random((ny, nx)) < 0.01] = 0.0
     # hybrid-eta pressure grid (A + B * psurf), like every real product
     # (reference reader.py:954-957) — this is what lets the production
-    # regrid/transfer paths compress the stack to one carrier level
-    eta_a = np.linspace(5.0, 900.0, nz)[::-1].copy()
-    eta_b = np.linspace(1.0, 0.01, nz)
+    # regrid/transfer paths compress the stack to one carrier level.
+    # level 0 IS the surface (a=0, b=1), the top sits near 120 hPa —
+    # inside the CTM's pressure domain so the AMF recal interpolates
+    # in-range
+    eta_a = np.linspace(0.0, 100.0, nz)
+    eta_b = np.linspace(1.0, 0.02, nz)
     psurf = 1000.0 + 30.0 * rng.standard_normal((ny, nx))
     return satellite_amf(
         vcd=np.abs(rng.normal(3, 1, (ny, nx))),

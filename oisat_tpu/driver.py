@@ -596,10 +596,12 @@ class oisatgmi:
 
         def stack_lv(arrs):
             # per-level stacks take the narrow transfer dtype, like the
-            # staged operators (obs_operators._stack16): f32 -> f16 when
-            # enabled, f64 sources keep full precision; fields beyond f16
-            # range (OMPS column-as-pressure, MOPITT air columns) keep f32.
-            # Device leaves stack in place — narrowing would only cost.
+            # staged operators (obs_operators._stack16): f32 AND f64
+            # sources -> f16 in narrow mode (full precision is the parity
+            # switches' contract, not the source dtype's); fields beyond
+            # f16 range (OMPS column-as-pressure, MOPITT air columns)
+            # keep f32.  Device leaves stack in place — narrowing would
+            # only cost.
             out = stack(arrs)
             if (narrow and isinstance(out, np.ndarray)
                     and out.dtype == f32 and fits_f16(out)):
@@ -744,8 +746,14 @@ class oisatgmi:
                if not parity_mode() else [None])
         comp = afs if all(af is not None for af in afs) else None
         if comp is not None:
-            ctm_pm_in = stack_lv([pm[af[2]][None]
-                                  for pm, af in zip(pmids, comp)])
+            # carrier at f32, NOT the f16 stack_lv dtype: MOPITT's air
+            # columns reconstruct from this carrier with slopes ~1e6, so
+            # f16's ~0.5 hPa rounding would inject ~5e-4 relative error
+            # into a stack the staged path ships at f32 (the 'NEVER f16'
+            # air-column rule).  One level at f32 is still Lc/2x smaller
+            # than the f16 full stack it replaces.
+            ctm_pm_in = stack([pm[af[2]][None]
+                               for pm, af in zip(pmids, comp)])
             pm_a = stack([af[0] for af in comp])
             pm_b = stack([af[1] for af in comp])
         else:

@@ -174,11 +174,14 @@ def _amf_one(ctm_data, granule, time_ctm, time_hour):
 
 
 def _stack16(arrs):
-    """Stack level-stack fields for transfer: f32 sources travel as f16
-    (the reference's own storage precision for these fields — SURVEY.md §2
-    precision note); f64 sources and parity mode (OISAT_PARITY=1 /
-    OISAT_F16_TRANSFER=0) keep full precision.  The device kernels upcast
-    to f32 for compute (ops/vertical._at_least_f32).
+    """Stack level-stack fields for transfer: in narrow mode (the
+    production default) BOTH f32 and f64 sources travel as f16 — the
+    reference stores exactly these fields in float16 (SURVEY.md §2
+    precision note), and an f64 host intermediate is not a precision
+    contract, just how NumPy produced it.  Full precision end-to-end is
+    the parity switches' job (OISAT_PARITY=1 / OISAT_F16_TRANSFER=0):
+    with them set, sources keep their own dtype.  The device kernels
+    upcast to f32 for compute (ops/vertical._at_least_f32).
 
     Range guard: a field whose finite magnitude exceeds f16 range stays at
     full precision — an unguarded cast overflows to inf and poisons the

@@ -190,10 +190,15 @@ def averaging(startdate: str, enddate: str, reader_obj, weighting=None):
             # invisible to every masked statistic here.  min_size MUST be
             # granule-scale, not the pixel-axis default: the 1024 default
             # padded a 60-granule month to 1024 stacks — ~17x the H2D
-            # bytes of the staged averaging leg, all NaN
+            # bytes of the staged averaging leg, all NaN.  Half-octave
+            # steps (16, 23, 32, 46, 64, 91, 128 …), not quarter: typical
+            # 40-70-granule months then share one or two buckets per
+            # campaign, trading ≤40% padding for at most one extra remote
+            # compile — the fixed-1024 bucket's "one compile ever" came at
+            # ~12 s of pure NaN transfer per staged month
             from oisat_tpu.ops.regrid import pad_to_bucket
 
-            gp = pad_to_bucket(vcd.shape[0], min_size=16, steps_per_octave=4)
+            gp = pad_to_bucket(vcd.shape[0], min_size=16, steps_per_octave=2)
             if gp != vcd.shape[0]:
                 npad = gp - vcd.shape[0]
 

@@ -344,13 +344,15 @@ def _affine_stack(stack, rtol: float = 1e-5):
         # carrier: first level with spread (a constant stack: level 0, b=0)
         carriers = np.flatnonzero(hi > lo)
         ci = int(carriers[0]) if carriers.size else 0
-        tab = _affine_tables(flat, flat[ci], rtol, lo=lo, hi=hi)
+        tab = _affine_tables(flat, flat[ci], rtol, lo=lo, hi=hi,
+                             nan_checked=True)
     if tab is None:
         return None
     return tab[0], tab[1], ci
 
 
-def _affine_tables(stack, carrier, rtol: float = 1e-5, lo=None, hi=None):
+def _affine_tables(stack, carrier, rtol: float = 1e-5, lo=None, hi=None,
+                   nan_checked: bool = False):
     """Fit every level of ``stack`` as ``a[l] + b[l] * carrier`` against a
     GIVEN carrier field (the core of :func:`_affine_stack`, exposed so a
     second stack sharing the same driver field — e.g. a GMI air-column
@@ -361,12 +363,13 @@ def _affine_tables(stack, carrier, rtol: float = 1e-5, lo=None, hi=None):
     flat = np.asarray(stack)
     flat = flat.reshape(flat.shape[0], -1)
     p0 = np.asarray(carrier).ravel()
-    cnan = np.isnan(p0)
-    nan = np.isnan(flat)
-    if (nan.any() or cnan.any()) and not np.array_equiv(nan, cnan[None]):
-        return None
-    if flat.shape[1] - int(cnan.sum()) < 2:
-        return None
+    if not nan_checked:  # _affine_stack already validated its own stack
+        cnan = np.isnan(p0)
+        nan = np.isnan(flat)
+        if (nan.any() or cnan.any()) and not np.array_equiv(nan, cnan[None]):
+            return None
+        if flat.shape[1] - int(cnan.sum()) < 2:
+            return None
     L = flat.shape[0]
     with np.errstate(invalid="ignore"):
         if lo is None:

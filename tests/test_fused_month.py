@@ -917,3 +917,78 @@ def test_fused_mopitt_compressed_ctm_matches_staged(monkeypatch):
     assert inp.ctm_airpc.shape[1] == 0
     _compare(fused, staged, ("sat_averaged_vcd", "ctm_averaged_vcd", "aux1",
                              "aux2", "ctm_averaged_vcd_corrected", "error_OI"))
+
+
+def test_fused_mopitt_compressed_narrow_mode(monkeypatch):
+    """The mode the compression actually targets: DEFAULT narrow (f16)
+    transfers.  The air columns must keep f32-grade agreement with the
+    staged path (they reconstruct from an f32 carrier — the 'NEVER f16'
+    air-column rule), while the f16-shipped pressure stacks bound the
+    rest at ~1e-3."""
+    monkeypatch.delenv("OISAT_F16_TRANSFER", raising=False)
+    import datetime
+
+    from oisat_tpu.datamodel import ctm_model, satellite_opt
+
+    H, W, Ls, Lc = 12, 14, 9, 12
+    rng = np.random.default_rng(16)
+    a = np.concatenate([[0.0], np.linspace(40.0, 600.0, Lc - 1)])
+    b = np.concatenate([[1.0], np.linspace(0.9, 0.01, Lc - 1)])
+    ps = 1000.0 + 30.0 * rng.standard_normal((H, W))
+    pmid = (a[:, None, None] + b[:, None, None] * ps[None]).astype("float32")
+    da = np.linspace(5.0, 40.0, Lc)
+    db = np.linspace(0.02, 0.001, Lc)
+    dp = (da[:, None, None] + db[:, None, None] * ps[None]).astype("float32")
+    ctm = ctm_model(np.zeros((H, W)), np.zeros((H, W)),
+                    [datetime.datetime(2019, 7, 1)],
+                    np.abs(rng.normal(80, 20, (Lc, H, W))).astype("float32"),
+                    pmid, [], dp, "ECCOH", False)
+
+    def gran(seed, day):
+        r = np.random.default_rng(seed)
+        vcd = np.abs(r.normal(2, 0.5, (H, W)))
+        vcd[r.random((H, W)) < 0.2] = np.nan
+        return satellite_opt(
+            vcd=vcd, time=datetime.datetime(2019, 7, day, 12),
+            tropopause=np.empty((1,)),
+            latitude_center=np.zeros((H, W)), longitude_center=np.zeros((H, W)),
+            uncertainty=np.abs(r.normal(0.3, 0.05, (H, W))), quality_flag=[],
+            pressure_mid=np.sort(r.uniform(100, 900, (Ls, H, W)), axis=0)[::-1].copy().astype("float32"),
+            averaging_kernels=r.uniform(0, 0.5, (Ls + 1, H, W)).astype("float32"),
+            aprior_column=np.abs(r.normal(2, 0.3, (H, W))).astype("float32"),
+            apriori_profile=np.abs(r.normal(80, 15, (Ls, H, W))).astype("float32"),
+            surface_pressure=np.full((H, W), 1000.0, "float32"),
+            apriori_surface=np.abs(r.normal(90, 10, (H, W))).astype("float32"),
+            x_col=np.abs(r.normal(0.1, 0.02, (H, W))).astype("float32"),
+            pressure_weight=[], sensor="MOPITT", ctm_upscaled_needed=False)
+
+    grans = [gran(s, 2 + s) for s in range(3)]
+    staged = oisatgmi()
+    staged.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=copy.deepcopy(grans))
+    staged.conv_ak("MOPITT")
+    staged.average("2019-07-01", "2019-08-01")
+    staged.bias_correct("MOPITT", "CO")
+    staged.oi("MOPITT", error_ctm=50.0)
+
+    fused = oisatgmi()
+    fused.reader_obj = SimpleNamespace(ctm_data=[ctm], sat_data=grans)
+    built = {}
+    orig = oisatgmi._fused_inputs
+    def spy(self, *args, **kw):
+        out = orig(self, *args, **kw)
+        built["inputs"] = out[0]
+        return out
+    monkeypatch.setattr(oisatgmi, "_fused_inputs", spy)
+    fused.analyze_month_fused("MOPITT", "CO", "2019-07-01", "2019-08-01",
+                              error_ctm=50.0)
+    inp = built["inputs"]
+    assert inp.ctm_airpc.shape[1] == 0  # compression engaged in narrow mode
+    # the pressure carrier must NOT be f16: air columns (slopes ~1e6)
+    # reconstruct from it
+    assert np.asarray(inp.ctm_pmid).dtype == np.float32
+    # bound: the STAGED path ships pmid at f16 (~0.25 hPa rounding) while
+    # the fused path reconstructs it at f32 — log-p interpolation turns
+    # that into up to ~3e-3 relative on individual cells
+    _compare(fused, staged, ("sat_averaged_vcd", "ctm_averaged_vcd", "aux1",
+                             "aux2", "ctm_averaged_vcd_corrected"),
+             rtol=4e-3, atol=1e-4)
