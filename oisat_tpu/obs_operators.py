@@ -127,13 +127,40 @@ def _ctm_to_sat_upscaler(ctm_data, granule):
 
 def _maybe_upscale(ctm_data, granule, fields):
     """Upscale (L, H, W) fields onto the sat grid when flagged — all fields
-    stacked through one device call."""
+    stacked through one device call.
+
+    Affine fields (hybrid-eta pressure stacks, eta air columns) ship ONE
+    carrier level: the upscaler's partition-of-unity weights commute with
+    the affine reconstruction (``up(a + b*ps) == a + b*up(ps)``, the
+    regridder's carrier trick), so the other levels are rebuilt on the
+    host from the upscaled carrier.  An upscaled-CTM granule (the
+    OMPS/TEMPO fine-grid path) otherwise round-trips its full (L, Hs, Ws)
+    stacks through the link per granule.  Parity mode keeps the
+    reference's full per-level upscale."""
     if not granule.ctm_upscaled_needed:
         return fields
+    from oisat_tpu.regridder import _affine_stack, parity_mode
+
     up = _ctm_to_sat_upscaler(ctm_data, granule)
-    stacked = np.stack([np.asarray(f, np.float64) for f in fields])
-    out = np.asarray(up.apply(jnp.asarray(stacked)))
-    return [out[i] for i in range(len(fields))]
+    rows, plans = [], []
+    for f in fields:
+        arr = np.asarray(f, np.float64)
+        af = None if parity_mode() else _affine_stack(arr)
+        if af is not None:
+            plans.append(("affine", len(rows), af))
+            rows.append(arr[af[2]])
+        else:
+            plans.append(("full", len(rows), arr.shape[0]))
+            rows.extend(arr)
+    out = np.asarray(up.apply(jnp.asarray(np.stack(rows))))
+    res = []
+    for kind, start, info in plans:
+        if kind == "affine":
+            a, b, _ci = info
+            res.append(a[:, None, None] + b[:, None, None] * out[start][None])
+        else:
+            res.append(out[start:start + info])
+    return res
 
 
 # --------------------------------------------------------------------------

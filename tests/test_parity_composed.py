@@ -227,3 +227,61 @@ def test_amf_recal_compressed_ctm_matches_pixelwise_golden(monkeypatch):
                                rtol=2e-5, atol=1e-7)
     np.testing.assert_allclose(np.asarray(out.ctm_vcd), ref[2],
                                rtol=2e-5, atol=1e-7)
+
+
+def test_amf_recal_upscale_affine_carrier_matches_per_level(monkeypatch):
+    """With an eta-structured CTM the upscale branch ships only the
+    carrier level; the reconstructed stack must match the scipy per-level
+    upscale golden (partition-of-unity weights commute with the affine)."""
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    import dataclasses
+    import datetime
+
+    from oisat_tpu.datamodel import ctm_model
+
+    clon, clat = ctm_grid()
+    H, W = clat.shape
+    nt, nz = 8, 12
+    rng = np.random.default_rng(4)
+    a = np.concatenate([[0.0], np.linspace(40.0, 600.0, nz - 1)])
+    b = np.concatenate([[1.0], np.linspace(0.9, 0.01, nz - 1)])
+    ps = 1000.0 + 30.0 * rng.standard_normal((nt, H, W))
+    pmid4 = (a[None, :, None, None]
+             + b[None, :, None, None] * ps[:, None]).astype("float32")
+    ctm = ctm_model(clat, clon,
+                    [datetime.datetime(2019, 7, 5, 3 * h) for h in range(nt)],
+                    np.abs(rng.normal(15, 4, (nt, nz, H, W))).astype("float32"),
+                    pmid4, [],
+                    rng.uniform(10, 40, (nt, nz, H, W)).astype("float32"),
+                    "GMI", False)
+    g = regrid_granule(1, 0.25, synthetic_granule(1, 5), clon, clat,
+                       flag_thresh=0.5)
+    g.ctm_upscaled_needed = True
+    g2 = dataclasses.replace(g)
+    g2.vcd = g.vcd.copy()
+    out = amf_recal([ctm], [g2])[0]
+
+    hour = int(np.argmin([abs((g.time - t).total_seconds()) for t in ctm.time]))
+    pmid = np.squeeze(ctm.pressure_mid[hour]).astype(np.float64)
+    prof = np.squeeze(ctm.gas_profile[hour]).astype(np.float64)
+    dp = np.squeeze(ctm.delta_p[hour]).astype(np.float64)
+    pc = np.asarray(partial_column(jnp.asarray(dp), jnp.asarray(prof)))
+    gridsize_ctm = np.hypot(1.25, 1.0)
+    thr_sat = np.hypot(abs(g.longitude_center[0, 0] - g.longitude_center[0, 1]),
+                       abs(g.latitude_center[0, 0] - g.latitude_center[1, 0]))
+    pmid_u = np.stack([upscaler_scipy(clon, clat, pmid[z], g.longitude_center,
+                                      g.latitude_center, gridsize_ctm, thr_sat)[2]
+                       for z in range(pmid.shape[0])])
+    pc_u = np.stack([upscaler_scipy(clon, clat, pc[z], g.longitude_center,
+                                    g.latitude_center, gridsize_ctm, thr_sat)[2]
+                     for z in range(pc.shape[0])])
+    ref = amf_recal_pixelwise(np.asarray(g.pressure_mid, np.float64),
+                              np.asarray(g.scattering_weights, np.float64),
+                              pmid_u, pc_u,
+                              np.asarray(g.tropopause, np.float64),
+                              np.asarray(g.vcd, np.float64),
+                              np.asarray(g.amf, np.float64))
+    np.testing.assert_allclose(np.asarray(out.new_amf), ref[0],
+                               rtol=2e-4, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(out.ctm_vcd), ref[2],
+                               rtol=2e-4, atol=1e-6)
