@@ -18,8 +18,16 @@ def write_gmi_pair(met_path, gas_path, day, nt=8, nz=6, nlat=10, nlon=12):
         t.attrs["begin_date"] = np.int32(20190700 + day)
         t.attrs["begin_time"] = np.int32(0)
         f["DELP"] = np.full((nt, nz, nlat, nlon), 2000.0)  # Pa
-        # level axis 0 = top in raw files; readers flip to bottom-up
-        f["PL"] = np.linspace(10000, 90000, nz)[None, :, None, None] * np.ones((nt, nz, nlat, nlon))
+        # level axis 0 = top in raw files; readers flip to bottom-up.
+        # PL is hybrid-eta derived like real MERRA2-GMI (A + B*PS, Pa)
+        # with spatially varying surface pressure — the fused month's
+        # carrier compression must survive the reader's f32/flip/scale
+        # pipeline on exactly this structure
+        eta_a = np.linspace(10000.0, 0.0, nz)
+        eta_b = np.linspace(0.0, 0.9, nz)
+        ps = 100000.0 + 3000.0 * np.random.default_rng(day).standard_normal(
+            (nt, 1, nlat, nlon))
+        f["PL"] = eta_a[None, :, None, None] + eta_b[None, :, None, None] * ps
     with h5py.File(gas_path, "w") as f:
         f["NO2"] = np.full((nt, nz, nlat, nlon), 2e-9)  # mol/mol
 
