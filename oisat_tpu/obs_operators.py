@@ -378,6 +378,24 @@ def amf_recal(ctm_data: list, sat_data: list):
 _ak_mopitt_batched = jax.jit(jax.vmap(ak_conv_mopitt_fields))
 
 
+def _ak_mopitt_eta(carrier, pm_a, pm_b, ai_a, ai_b, profile, sat_pmid, aks,
+                   aprior_col, apriori_profile, apriori_surface, vcd):
+    """Transfer-compressed staged MOPITT batch: the CTM pressure AND
+    air-column stacks reconstruct on device from one f32 carrier level +
+    (G, Lc) tables (both affine in surface pressure for GMI/ECCOH — the
+    same layout the fused month ships)."""
+    from oisat_tpu.parallel.analysis import decompress_pmid
+
+    ctm_pmid = decompress_pmid(carrier, pm_a, pm_b)
+    ctm_airpc = decompress_pmid(carrier, ai_a, ai_b)
+    return jax.vmap(ak_conv_mopitt_fields)(
+        ctm_pmid, profile, ctm_airpc, sat_pmid, aks, aprior_col,
+        apriori_profile, apriori_surface, vcd)
+
+
+_ak_mopitt_batched_eta = jax.jit(_ak_mopitt_eta)
+
+
 def ak_conv_mopitt(ctm_data: list, sat_data: list):
     """MOPITT CO averaging-kernel convolution (reference ak_conv_mopitt.py:8-149).
 
@@ -398,21 +416,51 @@ def ak_conv_mopitt(ctm_data: list, sat_data: list):
             pmid, profile, pc, airpc = _maybe_upscale(ctm_data, granule, [pmid, profile, pc, airpc])
         key = (np.shape(granule.vcd), np.shape(granule.pressure_mid), np.shape(pmid))
         groups.setdefault(key, []).append((gi, closest, np.asarray(pmid), np.asarray(profile), airpc))
+    from oisat_tpu.regridder import _affine_stack, _affine_tables, parity_mode
+
     for items in groups.values():
         gis = [it[0] for it in items]
         stack = lambda f: jnp.asarray(np.stack(f))
-        model_vcd, model_xcol = _ak_mopitt_batched(
-            _stack16([it[2] for it in items]),
-            _stack16([it[3] for it in items]),
-            # air partial columns are ~1e9 per layer — far beyond f16 range
-            # (unlike the satellite-stored f16 fields); keep full precision
-            stack([it[4] for it in items]),
-            _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
-            _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
-            stack([np.asarray(sat_data[i].aprior_column) for i in gis]),
-            _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
-            stack([np.asarray(sat_data[i].apriori_surface) for i in gis]),
-            stack([np.asarray(sat_data[i].vcd) for i in gis]))
+        # carrier-compress the matched CTM pressure AND air-column stacks
+        # (both affine in surface pressure for GMI/ECCOH) — the staged
+        # mirror of the fused month's layout.  Carrier at f32: the air
+        # columns (slopes ~1e6) reconstruct from it
+        afs = ([_affine_stack(it[2]) for it in items]
+               if not parity_mode() else [None])
+        atabs = None
+        if all(af is not None for af in afs):
+            atabs = [_affine_tables(np.asarray(it[4]), it[2][af[2]])
+                     for it, af in zip(items, afs)]
+            if any(t is None for t in atabs):
+                atabs = None
+        if atabs is not None:
+            model_vcd, model_xcol = _ak_mopitt_batched_eta(
+                stack([it[2][af[2]] for it, af in zip(items, afs)]),
+                stack([af[0] for af in afs]),
+                stack([af[1] for af in afs]),
+                stack([t[0] for t in atabs]),
+                stack([t[1] for t in atabs]),
+                _stack16([it[3] for it in items]),
+                _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
+                _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
+                stack([np.asarray(sat_data[i].aprior_column) for i in gis]),
+                _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
+                stack([np.asarray(sat_data[i].apriori_surface) for i in gis]),
+                stack([np.asarray(sat_data[i].vcd) for i in gis]))
+        else:
+            model_vcd, model_xcol = _ak_mopitt_batched(
+                _stack16([it[2] for it in items]),
+                _stack16([it[3] for it in items]),
+                # air partial columns are ~1e9 per layer — far beyond f16
+                # range (unlike the satellite-stored f16 fields); keep
+                # full precision
+                stack([it[4] for it in items]),
+                _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
+                _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
+                stack([np.asarray(sat_data[i].aprior_column) for i in gis]),
+                _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
+                stack([np.asarray(sat_data[i].apriori_surface) for i in gis]),
+                stack([np.asarray(sat_data[i].vcd) for i in gis]))
         model_vcd = np.asarray(model_vcd)
         model_xcol = np.asarray(model_xcol)
         for k, (gi, closest, *_r) in enumerate(items):
@@ -423,6 +471,21 @@ def ak_conv_mopitt(ctm_data: list, sat_data: list):
 
 
 _ak_gosat_batched = jax.jit(jax.vmap(ak_conv_gosat_fields))
+
+
+def _ak_gosat_eta(carrier, pm_a, pm_b, profile, sat_pmid, aks,
+                  apriori_profile, pressure_weight, x_col):
+    """Transfer-compressed staged GOSAT batch (CTM pmid from carrier +
+    tables, like the fused month)."""
+    from oisat_tpu.parallel.analysis import decompress_pmid
+
+    ctm_pmid = decompress_pmid(carrier, pm_a, pm_b)
+    return jax.vmap(ak_conv_gosat_fields)(
+        ctm_pmid, profile, sat_pmid, aks, apriori_profile, pressure_weight,
+        x_col)
+
+
+_ak_gosat_batched_eta = jax.jit(_ak_gosat_eta)
 
 
 def ak_conv_gosat(ctm_data: list, sat_data: list):
@@ -441,17 +504,33 @@ def ak_conv_gosat(ctm_data: list, sat_data: list):
             pmid, profile = _maybe_upscale(ctm_data, granule, [pmid, profile])
         key = (np.shape(granule.x_col), np.shape(granule.pressure_mid), np.shape(pmid))
         groups.setdefault(key, []).append((gi, closest, np.asarray(pmid), np.asarray(profile)))
+    from oisat_tpu.regridder import _affine_stack, parity_mode
+
     for items in groups.values():
         gis = [it[0] for it in items]
         stack = lambda f: jnp.asarray(np.stack(f))
-        model_xcol = _ak_gosat_batched(
-            _stack16([it[2] for it in items]),
-            _stack16([it[3] for it in items]),
-            _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
-            _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
-            _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
-            _stack16([np.asarray(sat_data[i].pressure_weight) for i in gis]),
-            stack([np.asarray(sat_data[i].x_col) for i in gis]))
+        afs = ([_affine_stack(it[2]) for it in items]
+               if not parity_mode() else [None])
+        if all(af is not None for af in afs):
+            model_xcol = _ak_gosat_batched_eta(
+                stack([it[2][af[2]] for it, af in zip(items, afs)]),
+                stack([af[0] for af in afs]),
+                stack([af[1] for af in afs]),
+                _stack16([it[3] for it in items]),
+                _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
+                _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
+                _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
+                _stack16([np.asarray(sat_data[i].pressure_weight) for i in gis]),
+                stack([np.asarray(sat_data[i].x_col) for i in gis]))
+        else:
+            model_xcol = _ak_gosat_batched(
+                _stack16([it[2] for it in items]),
+                _stack16([it[3] for it in items]),
+                _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
+                _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
+                _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
+                _stack16([np.asarray(sat_data[i].pressure_weight) for i in gis]),
+                stack([np.asarray(sat_data[i].x_col) for i in gis]))
         model_xcol = np.asarray(model_xcol)
         for k, (gi, closest, *_r) in enumerate(items):
             # XCH4-only: model VCD intentionally NaN (reference ak_conv_gosat.py:138)

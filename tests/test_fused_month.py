@@ -992,3 +992,76 @@ def test_fused_mopitt_compressed_narrow_mode(monkeypatch):
     _compare(fused, staged, ("sat_averaged_vcd", "ctm_averaged_vcd", "aux1",
                              "aux2", "ctm_averaged_vcd_corrected"),
              rtol=4e-3, atol=1e-4)
+
+
+def test_fused_mopitt_mixed_affinity_falls_back_whole_month(monkeypatch):
+    """One granule matched to a non-affine CTM slice must push the WHOLE
+    month to the full layout (a month is one stacked batch — mixing
+    carrier and full granules is impossible), with identical results."""
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    import datetime
+
+    from tests.test_parity_composed import _eccoh_like_ctm
+
+    from oisat_tpu.datamodel import ctm_model, satellite_opt
+
+    H, W, Ls, Lc = 12, 14, 9, 20
+    # day 1: eta CTM (affine); day 2: random CTM (not affine)
+    rng = np.random.default_rng(31)
+    a = np.concatenate([[0.0], np.linspace(40.0, 600.0, Lc - 1)])
+    b = np.concatenate([[1.0], np.linspace(0.9, 0.01, Lc - 1)])
+    ps = 1000.0 + 30.0 * rng.standard_normal((H, W))
+    pmid = (a[:, None, None] + b[:, None, None] * ps[None]).astype("float32")
+    eta_ctm = ctm_model(np.zeros((H, W)), np.zeros((H, W)),
+                        [datetime.datetime(2019, 7, 1)],
+                        np.abs(rng.normal(80, 20, (Lc, H, W))).astype("float32"),
+                        pmid, [],
+                        rng.uniform(10, 40, (Lc, H, W)).astype("float32"),
+                        "ECCOH", False)
+    rnd_ctm = _eccoh_like_ctm(H, W)
+    rnd_ctm.time = [datetime.datetime(2019, 7, 20)]
+
+    def gran(seed, day):
+        r = np.random.default_rng(seed)
+        vcd = np.abs(r.normal(2, 0.5, (H, W)))
+        return satellite_opt(
+            vcd=vcd, time=datetime.datetime(2019, 7, day, 12),
+            tropopause=np.empty((1,)),
+            latitude_center=np.zeros((H, W)), longitude_center=np.zeros((H, W)),
+            uncertainty=np.abs(r.normal(0.3, 0.05, (H, W))), quality_flag=[],
+            pressure_mid=np.sort(r.uniform(100, 900, (Ls, H, W)), axis=0)[::-1].copy().astype("float32"),
+            averaging_kernels=r.uniform(0, 0.5, (Ls + 1, H, W)).astype("float32"),
+            aprior_column=np.abs(r.normal(2, 0.3, (H, W))).astype("float32"),
+            apriori_profile=np.abs(r.normal(80, 15, (Ls, H, W))).astype("float32"),
+            surface_pressure=np.full((H, W), 1000.0, "float32"),
+            apriori_surface=np.abs(r.normal(90, 10, (H, W))).astype("float32"),
+            x_col=np.abs(r.normal(0.1, 0.02, (H, W))).astype("float32"),
+            pressure_weight=[], sensor="MOPITT", ctm_upscaled_needed=False)
+
+    grans = [gran(1, 2), gran(2, 21)]  # day 2 -> eta slice, day 21 -> random
+    fused = oisatgmi()
+    fused.reader_obj = SimpleNamespace(ctm_data=[eta_ctm, rnd_ctm],
+                                       sat_data=grans)
+    built = {}
+    orig = oisatgmi._fused_inputs
+    def spy(self, *args, **kw):
+        out = orig(self, *args, **kw)
+        built["inputs"] = out[0]
+        return out
+    monkeypatch.setattr(oisatgmi, "_fused_inputs", spy)
+    fused.analyze_month_fused("MOPITT", "CO", "2019-07-01", "2019-08-01",
+                              error_ctm=50.0)
+    inp = built["inputs"]
+    assert inp.ctm_pmid_a.shape == (1, 1)  # full layout for the whole month
+    assert inp.ctm_pmid.shape[1] == Lc
+    assert inp.ctm_airpc.shape[1] == Lc
+
+    staged = oisatgmi()
+    staged.reader_obj = SimpleNamespace(ctm_data=[eta_ctm, rnd_ctm],
+                                        sat_data=copy.deepcopy(grans))
+    staged.conv_ak("MOPITT")
+    staged.average("2019-07-01", "2019-08-01")
+    staged.bias_correct("MOPITT", "CO")
+    staged.oi("MOPITT", error_ctm=50.0)
+    _compare(fused, staged, ("ctm_averaged_vcd", "aux2",
+                             "ctm_averaged_vcd_corrected"))

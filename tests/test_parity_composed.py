@@ -285,3 +285,111 @@ def test_amf_recal_upscale_affine_carrier_matches_per_level(monkeypatch):
                                rtol=2e-4, atol=1e-6)
     np.testing.assert_allclose(np.asarray(out.ctm_vcd), ref[2],
                                rtol=2e-4, atol=1e-6)
+
+
+def _eta_ecoh_ctm(H, W, Lc=12, seed=6):
+    """ECCOH-like CTM whose pressure AND delta-p stacks are hybrid-eta
+    (affine in one surface-pressure field) — the compressed staged/fused
+    layouts engage on it."""
+    import datetime
+
+    from oisat_tpu.datamodel import ctm_model
+
+    rng = np.random.default_rng(seed)
+    a = np.concatenate([[0.0], np.linspace(40.0, 600.0, Lc - 1)])
+    b = np.concatenate([[1.0], np.linspace(0.9, 0.01, Lc - 1)])
+    ps = 1000.0 + 30.0 * rng.standard_normal((H, W))
+    pmid = (a[:, None, None] + b[:, None, None] * ps[None]).astype("float32")
+    da = np.linspace(5.0, 40.0, Lc)
+    db = np.linspace(0.02, 0.001, Lc)
+    dp = (da[:, None, None] + db[:, None, None] * ps[None]).astype("float32")
+    return ctm_model(np.zeros((H, W)), np.zeros((H, W)),
+                     [datetime.datetime(2019, 7, 1)],
+                     np.abs(rng.normal(80, 20, (Lc, H, W))).astype("float32"),
+                     pmid, [], dp, "ECCOH", False)
+
+
+def test_ak_conv_mopitt_compressed_matches_pixelwise_golden(monkeypatch):
+    """With an eta CTM the staged MOPITT batch ships carrier + tables for
+    both the pressure and air-column stacks; the decompressed result must
+    match the f64 pixelwise reference."""
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    import datetime
+
+    from oisat_tpu.datamodel import satellite_opt
+    from oisat_tpu.obs_operators import ak_conv_mopitt
+    from oisat_tpu.ops.vertical import air_partial_column
+    from tests.reference_impl import ak_conv_mopitt_pixelwise
+
+    H, W, Ls = 12, 14, 9
+    ctm = _eta_ecoh_ctm(H, W)
+
+    def gran(seed, day):
+        r = np.random.default_rng(seed)
+        vcd = np.abs(r.normal(2, 0.5, (H, W)))
+        vcd[r.random((H, W)) < 0.2] = np.nan
+        return satellite_opt(
+            vcd=vcd, time=datetime.datetime(2019, 7, day), tropopause=np.empty((1,)),
+            latitude_center=np.zeros((H, W)), longitude_center=np.zeros((H, W)),
+            uncertainty=np.ones((H, W)), quality_flag=[],
+            pressure_mid=np.sort(r.uniform(100, 900, (Ls, H, W)), axis=0)[::-1].copy(),
+            averaging_kernels=r.uniform(0, 0.5, (Ls + 1, H, W)),
+            aprior_column=np.abs(r.normal(2, 0.3, (H, W))),
+            apriori_profile=np.abs(r.normal(80, 15, (Ls, H, W))),
+            surface_pressure=np.full((H, W), 1000.0),
+            apriori_surface=np.abs(r.normal(90, 10, (H, W))),
+            x_col=np.abs(r.normal(0.1, 0.02, (H, W))),
+            pressure_weight=[], sensor="MOPITT", ctm_upscaled_needed=False)
+
+    out = ak_conv_mopitt([ctm], [gran(s, 2 + s) for s in range(2)])
+    airpc = np.asarray(air_partial_column(jnp.asarray(ctm.delta_p)))
+    for g in out:
+        ref_vcd, ref_xcol = ak_conv_mopitt_pixelwise(
+            np.asarray(ctm.pressure_mid, np.float64),
+            np.asarray(ctm.gas_profile, np.float64),
+            airpc, np.asarray(g.pressure_mid, np.float64),
+            np.asarray(g.averaging_kernels, np.float64),
+            np.asarray(g.aprior_column, np.float64),
+            np.asarray(g.apriori_profile, np.float64),
+            np.asarray(g.apriori_surface, np.float64),
+            np.asarray(g.vcd, np.float64))
+        np.testing.assert_allclose(g.ctm_vcd, ref_vcd, rtol=2e-5, atol=1e-7)
+        np.testing.assert_allclose(g.ctm_xcol, ref_xcol, rtol=2e-5, atol=1e-7)
+
+
+def test_ak_conv_gosat_compressed_matches_pixelwise_golden(monkeypatch):
+    monkeypatch.setenv("OISAT_F16_TRANSFER", "0")
+    import datetime
+
+    from oisat_tpu.datamodel import satellite_opt
+    from oisat_tpu.obs_operators import ak_conv_gosat
+    from tests.reference_impl import ak_conv_gosat_pixelwise
+
+    H, W, Ls = 12, 14, 6
+    ctm = _eta_ecoh_ctm(H, W, seed=7)
+    r = np.random.default_rng(2)
+    g = satellite_opt(
+        vcd=np.abs(r.normal(1800, 30, (H, W))),
+        time=datetime.datetime(2019, 7, 4), tropopause=np.empty((1,)),
+        latitude_center=np.zeros((H, W)), longitude_center=np.zeros((H, W)),
+        uncertainty=np.ones((H, W)), quality_flag=[],
+        pressure_mid=np.sort(r.uniform(100, 950, (Ls, H, W)), axis=0)[::-1].copy(),
+        averaging_kernels=r.uniform(0.2, 1.0, (Ls, H, W)),
+        aprior_column=np.empty((1,)),
+        apriori_profile=np.abs(r.normal(1750, 50, (Ls, H, W))),
+        surface_pressure=np.full((H, W), 1000.0),
+        apriori_surface=np.empty((1,)),
+        x_col=np.abs(r.normal(1800, 30, (H, W))),
+        pressure_weight=np.full((Ls, H, W), 1.0 / Ls),
+        sensor="GOSAT", ctm_upscaled_needed=False)
+    out = ak_conv_gosat([ctm], [g])[0]
+    ref_xcol = ak_conv_gosat_pixelwise(
+        np.asarray(ctm.pressure_mid, np.float64),
+        np.asarray(ctm.gas_profile, np.float64),
+        np.asarray(out.pressure_mid, np.float64),
+        np.asarray(out.averaging_kernels, np.float64),
+        np.asarray(out.apriori_profile, np.float64),
+        np.asarray(out.pressure_weight, np.float64),
+        np.asarray(out.x_col, np.float64))
+    np.testing.assert_allclose(out.ctm_xcol, ref_xcol, rtol=2e-5, atol=1e-7)
+    assert np.isnan(np.asarray(out.ctm_vcd)).all()
