@@ -145,21 +145,26 @@ def _maybe_upscale(ctm_data, granule, fields):
     rows, plans = [], []
     for f in fields:
         arr = np.asarray(f, np.float64)
-        af = None if parity_mode() else _affine_stack(arr)
+        # single-level CTMs arrive 2-D (np.squeeze in the slice helpers):
+        # treat as a 1-level stack and squeeze back on the way out
+        two_d = arr.ndim == 2
+        st = arr[None] if two_d else arr
+        af = None if (two_d or parity_mode()) else _affine_stack(st)
         if af is not None:
-            plans.append(("affine", len(rows), af))
-            rows.append(arr[af[2]])
+            plans.append(("affine", len(rows), af, two_d))
+            rows.append(st[af[2]])
         else:
-            plans.append(("full", len(rows), arr.shape[0]))
-            rows.extend(arr)
+            plans.append(("full", len(rows), st.shape[0], two_d))
+            rows.extend(st)
     out = np.asarray(up.apply(jnp.asarray(np.stack(rows))))
     res = []
-    for kind, start, info in plans:
+    for kind, start, info, two_d in plans:
         if kind == "affine":
             a, b, _ci = info
-            res.append(a[:, None, None] + b[:, None, None] * out[start][None])
+            r = a[:, None, None] + b[:, None, None] * out[start][None]
         else:
-            res.append(out[start:start + info])
+            r = out[start:start + info]
+        res.append(r[0] if two_d else r)
     return res
 
 
@@ -289,8 +294,6 @@ def amf_recal(ctm_data: list, sat_data: list):
     one field (all real products) the batch travels compressed: carrier
     level + tables, plus one copy of each distinct CTM slice.
     """
-    from oisat_tpu.regridder import _affine_stack, parity_mode
-
     print("AMF Recal begins...")
     time_ctm, time_hour = _ctm_times(ctm_data)
     groups = {}
@@ -315,9 +318,10 @@ def amf_recal(ctm_data: list, sat_data: list):
         gis = [it[0] for it in items]
         stack = lambda f: jnp.asarray(np.stack(f))
         # parity mode keeps the reference's full per-level transfer
-        afs = ([_affine_stack(np.asarray(sat_data[i].pressure_mid)) for i in gis]
-               if not parity_mode() else [None])
-        if all(af is not None for af in afs):
+        grp = _affine_group([np.asarray(sat_data[i].pressure_mid)
+                             for i in gis])
+        if grp is not None:
+            sat_carriers, sat_a, sat_b, _fits = grp
             # dedup the matched CTM slices
             from oisat_tpu.parallel.analysis import dedup_first_seen
 
@@ -326,21 +330,19 @@ def amf_recal(ctm_data: list, sat_data: list):
             u_items = [items[i] for i in order]
             # carrier-compress the unique CTM slices too when affine
             # (GMI/ECCOH; CMAQ 3-D pressures keep the full layout)
-            u_pm = [np.asarray(it[2]) for it in u_items]
-            cafs = [_affine_stack(pm) for pm in u_pm]
-            if all(c is not None for c in cafs):
-                ctm_pm_arg = _stack16([pm[c[2]][None]
-                                       for pm, c in zip(u_pm, cafs)])
-                ctm_a = stack([c[0] for c in cafs])
-                ctm_b = stack([c[1] for c in cafs])
+            cgrp = _affine_group([np.asarray(it[2]) for it in u_items])
+            if cgrp is not None:
+                c_carr, c_a, c_b, _cfits = cgrp
+                ctm_pm_arg = _stack16([c[None] for c in c_carr])
+                ctm_a = stack(c_a)
+                ctm_b = stack(c_b)
             else:
-                ctm_pm_arg = _stack16(u_pm)
+                ctm_pm_arg = _stack16([np.asarray(it[2]) for it in u_items])
                 ctm_a = ctm_b = None
             new_amf, vcd_corr, model_vcd = _amf_recal_batched_eta(
-                _stack16([np.asarray(sat_data[i].pressure_mid)[af[2]]
-                          for i, af in zip(gis, afs)]),
-                stack([af[0] for af in afs]),
-                stack([af[1] for af in afs]),
+                _stack16(sat_carriers),
+                stack(sat_a),
+                stack(sat_b),
                 _stack16([np.asarray(sat_data[i].scattering_weights) for i in gis]),
                 ctm_pm_arg,
                 _stack16([it[3] for it in u_items]),
@@ -378,22 +380,46 @@ def amf_recal(ctm_data: list, sat_data: list):
 _ak_mopitt_batched = jax.jit(jax.vmap(ak_conv_mopitt_fields))
 
 
-def _ak_mopitt_eta(carrier, pm_a, pm_b, ai_a, ai_b, profile, sat_pmid, aks,
-                   aprior_col, apriori_profile, apriori_surface, vcd):
-    """Transfer-compressed staged MOPITT batch: the CTM pressure AND
-    air-column stacks reconstruct on device from one f32 carrier level +
-    (G, Lc) tables (both affine in surface pressure for GMI/ECCOH — the
-    same layout the fused month ships)."""
+def _ak_mopitt_eta(carrier, pm_a, pm_b, ai_a, ai_b, airpc_dense, profile,
+                   sat_pmid, aks, aprior_col, apriori_profile,
+                   apriori_surface, vcd):
+    """Transfer-compressed staged MOPITT batch: the CTM pressure stack
+    reconstructs on device from one f32 carrier level + (G, Lc) tables;
+    the air columns either ride the SAME carrier (``ai_a``/``ai_b``
+    tables, ``airpc_dense=None``) or travel dense when their fit failed
+    (``ai_a=None``) — the independent branches mirror the fused month's
+    layout.  The None-argument pytree difference keeps the variants as
+    separate programs."""
     from oisat_tpu.parallel.analysis import decompress_pmid
 
     ctm_pmid = decompress_pmid(carrier, pm_a, pm_b)
-    ctm_airpc = decompress_pmid(carrier, ai_a, ai_b)
+    ctm_airpc = (decompress_pmid(carrier, ai_a, ai_b)
+                 if ai_a is not None else airpc_dense)
     return jax.vmap(ak_conv_mopitt_fields)(
         ctm_pmid, profile, ctm_airpc, sat_pmid, aks, aprior_col,
         apriori_profile, apriori_surface, vcd)
 
 
 _ak_mopitt_batched_eta = jax.jit(_ak_mopitt_eta)
+
+
+def _affine_group(stacks):
+    """Fit a group of (L, ...) stacks for carrier+table transfer.  Returns
+    ``(carriers, a_tabs, b_tabs, fits)`` lists, or None when parity mode
+    is on or ANY stack fails the fit (one layout per batch — mixing
+    carrier and dense members in one stacked call is impossible).  Shared
+    by the staged AMF/AK batch assemblies so the affine transfer contract
+    lives in one place (the fused months' equivalent is
+    driver._fused_inputs)."""
+    from oisat_tpu.regridder import _affine_stack, parity_mode
+
+    if parity_mode() or not stacks:
+        return None
+    fits = [_affine_stack(s) for s in stacks]
+    if any(af is None for af in fits):
+        return None
+    return ([s[af[2]] for s, af in zip(stacks, fits)],
+            [af[0] for af in fits], [af[1] for af in fits], fits)
 
 
 def ak_conv_mopitt(ctm_data: list, sat_data: list):
@@ -416,30 +442,33 @@ def ak_conv_mopitt(ctm_data: list, sat_data: list):
             pmid, profile, pc, airpc = _maybe_upscale(ctm_data, granule, [pmid, profile, pc, airpc])
         key = (np.shape(granule.vcd), np.shape(granule.pressure_mid), np.shape(pmid))
         groups.setdefault(key, []).append((gi, closest, np.asarray(pmid), np.asarray(profile), airpc))
-    from oisat_tpu.regridder import _affine_stack, _affine_tables, parity_mode
+    from oisat_tpu.regridder import _affine_tables
 
     for items in groups.values():
         gis = [it[0] for it in items]
         stack = lambda f: jnp.asarray(np.stack(f))
-        # carrier-compress the matched CTM pressure AND air-column stacks
-        # (both affine in surface pressure for GMI/ECCOH) — the staged
-        # mirror of the fused month's layout.  Carrier at f32: the air
-        # columns (slopes ~1e6) reconstruct from it
-        afs = ([_affine_stack(it[2]) for it in items]
-               if not parity_mode() else [None])
-        atabs = None
-        if all(af is not None for af in afs):
-            atabs = [_affine_tables(np.asarray(it[4]), it[2][af[2]])
-                     for it, af in zip(items, afs)]
+        # carrier-compress the matched CTM pressure stack; the air
+        # columns ride the SAME carrier when their own fit succeeds and
+        # travel dense otherwise (independent branches, like the fused
+        # month).  Carrier at f32: air-column slopes are ~1e6.  No
+        # slice dedup here: MOPITT/GOSAT matching is day-resolution and
+        # those products are one granule per day, so U == G in practice
+        # (the hourly-matched AMF batch dedups because its slices repeat)
+        grp = _affine_group([it[2] for it in items])
+        if grp is not None:
+            carriers, pm_a, pm_b, fits = grp
+            atabs = [_affine_tables(np.asarray(it[4]), c)
+                     for it, c in zip(items, carriers)]
             if any(t is None for t in atabs):
-                atabs = None
-        if atabs is not None:
+                ai_a = ai_b = None
+                airpc_dense = stack([it[4] for it in items])
+            else:
+                ai_a = stack([t[0] for t in atabs])
+                ai_b = stack([t[1] for t in atabs])
+                airpc_dense = None
             model_vcd, model_xcol = _ak_mopitt_batched_eta(
-                stack([it[2][af[2]] for it, af in zip(items, afs)]),
-                stack([af[0] for af in afs]),
-                stack([af[1] for af in afs]),
-                stack([t[0] for t in atabs]),
-                stack([t[1] for t in atabs]),
+                stack(carriers), stack(pm_a), stack(pm_b),
+                ai_a, ai_b, airpc_dense,
                 _stack16([it[3] for it in items]),
                 _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
                 _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
@@ -504,18 +533,14 @@ def ak_conv_gosat(ctm_data: list, sat_data: list):
             pmid, profile = _maybe_upscale(ctm_data, granule, [pmid, profile])
         key = (np.shape(granule.x_col), np.shape(granule.pressure_mid), np.shape(pmid))
         groups.setdefault(key, []).append((gi, closest, np.asarray(pmid), np.asarray(profile)))
-    from oisat_tpu.regridder import _affine_stack, parity_mode
-
     for items in groups.values():
         gis = [it[0] for it in items]
         stack = lambda f: jnp.asarray(np.stack(f))
-        afs = ([_affine_stack(it[2]) for it in items]
-               if not parity_mode() else [None])
-        if all(af is not None for af in afs):
+        grp = _affine_group([it[2] for it in items])
+        if grp is not None:
+            carriers, pm_a, pm_b, _fits = grp
             model_xcol = _ak_gosat_batched_eta(
-                stack([it[2][af[2]] for it, af in zip(items, afs)]),
-                stack([af[0] for af in afs]),
-                stack([af[1] for af in afs]),
+                stack(carriers), stack(pm_a), stack(pm_b),
                 _stack16([it[3] for it in items]),
                 _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
                 _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
