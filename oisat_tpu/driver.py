@@ -611,9 +611,9 @@ class oisatgmi:
         time_ctm, time_hour = _ctm_times(ctm_data)
 
         if kind == "amf":
-            from oisat_tpu.obs_operators import _ctm_slice_key
+            from oisat_tpu.obs_operators import _affine_group, _ctm_slice_key
             from oisat_tpu.parallel.analysis import dedup_first_seen
-            from oisat_tpu.regridder import _affine_stack, parity_mode
+            from oisat_tpu.regridder import parity_mode
 
             pmids, pcs, trops, keys = [], [], [], []
             for g in grans:
@@ -637,11 +637,11 @@ class oisatgmi:
                 carriers = ([g._pmid_carrier for g in grans]
                             if all(t is not None for t in tabs) else None)
             else:
-                afs = [_affine_stack(np.asarray(g.pressure_mid)) for g in grans]
-                if all(af is not None for af in afs):
-                    carriers = [np.asarray(g.pressure_mid)[af[2]]
-                                for g, af in zip(grans, afs)]
-                    tabs = [(af[0], af[1]) for af in afs]
+                grp = _affine_group([np.asarray(g.pressure_mid)
+                                     for g in grans])
+                if grp is not None:
+                    carriers, a_list, b_list = grp
+                    tabs = list(zip(a_list, b_list))
                 else:
                     carriers = None
             if carriers is not None:
@@ -660,18 +660,16 @@ class oisatgmi:
                 # dominant analysis-leg H2D of a device-granule month.
                 # CMAQ's MCIP 3-D pressures fail the fit and keep the
                 # full stack (the (1, 1) dummy tables flag it)
-                cafs = [_affine_stack(np.asarray(pmids[i]))
-                        for i in slice_order]
-                if cafs and all(af is not None for af in cafs):
+                cgrp = _affine_group([np.asarray(pmids[i])
+                                      for i in slice_order])
+                if cgrp is not None:
+                    c_carr, c_a, c_b = cgrp
                     nan_hw = np.full(np.asarray(pmids[0]).shape[-2:],
                                      np.nan, np.float32)
-                    ctm_pm_in = stack_lv(
-                        [np.asarray(pmids[i])[af[2]]
-                         for i, af in zip(slice_order, cafs)]
-                        + [nan_hw])[:, None]
+                    ctm_pm_in = stack_lv(list(c_carr) + [nan_hw])[:, None]
                     nan_tab = np.full(np.asarray(pmids[0]).shape[0], np.nan)
-                    ctm_a = stack([af[0] for af in cafs] + [nan_tab])
-                    ctm_b = stack([af[1] for af in cafs] + [nan_tab])
+                    ctm_a = stack(list(c_a) + [nan_tab])
+                    ctm_b = stack(list(c_b) + [nan_tab])
                 else:
                     ctm_pm_in = stack_lv(u_pmids)
                     ctm_a = ctm_b = np.zeros((1, 1), np.float32)
@@ -721,7 +719,8 @@ class oisatgmi:
             )), make_ssmis_month_step
 
         # opt sensors: MOPITT (vcd OI) vs GOSAT (xcol-pair OI)
-        from oisat_tpu.regridder import _affine_stack, _affine_tables, parity_mode
+        from oisat_tpu.obs_operators import (_affine_group,
+                                             _carrier_tables_group)
 
         pmids, profs, airpcs = [], [], []
         airpc_scale = 1.0 / GRAV / MAIR * N_A * 1e-4 * 1e-15 * 100.0
@@ -741,21 +740,20 @@ class oisatgmi:
         # carrier-compress the CTM pressure stacks (and, for MOPITT, the
         # air-column stacks against the SAME carrier — both are affine in
         # surface pressure for GMI/ECCOH).  One layout per month: any
-        # granule failing the fit keeps the whole month full.
-        afs = ([_affine_stack(pm) for pm in pmids]
-               if not parity_mode() else [None])
-        comp = afs if all(af is not None for af in afs) else None
+        # granule failing the fit keeps the whole month full
+        # (obs_operators._affine_group, shared with the staged batches).
+        comp = _affine_group(pmids)
         if comp is not None:
+            carriers, pm_as, pm_bs = comp
             # carrier at f32, NOT the f16 stack_lv dtype: MOPITT's air
             # columns reconstruct from this carrier with slopes ~1e6, so
             # f16's ~0.5 hPa rounding would inject ~5e-4 relative error
             # into a stack the staged path ships at f32 (the 'NEVER f16'
             # air-column rule).  One level at f32 is still Lc/2x smaller
             # than the f16 full stack it replaces.
-            ctm_pm_in = stack([pm[af[2]][None]
-                               for pm, af in zip(pmids, comp)])
-            pm_a = stack([af[0] for af in comp])
-            pm_b = stack([af[1] for af in comp])
+            ctm_pm_in = stack([c[None] for c in carriers])
+            pm_a = stack(pm_as)
+            pm_b = stack(pm_bs)
         else:
             ctm_pm_in = stack_lv(pmids)
             pm_a = pm_b = np.zeros((1, 1), np.float32)
@@ -772,12 +770,8 @@ class oisatgmi:
                 x_col=stack([g.x_col for g in grans]),
                 uncertainty=stack([g.uncertainty for g in grans]),
             )), make_gosat_month_step
-        airpc_tabs = None
-        if comp is not None:
-            airpc_tabs = [_affine_tables(np.asarray(ap), pm[af[2]])
-                          for ap, pm, af in zip(airpcs, pmids, comp)]
-            if any(t is None for t in airpc_tabs):
-                airpc_tabs = None
+        airpc_tabs = (_carrier_tables_group(airpcs, carriers)
+                      if comp is not None else None)
         if airpc_tabs is not None:
             hc, wc = pmids[0].shape[-2:]
             # the stack reconstructs on device from the pressure carrier;
@@ -785,8 +779,8 @@ class oisatgmi:
             # air columns are ~1e9 per layer, and stack() never narrows
             # below f32)
             airpc_in = np.zeros((len(grans), 0, hc, wc), np.float32)
-            ai_a = stack([t[0] for t in airpc_tabs])
-            ai_b = stack([t[1] for t in airpc_tabs])
+            ai_a = stack(airpc_tabs[0])
+            ai_b = stack(airpc_tabs[1])
         else:
             # (a carrier pmid with a full airpc is fine — the step's two
             # shape branches are independent.)  NEVER f16: air partial

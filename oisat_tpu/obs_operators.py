@@ -156,7 +156,18 @@ def _maybe_upscale(ctm_data, granule, fields):
         else:
             plans.append(("full", len(rows), st.shape[0], two_d))
             rows.extend(st)
-    out = np.asarray(up.apply(jnp.asarray(np.stack(rows))))
+    # bucket the stacked row count: per-field affinity makes R vary with
+    # the matched slice (mixed-affinity months), and every distinct
+    # (R, H, W) shape is a fresh remote compile of the upscale program —
+    # NaN pad rows upscale to NaN and the plans below never index them
+    from oisat_tpu.ops.regrid import pad_to_bucket
+
+    stacked = np.stack(rows)
+    rb = pad_to_bucket(len(rows), min_size=8, steps_per_octave=4)
+    if rb > len(rows):
+        stacked = np.concatenate(
+            [stacked, np.full((rb - len(rows),) + stacked.shape[1:], np.nan)])
+    out = np.asarray(up.apply(jnp.asarray(stacked)))
     res = []
     for kind, start, info, two_d in plans:
         if kind == "affine":
@@ -321,7 +332,7 @@ def amf_recal(ctm_data: list, sat_data: list):
         grp = _affine_group([np.asarray(sat_data[i].pressure_mid)
                              for i in gis])
         if grp is not None:
-            sat_carriers, sat_a, sat_b, _fits = grp
+            sat_carriers, sat_a, sat_b = grp
             # dedup the matched CTM slices
             from oisat_tpu.parallel.analysis import dedup_first_seen
 
@@ -332,7 +343,7 @@ def amf_recal(ctm_data: list, sat_data: list):
             # (GMI/ECCOH; CMAQ 3-D pressures keep the full layout)
             cgrp = _affine_group([np.asarray(it[2]) for it in u_items])
             if cgrp is not None:
-                c_carr, c_a, c_b, _cfits = cgrp
+                c_carr, c_a, c_b = cgrp
                 ctm_pm_arg = _stack16([c[None] for c in c_carr])
                 ctm_a = stack(c_a)
                 ctm_b = stack(c_b)
@@ -405,12 +416,11 @@ _ak_mopitt_batched_eta = jax.jit(_ak_mopitt_eta)
 
 def _affine_group(stacks):
     """Fit a group of (L, ...) stacks for carrier+table transfer.  Returns
-    ``(carriers, a_tabs, b_tabs, fits)`` lists, or None when parity mode
+    ``(carriers, a_tabs, b_tabs)`` lists, or None when parity mode
     is on or ANY stack fails the fit (one layout per batch — mixing
     carrier and dense members in one stacked call is impossible).  Shared
-    by the staged AMF/AK batch assemblies so the affine transfer contract
-    lives in one place (the fused months' equivalent is
-    driver._fused_inputs)."""
+    by the staged AMF/AK batch assemblies AND driver._fused_inputs so the
+    affine transfer contract lives in one place."""
     from oisat_tpu.regridder import _affine_stack, parity_mode
 
     if parity_mode() or not stacks:
@@ -419,7 +429,22 @@ def _affine_group(stacks):
     if any(af is None for af in fits):
         return None
     return ([s[af[2]] for s, af in zip(stacks, fits)],
-            [af[0] for af in fits], [af[1] for af in fits], fits)
+            [af[0] for af in fits], [af[1] for af in fits])
+
+
+def _carrier_tables_group(stacks, carriers):
+    """Fit a group of (L, ...) stacks against already-chosen carrier
+    levels (``stack[l] ~= a[l] + b[l] * carrier``).  Returns
+    ``(a_tabs, b_tabs)`` lists or None when any fit fails — all-or-none,
+    like :func:`_affine_group`, because the batch ships one layout.  Used
+    for MOPITT air columns riding the pressure carrier (staged batch and
+    the fused month's inputs)."""
+    from oisat_tpu.regridder import _affine_tables
+
+    tabs = [_affine_tables(np.asarray(s), c) for s, c in zip(stacks, carriers)]
+    if any(t is None for t in tabs):
+        return None
+    return [t[0] for t in tabs], [t[1] for t in tabs]
 
 
 def ak_conv_mopitt(ctm_data: list, sat_data: list):
@@ -434,16 +459,16 @@ def ak_conv_mopitt(ctm_data: list, sat_data: list):
             continue
         closest, day = _match_daily(granule.time, ctm_data, time_ctm)
         pmid, profile, dp = _daily_ctm_slice(ctm_data, day)
-        # elementwise: host NumPy, no per-granule device round trip
-        pc = np.asarray(partial_column(np.asarray(dp, np.float64),
-                                       np.asarray(profile, np.float64)))
+        # elementwise: host NumPy, no per-granule device round trip.
+        # The reference also builds + upscales ctm_partial_column here
+        # (ak_conv_mopitt.py:67,103) but never reads it in the conv
+        # (:118-146 uses profile/pressure/air columns only) — we skip
+        # that dead work, including its upscale rows.
         airpc = np.asarray(air_partial_column(np.asarray(dp, np.float64)))
         if granule.ctm_upscaled_needed:
-            pmid, profile, pc, airpc = _maybe_upscale(ctm_data, granule, [pmid, profile, pc, airpc])
+            pmid, profile, airpc = _maybe_upscale(ctm_data, granule, [pmid, profile, airpc])
         key = (np.shape(granule.vcd), np.shape(granule.pressure_mid), np.shape(pmid))
         groups.setdefault(key, []).append((gi, closest, np.asarray(pmid), np.asarray(profile), airpc))
-    from oisat_tpu.regridder import _affine_tables
-
     for items in groups.values():
         gis = [it[0] for it in items]
         stack = lambda f: jnp.asarray(np.stack(f))
@@ -456,15 +481,14 @@ def ak_conv_mopitt(ctm_data: list, sat_data: list):
         # (the hourly-matched AMF batch dedups because its slices repeat)
         grp = _affine_group([it[2] for it in items])
         if grp is not None:
-            carriers, pm_a, pm_b, fits = grp
-            atabs = [_affine_tables(np.asarray(it[4]), c)
-                     for it, c in zip(items, carriers)]
-            if any(t is None for t in atabs):
+            carriers, pm_a, pm_b = grp
+            atabs = _carrier_tables_group([it[4] for it in items], carriers)
+            if atabs is None:
                 ai_a = ai_b = None
                 airpc_dense = stack([it[4] for it in items])
             else:
-                ai_a = stack([t[0] for t in atabs])
-                ai_b = stack([t[1] for t in atabs])
+                ai_a = stack(atabs[0])
+                ai_b = stack(atabs[1])
                 airpc_dense = None
             model_vcd, model_xcol = _ak_mopitt_batched_eta(
                 stack(carriers), stack(pm_a), stack(pm_b),
@@ -538,7 +562,7 @@ def ak_conv_gosat(ctm_data: list, sat_data: list):
         stack = lambda f: jnp.asarray(np.stack(f))
         grp = _affine_group([it[2] for it in items])
         if grp is not None:
-            carriers, pm_a, pm_b, _fits = grp
+            carriers, pm_a, pm_b = grp
             model_xcol = _ak_gosat_batched_eta(
                 stack(carriers), stack(pm_a), stack(pm_b),
                 _stack16([it[3] for it in items]),
