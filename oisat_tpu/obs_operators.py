@@ -479,6 +479,17 @@ def ak_conv_mopitt(ctm_data: list, sat_data: list):
         # slice dedup here: MOPITT/GOSAT matching is day-resolution and
         # those products are one granule per day, so U == G in practice
         # (the hourly-matched AMF batch dedups because its slices repeat)
+        # sat-side args are identical between the compressed and dense
+        # branches — build them ONCE so a future narrowing/field change
+        # cannot desynchronize the two staged layouts
+        profile = _stack16([it[3] for it in items])
+        sat_args = (
+            _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
+            _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
+            stack([np.asarray(sat_data[i].aprior_column) for i in gis]),
+            _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
+            stack([np.asarray(sat_data[i].apriori_surface) for i in gis]),
+            stack([np.asarray(sat_data[i].vcd) for i in gis]))
         grp = _affine_group([it[2] for it in items])
         if grp is not None:
             carriers, pm_a, pm_b = grp
@@ -492,28 +503,16 @@ def ak_conv_mopitt(ctm_data: list, sat_data: list):
                 airpc_dense = None
             model_vcd, model_xcol = _ak_mopitt_batched_eta(
                 stack(carriers), stack(pm_a), stack(pm_b),
-                ai_a, ai_b, airpc_dense,
-                _stack16([it[3] for it in items]),
-                _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
-                _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
-                stack([np.asarray(sat_data[i].aprior_column) for i in gis]),
-                _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
-                stack([np.asarray(sat_data[i].apriori_surface) for i in gis]),
-                stack([np.asarray(sat_data[i].vcd) for i in gis]))
+                ai_a, ai_b, airpc_dense, profile, *sat_args)
         else:
             model_vcd, model_xcol = _ak_mopitt_batched(
                 _stack16([it[2] for it in items]),
-                _stack16([it[3] for it in items]),
+                profile,
                 # air partial columns are ~1e9 per layer — far beyond f16
                 # range (unlike the satellite-stored f16 fields); keep
                 # full precision
                 stack([it[4] for it in items]),
-                _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
-                _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
-                stack([np.asarray(sat_data[i].aprior_column) for i in gis]),
-                _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
-                stack([np.asarray(sat_data[i].apriori_surface) for i in gis]),
-                stack([np.asarray(sat_data[i].vcd) for i in gis]))
+                *sat_args)
         model_vcd = np.asarray(model_vcd)
         model_xcol = np.asarray(model_xcol)
         for k, (gi, closest, *_r) in enumerate(items):
@@ -560,26 +559,23 @@ def ak_conv_gosat(ctm_data: list, sat_data: list):
     for items in groups.values():
         gis = [it[0] for it in items]
         stack = lambda f: jnp.asarray(np.stack(f))
+        # shared sat-side assembly, like ak_conv_mopitt: one tuple feeds
+        # both the compressed and dense staged layouts
+        profile = _stack16([it[3] for it in items])
+        sat_args = (
+            _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
+            _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
+            _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
+            _stack16([np.asarray(sat_data[i].pressure_weight) for i in gis]),
+            stack([np.asarray(sat_data[i].x_col) for i in gis]))
         grp = _affine_group([it[2] for it in items])
         if grp is not None:
             carriers, pm_a, pm_b = grp
             model_xcol = _ak_gosat_batched_eta(
-                stack(carriers), stack(pm_a), stack(pm_b),
-                _stack16([it[3] for it in items]),
-                _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
-                _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
-                _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
-                _stack16([np.asarray(sat_data[i].pressure_weight) for i in gis]),
-                stack([np.asarray(sat_data[i].x_col) for i in gis]))
+                stack(carriers), stack(pm_a), stack(pm_b), profile, *sat_args)
         else:
             model_xcol = _ak_gosat_batched(
-                _stack16([it[2] for it in items]),
-                _stack16([it[3] for it in items]),
-                _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
-                _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
-                _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
-                _stack16([np.asarray(sat_data[i].pressure_weight) for i in gis]),
-                stack([np.asarray(sat_data[i].x_col) for i in gis]))
+                _stack16([it[2] for it in items]), profile, *sat_args)
         model_xcol = np.asarray(model_xcol)
         for k, (gi, closest, *_r) in enumerate(items):
             # XCH4-only: model VCD intentionally NaN (reference ak_conv_gosat.py:138)
