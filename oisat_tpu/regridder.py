@@ -397,35 +397,50 @@ def _affine_tables(stack, carrier, rtol: float = 1e-5, lo=None, hi=None,
     return a, b
 
 
-def _quality_mask(quality_flag, flag_thresh: float) -> np.ndarray:
+def _quality_mask(quality_flag, flag_thresh: float,
+                  dtype=np.float64) -> np.ndarray:
     """QA mask as the reference builds it: 1.0 where flag > thresh else NaN
     (interpolator.py:124-127)."""
-    m = (np.asarray(quality_flag) > flag_thresh).astype(np.float64)
+    m = (np.asarray(quality_flag) > flag_thresh).astype(dtype)
     m[m != 1.0] = np.nan
     return np.squeeze(m)
 
 
-def _stack(fields):
-    """Stack a list of (...,)-shaped pixel arrays into (F, Npix) float64."""
-    return np.stack([np.asarray(f, np.float64).ravel() for f in fields])
+def _stack(fields, dtype=np.float64):
+    """Stack a list of (...,)-shaped pixel arrays into (F, Npix) ``dtype``.
+
+    Production f32 runs stack at float32: the mask values are exactly 1.0
+    or NaN, so host prep in f32 is bit-identical to the old
+    f64-multiply-then-cast while halving ~65 MB/orbit of host memcpy
+    (this 1-core host's build time is part of the per-orbit wall)."""
+    return np.stack([np.asarray(f, dtype).ravel() for f in fields])
 
 
 def _regrid_device_impl(batch, batch_lv, batch_lv_wide, err, idx, w, mask,
                         up_idx, up_w, up_mask,
                         fine_shape, ky: int, kx: int, passthrough: bool,
-                        row_sharding=None):
+                        square_err: bool = False, row_sharding=None):
     """The whole per-granule device pipeline as ONE program: interp to the
     fine grid (value batch + error-variance field), box filter, map onto
     the CTM grid.  One remote dispatch per granule instead of ~6 (dispatch
     latency through the device tunnel dominates per-op execution).
 
-    ``batch_lv`` carries the per-level 3-D field stack rows that fit the
-    narrow transfer dtype; ``batch_lv_wide`` the rows that exceed f16
-    range and travel at the compute dtype (see ``_regrid_fused``).  Both
-    are upcast and concatenated with the 2-D field batch; the host side
-    restores the original row order after retrieval."""
+    ``batch_lv`` carries the rows that fit the narrow transfer dtype (the
+    per-level 3-D stacks plus any 2-D fields the reference itself stores
+    at float16); ``batch_lv_wide`` the rows that exceed f16 range and
+    travel at the compute dtype (see ``_regrid_fused``).  Both are upcast
+    and concatenated with the wide 2-D field batch; the host side
+    restores the original row order after retrieval.
+
+    ``square_err``: the error row arrives as the RAW uncertainty (so it
+    can ride the narrow transfer dtype) and is squared here, in-program —
+    host-side squaring would force the full-width transfer of a value the
+    reference stores at float16 (reference reader.py:487, :691, :753)."""
     batch = jnp.concatenate([batch, batch_lv.astype(batch.dtype),
                              batch_lv_wide.astype(batch.dtype)], axis=0)
+    err = err.astype(batch.dtype)
+    if square_err:
+        err = err * err
     fine = apply_plan_arrays(batch, idx, w, mask).reshape(batch.shape[:-1] + fine_shape)
     fine_err = apply_plan_arrays(err, idx, w, mask).reshape(err.shape[:-1] + fine_shape)
     if row_sharding is not None:
@@ -446,7 +461,7 @@ def _regrid_device_impl(batch, batch_lv, batch_lv_wide, err, idx, w, mask,
 
 
 _regrid_device = partial(jax.jit, static_argnames=("fine_shape", "ky", "kx",
-                                                   "passthrough",
+                                                   "passthrough", "square_err",
                                                    "row_sharding"))(_regrid_device_impl)
 
 
@@ -591,12 +606,15 @@ def _f16_row_mask(batch_lv) -> np.ndarray:
 
 
 def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
-                  lazy: bool = False, device: bool = False):
+                  lazy: bool = False, device: bool = False,
+                  square_err: bool = False, err_narrow: bool = False):
     """Host wrapper: bucket-pad, run the fused program, return numpy.
 
-    ``batch_lv``: the per-level (3-D field) rows.  In float32 production
-    mode they are transferred as float16 — the reference *stores* these
-    very fields (scattering weights, pressures, profiles) in float16
+    ``batch_lv``: the narrow-transfer-eligible rows (per-level 3-D field
+    stacks plus the 2-D fields ``regrid_granule`` routes here).  In
+    float32 production mode they are transferred as float16 — the
+    reference *stores* these very fields (scattering weights, pressures,
+    profiles, and the vcd/tropopause/uncertainty 2-D fields) in float16
     (reference reader.py:486-506, SURVEY.md §2 precision note), so an
     f16 transfer + f32 device compute strictly dominates its fidelity
     while halving the dominant host->device traffic.  Rows whose finite
@@ -604,11 +622,20 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
     reference reader.py:1089) are split out and travel at the compute
     dtype — an unguarded cast would overflow to inf and NaN the whole
     downstream AMF recalculation.  Full-precision (float64 / parity and
-    test) runs transfer everything at the compute dtype."""
+    test) runs transfer everything at the compute dtype.
+
+    ``square_err``: ship the RAW uncertainty and square it in-program
+    (see ``_regrid_device_impl``); ``err_narrow`` additionally lets that
+    row ride the narrow dtype when it fits f16 range (only for sensors
+    whose reference reader stores uncertainty at f16)."""
     if batch_lv is None:
         batch_lv = np.zeros((0, batch.shape[-1]))
     n = batch.shape[-1]
-    b = pad_to_bucket(n, steps_per_octave=4, align=128)
+    # 8 steps/octave on the pixel axis: products have near-constant swath
+    # shapes (OMI 1644x60), so finer buckets do not multiply compiled
+    # programs but cut the padded-row waste from <=19% to <=9% (the
+    # padding ships as real bytes on the transfer-bound link)
+    b = pad_to_bucket(n, steps_per_octave=8, align=128)
     if b != n:
         pad = [(0, 0), (0, b - n)]
         batch = np.pad(batch, pad, constant_values=np.nan)
@@ -625,19 +652,22 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
         fit = _f16_row_mask(batch_lv)
         lv16, lv_wide = batch_lv[fit], batch_lv[~fit]
         lv_dtype = np.float16
+        err_dtype = (np.float16 if err_narrow and _f16_row_mask(err_batch).all()
+                     else dtype)
     else:
         fit = np.ones((batch_lv.shape[0],), bool)
         lv16, lv_wide = batch_lv, batch_lv[:0]
         lv_dtype = dtype
+        err_dtype = dtype
     mesh = _regrid_mesh_default()
     regrid_fn = _regrid_device if mesh is None else _sharded_regrid_fn(mesh)
     out, out_err = regrid_fn(
         jnp.asarray(batch.astype(dtype)), jnp.asarray(lv16.astype(lv_dtype)),
         jnp.asarray(lv_wide.astype(dtype)),
-        jnp.asarray(err_batch.astype(dtype)),
+        jnp.asarray(err_batch.astype(err_dtype)),
         jnp.asarray(plan.idx), jnp.asarray(plan.w), jnp.asarray(plan.mask),
         jnp.asarray(up_idx), jnp.asarray(up_w), jnp.asarray(up_mask),
-        plan.out_shape, upsc.ky, upsc.kx, upsc.needed)
+        plan.out_shape, upsc.ky, upsc.kx, upsc.needed, square_err)
     f2 = batch.shape[0]
 
     def _inv_order():
@@ -731,24 +761,42 @@ def regrid_granule(
                          grid_size, threshold_ctm, method=4, far_factor=2.0,
                          fast=fast_swath)
 
-    mask = _quality_mask(sat_data.quality_flag, flag_thresh)
+    host_dtype = np.float64 if dtype == np.float64 else np.float32
+    mask = _quality_mask(sat_data.quality_flag, flag_thresh, host_dtype)
     is_amf = isinstance(sat_data, satellite_amf)
     is_opt = isinstance(sat_data, satellite_opt)
 
-    # ---- gather every field (value-kernel batch + error field); the 2-D
-    # fields and the per-level 3-D stacks travel separately so the level
-    # stacks can use the narrow transfer dtype (see _regrid_fused) --------
-    names = ["vcd"]
-    cols = [np.asarray(sat_data.vcd) * mask]
+    # ---- gather every field (value-kernel batch + error field); rows the
+    # reference readers store at float16 travel through the narrow batch
+    # (names_lv), the rest at the compute dtype (see _regrid_fused).
+    # 2-D narrow eligibility follows the reference's own storage: vcd,
+    # tropopause and uncertainty are f16 for every AMF sensor (reference
+    # reader.py:486-519, :751-786, :846-890, :937-1035) and vcd /
+    # aprior_column for MOPITT (:1165, :1179); amf keeps the product
+    # file's native precision (no astype in the reference) and GOSAT
+    # stores everything f32 — those rows stay wide.
+    names: list = []
+    cols: list = []
     names_lv: list = []
     cols_lv: list = []
+    narrow2d = {"vcd", "tropopause"} if is_amf else (
+        {"vcd", "aprior_column"} if getattr(sat_data, "sensor", "") == "MOPITT"
+        else set())
+
+    def add2d(name, arr):
+        if name in narrow2d:
+            names_lv.append(name)
+            cols_lv.append(np.asarray(arr, host_dtype) * mask)
+        else:
+            names.append(name)
+            cols.append(np.asarray(arr, host_dtype) * mask)
+
+    add2d("vcd", sat_data.vcd)
     if is_amf:
-        names.append("amf")
-        cols.append(np.asarray(sat_data.amf) * mask)
+        add2d("amf", sat_data.amf)
     has_trop = np.size(sat_data.tropopause) != 1
     if has_trop:
-        names.append("tropopause")
-        cols.append(np.asarray(sat_data.tropopause) * mask)
+        add2d("tropopause", sat_data.tropopause)
 
     def add3d(name, arr):
         a = np.asarray(arr)
@@ -785,31 +833,33 @@ def regrid_granule(
         add3d_pmid(sat_data.pressure_mid)
     if is_opt:
         if np.asarray(sat_data.aprior_column).any():
-            names.append("aprior_column")
-            cols.append(np.asarray(sat_data.aprior_column) * mask)
+            add2d("aprior_column", sat_data.aprior_column)
         if np.asarray(sat_data.surface_pressure).any():
-            names.append("surface_pressure")
-            cols.append(np.asarray(sat_data.surface_pressure) * mask)
+            add2d("surface_pressure", sat_data.surface_pressure)
         if np.asarray(sat_data.apriori_surface).any():
-            names.append("apriori_surface")
-            cols.append(np.asarray(sat_data.apriori_surface) * mask)
-        names.append("x_col")
-        cols.append(np.asarray(sat_data.x_col) * mask)
+            add2d("apriori_surface", sat_data.apriori_surface)
+        add2d("x_col", sat_data.x_col)
         add3d("averaging_kernels", sat_data.averaging_kernels)
         if sat_data.sensor == "GOSAT":
             add3d("pressure_weight", sat_data.pressure_weight)
         add3d_pmid(sat_data.pressure_mid)
         add3d("apriori_profile", sat_data.apriori_profile)
 
-    batch = _stack(cols)  # (F2, Npix)
-    batch_lv = _stack(cols_lv) if cols_lv else None  # (F3, Npix)
-    err_batch = _stack([np.asarray(sat_data.uncertainty, np.float64) ** 2 * mask])
+    batch = _stack(cols, host_dtype)  # (F2, Npix)
+    batch_lv = _stack(cols_lv, host_dtype) if cols_lv else None  # (F3, Npix)
+    # RAW uncertainty; the device program squares it (square_err) so the
+    # row can ship at the reference's own f16 storage precision for the
+    # AMF sensors (reference reader.py:487 etc.; MOPITT/GOSAT store
+    # uncertainty f32 — err_narrow off keeps those wide)
+    err_batch = _stack([np.asarray(sat_data.uncertainty, host_dtype) * mask],
+                       host_dtype)
     if not (is_amf or is_opt):
         raise TypeError(f"unsupported granule type {type(sat_data)!r}")
     if device is None:
         device = device_granules_default()
     collect = _regrid_fused(plan, upsc, batch, err_batch, dtype,
-                            batch_lv=batch_lv, lazy=True, device=device)
+                            batch_lv=batch_lv, lazy=True, device=device,
+                            square_err=True, err_narrow=is_amf)
 
     def finish():
         name_idx = {n: i for i, n in enumerate(names + names_lv)}
@@ -975,7 +1025,10 @@ def regrid_ssmis_granule(
     if device is None:
         device = device_granules_default()
     collect = _regrid_fused(
-        plan, upsc, _stack([sat_data.vcd]), _stack([sat_data.uncertainty]),
+        plan, upsc,
+        _stack([sat_data.vcd], np.float64 if dtype == np.float64 else np.float32),
+        _stack([sat_data.uncertainty],
+               np.float64 if dtype == np.float64 else np.float32),
         dtype, lazy=True, device=device)
 
     def finish():

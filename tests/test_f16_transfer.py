@@ -256,3 +256,89 @@ def test_device_mode_mixed_rows_match_host(monkeypatch):
     others = np.concatenate([sw[:2], sw[3:]])
     mo = np.isfinite(others)
     assert np.nanmax(np.abs(others[mo])) < 6.0e4
+
+
+def test_2d_narrowing_follows_reference_storage(monkeypatch):
+    """2-D rows narrow ONLY where the reference reader itself stores f16:
+    vcd/tropopause/uncertainty quantize for AMF sensors, while amf (native
+    file precision in the reference, no astype) ships wide — so the f16
+    and full-precision runs agree to f32 rounding on amf but only to f16
+    quantization on vcd."""
+    g16 = _regrid(monkeypatch, "f16", _amf_granule_f32(seed=5))
+    g32 = _regrid(monkeypatch, "full", _amf_granule_f32(seed=5))
+    m = np.isfinite(np.asarray(g32.vcd))
+    assert m.sum() > 200
+    # narrow rows: f16 quantization visible but bounded
+    np.testing.assert_allclose(np.asarray(g16.vcd)[m], np.asarray(g32.vcd)[m],
+                               rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g16.uncertainty)[m],
+                               np.asarray(g32.uncertainty)[m],
+                               rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g16.tropopause)[m],
+                               np.asarray(g32.tropopause)[m],
+                               rtol=2e-3, atol=1e-6)
+    # wide row: no f16 step anywhere in its path
+    np.testing.assert_allclose(np.asarray(g16.amf)[m], np.asarray(g32.amf)[m],
+                               rtol=1e-6, atol=0)
+
+
+def test_2d_narrow_range_guard(monkeypatch):
+    """A vcd far beyond f16 range (unscaled columns ~1e15) must take the
+    wide path automatically — identical to the full-precision run, not
+    inf/NaN."""
+    g = _amf_granule_f32(seed=6)
+    g.vcd = (g.vcd * 1.0e15).astype(np.float32)
+    g16 = _regrid(monkeypatch, "f16", g)
+    g2 = _amf_granule_f32(seed=6)
+    g2.vcd = (g2.vcd * 1.0e15).astype(np.float32)
+    g32 = _regrid(monkeypatch, "full", g2)
+    m = np.isfinite(np.asarray(g32.vcd))
+    assert m.sum() > 200
+    assert np.isfinite(np.asarray(g16.vcd)[m]).all()
+    np.testing.assert_allclose(np.asarray(g16.vcd)[m], np.asarray(g32.vcd)[m],
+                               rtol=1e-6, atol=0)
+
+
+def test_opt_2d_narrowing_policy(monkeypatch):
+    """MOPITT: vcd/aprior_column narrow (reference reader.py:1165, :1179)
+    but x_col and uncertainty are f32 in the reference and must not
+    quantize; GOSAT stores every 2-D field f32 — nothing narrows."""
+    from oisat_tpu.datamodel import satellite_opt
+
+    def mopitt_like(seed=2, ny=50, nx=40, nz=5):
+        rng = np.random.default_rng(seed)
+        lat = np.linspace(30.5, 45.2, ny)[:, None] * np.ones((ny, nx))
+        lon = np.ones((ny, 1)) * np.linspace(-9.8, 9.9, nx)[None, :]
+        return satellite_opt(
+            vcd=np.abs(rng.normal(2000, 100, (ny, nx))).astype(np.float32),
+            time=datetime.datetime(2019, 7, 5), tropopause=np.empty((1,)),
+            latitude_center=lat, longitude_center=lon,
+            uncertainty=np.abs(rng.normal(30, 5, (ny, nx))).astype(np.float32),
+            quality_flag=np.ones((ny, nx)),
+            pressure_mid=np.sort(rng.uniform(100, 950, (nz, ny, nx)),
+                                 axis=0)[::-1].copy().astype(np.float32),
+            averaging_kernels=rng.uniform(0, 0.5, (nz + 1, ny, nx)).astype(np.float32),
+            aprior_column=np.abs(rng.normal(1800, 100, (ny, nx))).astype(np.float32),
+            apriori_profile=np.abs(rng.normal(80, 15, (nz, ny, nx))).astype(np.float32),
+            surface_pressure=np.full((ny, nx), 1000.0, np.float32),
+            apriori_surface=np.abs(rng.normal(90, 10, (ny, nx))).astype(np.float32),
+            x_col=np.abs(rng.normal(0.1, 0.02, (ny, nx))).astype(np.float32),
+            pressure_weight=[], sensor="MOPITT", ctm_upscaled_needed=False)
+
+    g16 = _regrid(monkeypatch, "f16", mopitt_like())
+    g32 = _regrid(monkeypatch, "full", mopitt_like())
+    m = np.isfinite(np.asarray(g32.vcd))
+    assert m.sum() > 200
+    np.testing.assert_allclose(np.asarray(g16.vcd)[m], np.asarray(g32.vcd)[m],
+                               rtol=2e-3, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(g16.aprior_column)[m],
+                               np.asarray(g32.aprior_column)[m],
+                               rtol=2e-3, atol=1e-6)
+    # reference-f32 rows: no quantization allowed
+    np.testing.assert_allclose(np.asarray(g16.x_col)[m],
+                               np.asarray(g32.x_col)[m], rtol=1e-6, atol=0)
+    np.testing.assert_allclose(np.asarray(g16.uncertainty)[m],
+                               np.asarray(g32.uncertainty)[m], rtol=1e-6, atol=0)
+    np.testing.assert_allclose(np.asarray(g16.apriori_surface)[m],
+                               np.asarray(g32.apriori_surface)[m],
+                               rtol=1e-6, atol=0)

@@ -134,7 +134,10 @@ def test_tropomi_no2(tmp_path):
     g = out[0]
     assert g.time.date() == datetime.date(2019, 7, 12)
     v = g.vcd[np.isfinite(g.vcd)]
-    np.testing.assert_allclose(v, 8e-5 * 6.02214e19 * 1e-15, rtol=1e-5)
+    # rtol 1e-3: vcd rides the narrow (f16) transfer in f32 mode — the
+    # reference itself stores TROPOMI vcd at float16 (reader.py:660), so
+    # the quantized value is the reference-faithful one
+    np.testing.assert_allclose(v, 8e-5 * 6.02214e19 * 1e-15, rtol=1e-3)
     # SW = AK * amf_total = 2.2 everywhere (f16-transfer quantization
     # applies to level stacks in f32 mode, hence rtol 1e-3)
     sw = g.scattering_weights[0][np.isfinite(g.scattering_weights[0])]
