@@ -257,7 +257,9 @@ def _synthetic_orbit(seed=0, ny=1644, nx=60, nz=35):
     eta_b = np.linspace(1.0, 0.02, nz)
     psurf = 1000.0 + 30.0 * rng.standard_normal((ny, nx))
     pm = eta_a[:, None, None] + eta_b[:, None, None] * psurf[None]
-    return satellite_amf(
+    from oisat_tpu.readers.sensors.common import attach_pmid_tables
+
+    g = satellite_amf(
         vcd=2.0 + np.sin(lon / 5.0) * np.cos(lat / 7.0),
         amf=np.full((ny, nx), 1.5), time=None, tropopause=np.full((ny, nx), 150.0),
         latitude_center=lat, longitude_center=lon,
@@ -267,6 +269,8 @@ def _synthetic_orbit(seed=0, ny=1644, nx=60, nz=35):
         ctm_upscaled_needed=False, ctm_vcd=[], ctm_time_at_sat=[],
         old_amf=[], new_amf=[],
     )
+    # construction provenance, like the real readers (skips the affine re-fit)
+    return attach_pmid_tables(g, eta_a, eta_b)
 
 
 def bench_regrid(fast: bool, orbits=8):

@@ -80,7 +80,9 @@ def make_granule(seed, day, nz=6):
     eta_a = np.linspace(0.0, 100.0, nz)
     eta_b = np.linspace(1.0, 0.02, nz)
     psurf = 1000.0 + 30.0 * rng.standard_normal((ny, nx))
-    return satellite_amf(
+    from oisat_tpu.readers.sensors.common import attach_pmid_tables
+
+    g = satellite_amf(
         vcd=np.abs(rng.normal(3, 1, (ny, nx))),
         amf=np.abs(rng.normal(2, 0.3, (ny, nx))),
         time=datetime.datetime(2019, 7, day, 13, 30),
@@ -91,6 +93,8 @@ def make_granule(seed, day, nz=6):
         pressure_mid=eta_a[:, None, None] + eta_b[:, None, None] * psurf[None],
         scattering_weights=np.abs(rng.normal(1, 0.2, (nz, ny, nx))),
     )
+    # construction provenance, like the real readers (skips the affine re-fit)
+    return attach_pmid_tables(g, eta_a, eta_b)
 
 
 def main():

@@ -8,6 +8,7 @@ from concurrent.futures import ThreadPoolExecutor
 import numpy as np
 
 __all__ = ["scrub_sws", "fleet_map", "pmid_from_eta_edges", "epoch_time",
+           "eta_mid_tables", "attach_pmid_tables",
            "GEOS5_ETA_A48", "GEOS5_ETA_B48"]
 
 
@@ -36,6 +37,28 @@ def pmid_from_eta_edges(eta_a, eta_b, ps):
     ps = np.asarray(ps, np.float64)[None]
     edges = eta_a + eta_b * ps  # (L+1, H, W)
     return (0.5 * (edges[:-1] + edges[1:])).astype("float32")
+
+
+def eta_mid_tables(eta_a, eta_b):
+    """The mid-level (a, b) coefficient tables matching
+    :func:`pmid_from_eta_edges`: ``p_mid[z] == a_mid[z] + b_mid[z]*ps``."""
+    a = np.asarray(eta_a, np.float64)
+    b = np.asarray(eta_b, np.float64)
+    return 0.5 * (a[:-1] + a[1:]), 0.5 * (b[:-1] + b[1:])
+
+
+def attach_pmid_tables(granule, a_mid, b_mid):
+    """Provenance tag: this granule's ``pressure_mid`` was CONSTRUCTED as
+    ``a_mid + b_mid * <2-D field>`` (hybrid-eta mids, or a fixed 1-D
+    pressure table with ``b_mid == 0``).  The regridder then derives its
+    affine carrier tables directly from these coefficients instead of
+    re-fitting them from the pixel data every orbit (a ~90 ms/orbit host
+    scan on this 1-core host); a strided residual spot-check still guards
+    against post-construction edits (regridder._affine_from_tables).
+    Contract for callers: do NOT mutate pressure_mid after attaching."""
+    granule._pmid_eta = (np.asarray(a_mid, np.float64).ravel(),
+                         np.asarray(b_mid, np.float64).ravel())
+    return granule
 
 
 def fleet_map(reader, files, num_job, label):

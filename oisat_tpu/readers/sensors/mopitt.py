@@ -10,7 +10,8 @@ import numpy as np
 from oisat_tpu.datamodel import satellite_opt
 from oisat_tpu.readers.ncio import get_nc_attrs, read_group_nc, remove_empty_files
 from oisat_tpu.readers.registry import SENSORS
-from oisat_tpu.readers.sensors.common import epoch_time, fleet_map
+from oisat_tpu.readers.sensors.common import (attach_pmid_tables,
+    epoch_time, fleet_map)
 from oisat_tpu.regridder import regrid_granule
 
 EPOCH_1993 = datetime.datetime(1993, 1, 1)
@@ -61,6 +62,8 @@ def mopitt_reader_co(fname, ctm_lon=None, ctm_lat=None, read_ak=True):
         aprior_column=apriori_col.astype("float32"), apriori_profile=apriori_profile,
         surface_pressure=surface_pressure, apriori_surface=apriori_surface,
         x_col=x_col, pressure_weight=[], sensor="MOPITT")
+    # fixed 1-D pressure table: b == 0 (regridder skips the affine re-fit)
+    attach_pmid_tables(g, np.asarray(ps, np.float64)[:9], np.zeros(9))
     if ctm_lon is not None:
         print("Currently interpolating ...")
         spec = SENSORS["MOPITT_CO"]

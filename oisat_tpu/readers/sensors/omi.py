@@ -19,7 +19,9 @@ from oisat_tpu.readers.registry import SENSORS
 from oisat_tpu.readers.sensors.common import (
     GEOS5_ETA_A48,
     GEOS5_ETA_B48,
+    attach_pmid_tables,
     epoch_time,
+    eta_mid_tables,
     fleet_map,
     pmid_from_eta_edges,
     scrub_sws,
@@ -78,6 +80,8 @@ def omi_reader_no2(fname, trop, ctm_lon=None, ctm_lat=None, read_ak=True):
                       latitude_center=lat, longitude_center=lon,
                       latitude_corner=[], longitude_corner=[], uncertainty=unc,
                       quality_flag=quality_flag, pressure_mid=p_mid, scattering_weights=sws)
+    # fixed 1-D pressure table: b == 0 (regridder skips the affine re-fit)
+    attach_pmid_tables(g, np.asarray(ps, np.float64)[:35], np.zeros(35))
     if ctm_lon is not None:
         print("Currently interpolating ...")
         spec = SENSORS["OMI_NO2"]
@@ -108,6 +112,7 @@ def omi_reader_hcho(fname, ctm_lon=None, ctm_lat=None, read_ak=True):
                       latitude_center=lat, longitude_center=lon,
                       latitude_corner=[], longitude_corner=[], uncertainty=unc,
                       quality_flag=quality_flag, pressure_mid=p_mid, scattering_weights=sws)
+    attach_pmid_tables(g, *eta_mid_tables(GEOS5_ETA_A48, GEOS5_ETA_B48))
     if ctm_lon is not None:
         print("Currently interpolating ...")
         spec = SENSORS["OMI_HCHO"]

@@ -13,7 +13,9 @@ from oisat_tpu.readers.registry import SENSORS
 from oisat_tpu.readers.sensors.common import (
     GEOS5_ETA_A48,
     GEOS5_ETA_B48,
+    attach_pmid_tables,
     epoch_time,
+    eta_mid_tables,
     fleet_map,
     pmid_from_eta_edges,
     scrub_sws,
@@ -52,6 +54,7 @@ def omps_reader_hcho(fname, ctm_lon=None, ctm_lat=None, read_ak=True):
                       latitude_center=lat, longitude_center=lon,
                       latitude_corner=[], longitude_corner=[], uncertainty=unc,
                       quality_flag=quality_flag, pressure_mid=p_mid, scattering_weights=sws)
+    attach_pmid_tables(g, *eta_mid_tables(GEOS5_ETA_A48, GEOS5_ETA_B48))
     if ctm_lon is not None:
         print("Currently interpolating ...")
         spec = SENSORS["OMPS_HCHO"]

@@ -10,8 +10,8 @@ import numpy as np
 from oisat_tpu.datamodel import satellite_amf
 from oisat_tpu.readers.ncio import get_nc_attrs, read_group_nc, read_nc, remove_empty_files
 from oisat_tpu.readers.registry import SENSORS
-from oisat_tpu.readers.sensors.common import (epoch_time, fleet_map,
-    pmid_from_eta_edges, scrub_sws)
+from oisat_tpu.readers.sensors.common import (attach_pmid_tables, epoch_time,
+    eta_mid_tables, fleet_map, pmid_from_eta_edges, scrub_sws)
 from oisat_tpu.regridder import regrid_granule
 
 EPOCH_1980 = datetime.datetime(1980, 1, 6)
@@ -44,7 +44,7 @@ def _tempo_pmid_and_sws(fname, read_ak):
         sws = scrub_sws(read_group_nc(fname, ["support_data"], "scattering_weights").astype("float32"))
     else:
         sws = np.empty((1,))
-    return p_mid, sws
+    return p_mid, sws, eta_mid_tables(eta_a, eta_b)
 
 
 def _tempo_quality(fname):
@@ -91,7 +91,7 @@ def tempo_reader_no2(fname, trop, ctm_lon=None, ctm_lat=None, read_ak=True):
     vcd = (vcd * 1e-15).astype("float32")
     unc = (unc * 1e-15).astype("float32")
     quality_flag = _tempo_quality(fname)
-    p_mid, sws = _tempo_pmid_and_sws(fname, read_ak)
+    p_mid, sws, pm_tabs = _tempo_pmid_and_sws(fname, read_ak)
     if trop:
         tropopause = read_group_nc(fname, ["support_data"], "tropopause_pressure").astype("float32")
     else:
@@ -100,6 +100,7 @@ def tempo_reader_no2(fname, trop, ctm_lon=None, ctm_lat=None, read_ak=True):
                       latitude_center=lat, longitude_center=lon,
                       latitude_corner=[], longitude_corner=[], uncertainty=unc,
                       quality_flag=quality_flag, pressure_mid=p_mid, scattering_weights=sws)
+    attach_pmid_tables(g, *pm_tabs)
     if ctm_lon is not None:
         print("Currently interpolating ...")
         spec = SENSORS["TEMPO_NO2"]
@@ -116,11 +117,12 @@ def tempo_reader_hcho(fname, ctm_lon=None, ctm_lat=None, read_ak=True):
     amf = read_group_nc(fname, ["support_data"], "amf")
     unc = (read_group_nc(fname, ["product"], "vertical_column_uncertainty") * 1e-15).astype("float32")
     quality_flag = _tempo_quality(fname)
-    p_mid, sws = _tempo_pmid_and_sws(fname, read_ak)
+    p_mid, sws, pm_tabs = _tempo_pmid_and_sws(fname, read_ak)
     g = satellite_amf(vcd=vcd, amf=amf, time=time, tropopause=np.empty((1,)),
                       latitude_center=lat, longitude_center=lon,
                       latitude_corner=[], longitude_corner=[], uncertainty=unc,
                       quality_flag=quality_flag, pressure_mid=p_mid, scattering_weights=sws)
+    attach_pmid_tables(g, *pm_tabs)
     if ctm_lon is not None:
         print("Currently interpolating ...")
         spec = SENSORS["TEMPO_HCHO"]

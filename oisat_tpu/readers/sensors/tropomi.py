@@ -10,7 +10,8 @@ import numpy as np
 from oisat_tpu.datamodel import satellite_amf
 from oisat_tpu.readers.ncio import read_group_nc, remove_empty_files
 from oisat_tpu.readers.registry import SENSORS
-from oisat_tpu.readers.sensors.common import epoch_time, fleet_map, scrub_sws
+from oisat_tpu.readers.sensors.common import (attach_pmid_tables,
+    epoch_time, eta_mid_tables, fleet_map, scrub_sws)
 from oisat_tpu.regridder import regrid_granule
 
 EPOCH_2010 = datetime.datetime(2010, 1, 1)
@@ -67,6 +68,8 @@ def tropomi_reader_no2(fname, trop, ctm_lon=None, ctm_lat=None, read_ak=True):
                       latitude_center=lat, longitude_center=lon,
                       latitude_corner=[], longitude_corner=[], uncertainty=unc,
                       quality_flag=quality_flag, pressure_mid=p_mid, scattering_weights=sws)
+    # edge tables -> mid tables (p_mid = 0.5*(edges[:34]+edges[1:35]))
+    attach_pmid_tables(g, *eta_mid_tables(tm5_a[:35], tm5_b[:35]))
     if ctm_lon is not None:
         print("Currently interpolating ...")
         spec = SENSORS["TROPOMI_NO2"]
@@ -107,6 +110,9 @@ def tropomi_reader_hcho(fname, ctm_lon=None, ctm_lat=None, read_ak=True):
                           latitude_center=lat, longitude_center=lon,
                           latitude_corner=[], longitude_corner=[], uncertainty=unc,
                           quality_flag=quality_flag, pressure_mid=p_mid, scattering_weights=sws)
+        # HCHO a/b are mid-level values already
+        attach_pmid_tables(g, np.asarray(tm5_a, np.float64)[:34],
+                           np.asarray(tm5_b, np.float64)[:34])
         if ctm_lon is not None:
             print("Currently interpolating ...")
             spec = SENSORS["TROPOMI_HCHO"]

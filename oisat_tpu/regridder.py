@@ -351,6 +351,54 @@ def _affine_stack(stack, rtol: float = 1e-5):
     return tab[0], tab[1], ci
 
 
+def _affine_from_tables(stack, tabs, rtol: float = 1e-4):
+    """Derive the (a, b, carrier_index) affine contract of
+    :func:`_affine_stack` from READER-PROVIDED construction tables
+    (``stack[l] == A[l] + B[l]*ps``, see
+    readers.sensors.common.attach_pmid_tables) instead of re-fitting the
+    pixel data: with carrier level ``ci = argmax|B|``,
+    ``stack[l] == a[l] + b[l]*stack[ci]`` for ``b = B/B[ci]``,
+    ``a = A - A[ci]*B/B[ci]`` — exact by construction, no full-stack
+    scan.  A strided residual spot-check (every 97th pixel) guards
+    against a stack that was edited after construction; on any mismatch
+    (or shape disagreement) returns None and the caller falls back to
+    the full :func:`_affine_stack` fit.  ``B == 0`` everywhere (fixed
+    1-D pressure tables: OMI NO2, MOPITT) degenerates to ``b = 0`` with
+    level 0 as carrier — NaN masking still propagates because IEEE
+    ``0*NaN`` is NaN."""
+    A, B = tabs
+    s = np.asarray(stack)
+    L = s.shape[0]
+    if A.shape != (L,) or B.shape != (L,) or L < 3:
+        return None
+    if not (np.isfinite(A).all() and np.isfinite(B).all()):
+        return None
+    ci = int(np.argmax(np.abs(B)))
+    if B[ci] == 0.0:
+        a, b = A.copy(), np.zeros(L)
+        ci = 0
+    else:
+        b = B / B[ci]
+        a = A - A[ci] * b
+    flat = s.reshape(L, -1)[:, ::97]
+    if flat.shape[1] < 2:
+        return None  # too small to spot-check; use the full fit
+    import warnings
+
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slices
+        nan = np.isnan(flat)
+        if not np.array_equiv(nan, nan[ci][None]):
+            return None
+        pred = a[:, None] + b[:, None] * flat[ci][None].astype(np.float64)
+        resid = np.abs(flat - pred)
+        scale = np.maximum(np.nanmax(np.abs(flat), axis=1), 1e-300)
+        # NaN nanmax (all-NaN row) compares False -> passes, like the fit
+        if np.any(np.nanmax(resid, axis=1) > rtol * scale):
+            return None
+    return a, b, ci
+
+
 def _affine_tables(stack, carrier, rtol: float = 1e-5, lo=None, hi=None,
                    nan_checked: bool = False):
     """Fit every level of ``stack`` as ``a[l] + b[l] * carrier`` against a
@@ -816,9 +864,14 @@ def regrid_granule(
         nonlocal pmid_affine
         # parity mode takes the reference's per-level path (a + b*regrid(ps)
         # rounds differently than per-level regrid(a + b*ps))
-        ab = (_affine_stack(arr)
-              if interpolator_type in (1, 2, 4) and not parity_mode()
-              else None)
+        ab = None
+        if interpolator_type in (1, 2, 4) and not parity_mode():
+            # reader-provided construction tables skip the full-stack fit
+            tabs = getattr(sat_data, "_pmid_eta", None)
+            if tabs is not None:
+                ab = _affine_from_tables(arr, tabs)
+            if ab is None:
+                ab = _affine_stack(arr)
         if ab is None:
             add3d("pressure_mid", arr)
             return

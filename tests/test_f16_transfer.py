@@ -342,3 +342,68 @@ def test_opt_2d_narrowing_policy(monkeypatch):
     np.testing.assert_allclose(np.asarray(g16.apriori_surface)[m],
                                np.asarray(g32.apriori_surface)[m],
                                rtol=1e-6, atol=0)
+
+
+def test_pmid_tables_provenance_skips_fit(monkeypatch):
+    """A granule tagged with construction tables (attach_pmid_tables) must
+    regrid identically to the per-orbit affine fit it replaces — including
+    the b==0 fixed-table case — and a stack edited AFTER tagging must be
+    caught by the spot-check and fall back to the full fit."""
+    from oisat_tpu.readers.sensors.common import attach_pmid_tables, eta_mid_tables
+    from oisat_tpu import regridder
+
+    edges_a = np.linspace(0.0, 120.0, 7)
+    edges_b = np.linspace(1.0, 0.05, 7)
+
+    def eta_granule(seed=9):
+        g = _amf_granule_f32(seed=seed)
+        a_mid, b_mid = eta_mid_tables(edges_a, edges_b)
+        ps = 1000.0 + 30.0 * np.random.default_rng(seed).standard_normal(g.vcd.shape)
+        g.pressure_mid = (a_mid[:, None, None]
+                          + b_mid[:, None, None] * ps[None]).astype(np.float32)
+        return g, (a_mid, b_mid)
+
+    g_fit, tabs = eta_granule()
+    g_tab, _ = eta_granule()
+    attach_pmid_tables(g_tab, *tabs)
+
+    calls = []
+    orig = regridder._affine_stack
+    monkeypatch.setattr(regridder, "_affine_stack",
+                        lambda *a, **k: calls.append(1) or orig(*a, **k))
+    out_tab = _regrid(monkeypatch, "full", g_tab)
+    assert not calls, "tables present: the full fit must not run"
+    out_fit = _regrid(monkeypatch, "full", g_fit)
+    assert calls, "no tables: the full fit runs"
+    m = np.isfinite(np.asarray(out_fit.pressure_mid))
+    assert m.sum() > 500
+    np.testing.assert_allclose(np.asarray(out_tab.pressure_mid)[m],
+                               np.asarray(out_fit.pressure_mid)[m],
+                               rtol=1e-6, atol=1e-6)
+
+    # b == 0 fixed table: masked pixels must STAY NaN (0*NaN carrier ride).
+    # The mask must be spatially coherent — the boxfilter NaN-propagates
+    # (reference semantics), so a random mask NaNs every window.
+    g_fix, _ = eta_granule(seed=11)
+    tab1d = np.linspace(900.0, 100.0, 6)
+    g_fix.pressure_mid = np.broadcast_to(
+        tab1d[:, None, None], g_fix.pressure_mid.shape).astype(np.float32).copy()
+    qa = np.ones(g_fix.vcd.shape)
+    qa[: qa.shape[0] // 2] = 0.0  # mask the southern half of the swath
+    g_fix.quality_flag = qa
+    attach_pmid_tables(g_fix, tab1d, np.zeros(6))
+    calls.clear()
+    out_fix = _regrid(monkeypatch, "full", g_fix)
+    assert not calls
+    pm = np.asarray(out_fix.pressure_mid)
+    vc = np.asarray(out_fix.vcd)
+    assert np.isnan(pm[0][np.isnan(vc)]).all(), "mask lost through b==0 tables"
+
+    # corrupted stack after tagging -> spot-check rejects, full fit runs
+    g_bad, tabs_b = eta_granule(seed=13)
+    g_bad.pressure_mid = g_bad.pressure_mid + np.random.default_rng(1).normal(
+        0, 5.0, g_bad.pressure_mid.shape).astype(np.float32)  # non-affine now
+    attach_pmid_tables(g_bad, *tabs_b)
+    calls.clear()
+    _regrid(monkeypatch, "full", g_bad)
+    assert calls, "edited stack must fall back to the full fit"
