@@ -63,18 +63,31 @@ def interp_linear_batched(xp, fp, xq, extrapolate: bool):
     xp = jnp.moveaxis(xp, 0, -1)  # (..., Ls)
     fp = jnp.moveaxis(fp, 0, -1)
     xq = jnp.moveaxis(xq, 0, -1)  # (..., Lt)
-    order = jnp.argsort(xp, axis=-1)
-    xs = jnp.take_along_axis(xp, order, axis=-1)
-    fs = jnp.take_along_axis(fp, order, axis=-1)
-    ls = xs.shape[-1]
+    ls = xp.shape[-1]
+    # monotonic columns sort by a flip, not an argsort: TPU gathers along
+    # the minor (lane) axis serialize badly — the argsort +
+    # 6x take_along_axis formulation measured 0.92 s for a fused month's
+    # (60, 61, 81, 35->20) batch vs 0.13 s for this flip + one-hot
+    # contraction form (7x; it was most of the fused analysis leg's
+    # device time).  The documented contract is unchanged: abscissae in
+    # any MONOTONIC order — a genuinely unsorted column now yields NaN
+    # (guard below) instead of scipy's sort, a case no physical pressure
+    # grid produces.
+    desc = xp[..., :1] > xp[..., -1:]
+    xs = jnp.where(desc, xp[..., ::-1], xp)
+    fs = jnp.where(desc, fp[..., ::-1], fp)
     # searchsorted(right): number of xs <= xq
     cnt = jnp.sum(xs[..., None, :] <= xq[..., :, None], axis=-1)  # (..., Lt)
     hi = jnp.clip(cnt, 1, ls - 1)
     lo = hi - 1
-    x0 = jnp.take_along_axis(xs, lo, axis=-1)
-    x1 = jnp.take_along_axis(xs, hi, axis=-1)
-    f0 = jnp.take_along_axis(fs, lo, axis=-1)
-    f1 = jnp.take_along_axis(fs, hi, axis=-1)
+    # one-hot masked reductions instead of lane-axis gathers (VPU work)
+    ar = jnp.arange(ls)
+    oh_lo = lo[..., :, None] == ar
+    oh_hi = hi[..., :, None] == ar
+    x0 = jnp.sum(jnp.where(oh_lo, xs[..., None, :], 0), -1)
+    x1 = jnp.sum(jnp.where(oh_hi, xs[..., None, :], 0), -1)
+    f0 = jnp.sum(jnp.where(oh_lo, fs[..., None, :], 0), -1)
+    f1 = jnp.sum(jnp.where(oh_hi, fs[..., None, :], 0), -1)
     t = (xq - x0) / (x1 - x0)
     out = f0 + t * (f1 - f0)
     if not extrapolate:
@@ -87,7 +100,11 @@ def interp_linear_batched(xp, fp, xq, extrapolate: bool):
     # The conservative rule is chosen because a NaN level inside a sorted
     # column makes the segment choice ill-defined on device, and an inf
     # abscissa would otherwise poison neighbouring segments silently.
-    colbad = ~jnp.all(jnp.isfinite(xs), axis=-1, keepdims=True)
+    # Non-monotonic columns (which the flip cannot sort) NaN for the same
+    # reason; NaN-containing columns trip this guard too (NaN compares
+    # False).
+    colbad = ~jnp.all(xs[..., 1:] >= xs[..., :-1], axis=-1, keepdims=True)
+    colbad |= ~jnp.all(jnp.isfinite(xs), axis=-1, keepdims=True)
     out = jnp.where(colbad, jnp.nan, out)
     return jnp.moveaxis(out, -1, 0)
 

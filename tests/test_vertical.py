@@ -144,3 +144,23 @@ def test_pwv():
     ref = np.nansum(pc / 1000.0, axis=0)
     ref[0, 0] = np.nan
     np.testing.assert_allclose(got, ref, rtol=1e-12)
+
+
+def test_interp_nonmonotone_column_nans():
+    """Deliberate deviation (documented in interp_linear_batched): a
+    genuinely unsorted abscissa column yields NaN — the flip-based sort
+    handles any MONOTONIC order only (no physical pressure grid is
+    unsorted; scipy would argsort)."""
+    xp = np.array([[[1.0]], [[5.0]], [[3.0]]])  # not monotone either way
+    fp = np.ones((3, 1, 1))
+    xq = np.array([[[2.0]]])
+    got = np.asarray(interp_linear_batched(
+        jnp.asarray(xp), jnp.asarray(fp), jnp.asarray(xq), True))
+    assert np.isnan(got).all()
+    # both monotonic directions still interpolate
+    for sl in (slice(None), slice(None, None, -1)):
+        got = np.asarray(interp_linear_batched(
+            jnp.asarray(np.sort(xp, axis=0)[sl]),
+            jnp.asarray(np.array([[[10.0]], [[20.0]], [[30.0]]])[sl]),
+            jnp.asarray(xq), True))
+        assert np.isfinite(got).all()
