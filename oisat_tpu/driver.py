@@ -506,8 +506,12 @@ class oisatgmi:
             # the reg-factor/innovation scalars) — see _pack_month_pull
             packed = np.asarray(_pack_month_pull(out, not host_oi_tail),
                                 np.float64)
+            # per-plane copies: view-unpacking would pin the whole packed
+            # base (including the ~33 MB NaN scalar-pad plane at the
+            # production grid) in memory for the attributes' lifetime
             (self.sat_averaged_vcd, self.sat_averaged_error,
-             self.ctm_averaged_vcd, self.aux1, self.aux2) = packed[:5]
+             self.ctm_averaged_vcd, self.aux1, self.aux2) = (
+                p.copy() for p in packed[:5])
             avg_ts = sum(g.time.timestamp() for g in grans) / len(grans)
             self.avg_time = datetime.datetime.fromtimestamp(avg_ts)
             if host_oi_tail:
@@ -521,8 +525,9 @@ class oisatgmi:
                               desroziers_iterations, desroziers_bins)
                 return out
             (self.ctm_averaged_vcd_corrected, self.ak_OI,
-             self.increment_OI, self.error_OI) = packed[5:9]
-            scal = packed[-1].ravel()
+             self.increment_OI, self.error_OI) = (
+                p.copy() for p in packed[5:9])
+            scal = packed[-1].ravel().copy()
             print("The regularization factor is " + str(float(scal[0])))
             # innovation/chi2 diagnostics computed IN the fused program
             # (analysis_step folds them over the same xa/y pair the OI

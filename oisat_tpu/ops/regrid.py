@@ -32,13 +32,16 @@ def pad_to_bucket(n: int, min_size: int = 1024, steps_per_octave: int = 1,
     Axis lengths vary per file; padding to a fixed geometric grid of
     buckets bounds XLA recompiles to O(log) distinct shapes (SURVEY.md §7
     "hard parts" #2).  ``steps_per_octave=1`` is the power-of-two grid
-    (worst-case 2x padding); the transfer-bound paths use 4 steps per
-    octave (2^(1/4) ~ 1.19 growth: worst-case 19%, typical ~9% padding —
-    on the tunnel-attached chip H2D bytes, not FLOPs, set the regrid
-    time) at a bounded 4x compile-count ceiling that real sensors never
-    approach (per-sensor axis lengths cluster tightly).  ``align`` rounds
-    every bucket up to a multiple (TPU lane friendliness for the pixel
-    axis)."""
+    (worst-case 2x padding); transfer-bound paths use finer grids — on
+    the tunnel-attached chip H2D bytes, not FLOPs, set the regrid time.
+    The granule axis runs 4 steps per octave (2^(1/4) ~ 1.19 growth:
+    worst-case 19%, typical ~9% padding); the pixel axis runs 8 steps
+    (<=9% worst-case waste) but ONLY for the first pixel count seen per
+    coarse region — later distinct counts escalate to the 4-step bucket
+    (regridder._pixel_bucket) so variable-scan sensors (TEMPO truncated
+    hours) compile at most 2 programs per region instead of 8 per
+    octave.  ``align`` rounds every bucket up to a multiple (TPU lane
+    friendliness for the pixel axis)."""
     import math
 
     if n <= min_size:

@@ -17,6 +17,7 @@ by carrying the uncertainty field as variance through a second kernel.
 from __future__ import annotations
 
 import dataclasses
+import threading
 from functools import partial
 from typing import Optional
 
@@ -263,6 +264,31 @@ def make_upscaler(
 # device-resident (T,K) idx/w can be tens of MB each — keep the LRU small
 _plan_cache = LockedLRU(4)
 
+# pixel-bucket escalation state: coarse 4-step bucket -> first exact pixel
+# count seen there (process-wide, like the compiled-program cache it guards)
+_pixel_bucket_lock = threading.Lock()
+_pixel_bucket_first: dict[int, int] = {}
+
+
+def _pixel_bucket(n: int) -> int:
+    """Bucket the flattened pixel axis for transfer + compile.
+
+    The first pixel count seen in a coarse 4-steps/octave region gets its
+    tight 8-steps/octave bucket (fixed-geometry sensors — OMI 1644x60,
+    SSMIS's one global grid — only ever present ONE count, so they keep
+    <=9% padded-byte waste on the transfer-bound link).  Any LATER
+    distinct count landing in the same coarse region escalates to the
+    coarse bucket itself: variable-scan sensors (TEMPO truncated hourly
+    scans, TROPOMI orbit-length jitter) then compile at most 2 regrid
+    programs per region instead of up to 8 per octave — each fresh shape
+    costs 30 s - 6 min on the remote compile service (CLAUDE.md)."""
+    coarse = pad_to_bucket(n, steps_per_octave=4, align=128)
+    with _pixel_bucket_lock:
+        first = _pixel_bucket_first.setdefault(coarse, n)
+    if first == n:
+        return pad_to_bucket(n, steps_per_octave=8, align=128)
+    return coarse
+
 
 def _granule_plan(sat_lon, sat_lat, lons_fine, lats_fine, grid_size,
                   method: int, far_factor: float, fast: bool):
@@ -358,11 +384,15 @@ def _affine_from_tables(stack, tabs, rtol: float = 1e-4):
     readers.sensors.common.attach_pmid_tables) instead of re-fitting the
     pixel data: with carrier level ``ci = argmax|B|``,
     ``stack[l] == a[l] + b[l]*stack[ci]`` for ``b = B/B[ci]``,
-    ``a = A - A[ci]*B/B[ci]`` — exact by construction, no full-stack
-    scan.  A strided residual spot-check (every 97th pixel) guards
-    against a stack that was edited after construction; on any mismatch
-    (or shape disagreement) returns None and the caller falls back to
-    the full :func:`_affine_stack` fit.  ``B == 0`` everywhere (fixed
+    ``a = A - A[ci]*B/B[ci]`` — exact by construction, no per-level
+    re-fit.  A FULL-stack residual + NaN-pattern check (two cheap
+    vectorized passes, still ~10x cheaper than the fit it replaces)
+    guards against a stack that was edited after construction — a
+    localized scrub that re-masks or rescales a sub-swath must not slip
+    through, because reconstruction would force the carrier's values and
+    NaN pattern onto every level; on any mismatch (or shape
+    disagreement) returns None and the caller falls back to the full
+    :func:`_affine_stack` fit.  ``B == 0`` everywhere (fixed
     1-D pressure tables: OMI NO2, MOPITT) degenerates to ``b = 0`` with
     level 0 as carrier — NaN masking still propagates because IEEE
     ``0*NaN`` is NaN."""
@@ -380,9 +410,9 @@ def _affine_from_tables(stack, tabs, rtol: float = 1e-4):
     else:
         b = B / B[ci]
         a = A - A[ci] * b
-    flat = s.reshape(L, -1)[:, ::97]
+    flat = s.reshape(L, -1)
     if flat.shape[1] < 2:
-        return None  # too small to spot-check; use the full fit
+        return None  # too small to check; use the full fit
     import warnings
 
     with np.errstate(invalid="ignore"), warnings.catch_warnings():
@@ -679,11 +709,11 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
     if batch_lv is None:
         batch_lv = np.zeros((0, batch.shape[-1]))
     n = batch.shape[-1]
-    # 8 steps/octave on the pixel axis: products have near-constant swath
-    # shapes (OMI 1644x60), so finer buckets do not multiply compiled
-    # programs but cut the padded-row waste from <=19% to <=9% (the
-    # padding ships as real bytes on the transfer-bound link)
-    b = pad_to_bucket(n, steps_per_octave=8, align=128)
+    # tight 8-steps/octave bucket for the first (for fixed-geometry
+    # sensors: only) pixel count per coarse region, coarse 4-step bucket
+    # for later distinct counts — see _pixel_bucket for the compile-count
+    # vs padded-transfer-byte trade
+    b = _pixel_bucket(n)
     if b != n:
         pad = [(0, 0), (0, b - n)]
         batch = np.pad(batch, pad, constant_values=np.nan)
@@ -1077,11 +1107,13 @@ def regrid_ssmis_granule(
                          fast=fast_swath)
     if device is None:
         device = device_granules_default()
+    # same host-prep precision policy as regrid_granule (one place to
+    # change if the parity switches ever alter it)
+    host_dtype = np.float64 if dtype == np.float64 else np.float32
     collect = _regrid_fused(
         plan, upsc,
-        _stack([sat_data.vcd], np.float64 if dtype == np.float64 else np.float32),
-        _stack([sat_data.uncertainty],
-               np.float64 if dtype == np.float64 else np.float32),
+        _stack([sat_data.vcd], host_dtype),
+        _stack([sat_data.uncertainty], host_dtype),
         dtype, lazy=True, device=device)
 
     def finish():

@@ -407,3 +407,31 @@ def test_pmid_tables_provenance_skips_fit(monkeypatch):
     calls.clear()
     _regrid(monkeypatch, "full", g_bad)
     assert calls, "edited stack must fall back to the full fit"
+
+
+def test_affine_from_tables_catches_localized_edits():
+    """The tables-path validation must check EVERY pixel and level: a
+    localized post-construction scrub (a handful of pixels rescaled, or a
+    sub-swath re-masked on one level) would slip through a strided
+    spot-check and silently regrid with reconstructed pressures."""
+    from oisat_tpu.regridder import _affine_from_tables
+
+    L, H, W = 6, 30, 8
+    A = np.linspace(0.0, 120.0, L)
+    B = np.linspace(1.0, 0.05, L)
+    rng = np.random.default_rng(3)
+    ps = 1000.0 + 30.0 * rng.standard_normal((H, W))
+    stack = (A[:, None, None] + B[:, None, None] * ps[None]).astype(np.float64)
+
+    assert _affine_from_tables(stack, (A, B)) is not None
+
+    # a 5-pixel rescale on one level (all inside one stride-97 gap)
+    s_val = stack.copy()
+    s_val[2].ravel()[1:6] *= 1.5
+    assert _affine_from_tables(s_val, (A, B)) is None
+
+    # a small re-masked patch on a NON-carrier level only (reconstruction
+    # would un-NaN it, because every level rides the carrier's pattern)
+    s_nan = stack.copy()
+    s_nan[4, 3:5, 2:5] = np.nan
+    assert _affine_from_tables(s_nan, (A, B)) is None

@@ -233,3 +233,32 @@ def test_pad_to_bucket_grid():
     # granule-axis scale: a 60-granule month must NOT pad to 1024
     g = pad_to_bucket(60, min_size=16, steps_per_octave=4)
     assert 60 <= g <= 72
+
+
+def test_pixel_bucket_escalation(monkeypatch):
+    """First pixel count per coarse region gets the tight 8-step bucket
+    (fixed-geometry sensors keep <=9% padded waste); later DISTINCT counts
+    in the same region escalate to the coarse 4-step bucket so a
+    variable-scan sensor (TEMPO truncated hours) compiles at most 2 regrid
+    programs per region instead of 8 per octave."""
+    from oisat_tpu import regridder
+    from oisat_tpu.ops.regrid import pad_to_bucket
+
+    monkeypatch.setattr(regridder, "_pixel_bucket_first", {})
+    n1 = 98640  # OMI 1644x60
+    tight = pad_to_bucket(n1, steps_per_octave=8, align=128)
+    coarse = pad_to_bucket(n1, steps_per_octave=4, align=128)
+    assert regridder._pixel_bucket(n1) == tight
+    # the SAME count keeps its tight bucket forever (no new compile)
+    assert regridder._pixel_bucket(n1) == tight
+    # a different count in the same coarse region -> the coarse bucket
+    n2 = n1 - 600
+    assert pad_to_bucket(n2, steps_per_octave=4, align=128) == coarse
+    assert regridder._pixel_bucket(n2) == coarse
+    assert regridder._pixel_bucket(n2 - 32) == coarse
+    # the original keeps riding its tight (already compiled) bucket
+    assert regridder._pixel_bucket(n1) == tight
+    # a count in a FRESH region starts tight again
+    n3 = 4 * n1
+    assert (regridder._pixel_bucket(n3)
+            == pad_to_bucket(n3, steps_per_octave=8, align=128))
