@@ -213,7 +213,8 @@ def bench_kalman(n=8192):
     """Dense full-covariance solve (Pallas covariance build + blocked
     Cholesky + column-block posterior diagonal) in TFLOP/s (BASELINE.md
     'Kalman-gain solve' row).  FLOP model (documented, matmul-only):
-    chol N^3/3 + diag-block solves 2N^3 + B@w 2N^2 + covariance build ~8N^2."""
+    chol N^3/3 + half-solve diag blocks V=L^-1 B at N^3/2 + B@w 2N^2 +
+    covariance build ~8N^2."""
     import jax.numpy as jnp
 
     from oisat_tpu.ops.oi_full import oi_full_dense
@@ -229,15 +230,24 @@ def bench_kalman(n=8192):
     run = lambda: oi_full_dense(xa, y, sigb, sigo, lat, lon, 300.0)
     np.asarray(run()[0])  # compile
     t = _marginal(run, lambda o: np.asarray(o[0]), n_steps=20)
-    flops = n**3 / 3 + 2 * n**3 + 10 * n**2
-    tflops = flops / t / 1e12
+    # task-level flops: the standard algorithm (chol + forward/back solve
+    # per diag block) — the historical row's model, so the number stays
+    # comparable across rounds; the implementation does the SAME task with
+    # the half-solve trick (V = L^-1 B, N^3/3 + N^3/2 actual flops), which
+    # shows up here as a higher task rate, not a flop-model change
+    task_flops = n**3 / 3 + 2 * n**3 + 10 * n**2
+    impl_flops = n**3 / 3 + n**3 / 2 + 10 * n**2
+    tflops = task_flops / t / 1e12
+    achieved = impl_flops / t / 1e12
     _emit("kalman_full_solve", round(tflops, 2), "TFLOP/s", None,
-          {"n_cells": n, "ms": round(t * 1e3, 1), "flop_model": "N^3/3+2N^3+10N^2",
+          {"n_cells": n, "ms": round(t * 1e3, 1),
+           "flop_model": "task N^3/3+2N^3+10N^2; impl half-solve N^3/3+N^3/2",
+           "impl_tflops": round(achieved, 2),
            "roofline": {
-               "pct_of_mxu_bf16_peak": round(100 * tflops / V5E_BF16_TFLOPS, 1),
+               "pct_of_mxu_bf16_peak": round(100 * achieved / V5E_BF16_TFLOPS, 1),
                # the solve runs f32: quote against the effective f32 MXU
                # ceiling too (bf16/4 multi-pass assumption, see header)
-               "pct_of_mxu_f32_ceiling": round(100 * tflops / V5E_F32_TFLOPS, 1)}})
+               "pct_of_mxu_f32_ceiling": round(100 * achieved / V5E_F32_TFLOPS, 1)}})
 
 
 def _synthetic_orbit(seed=0, ny=1644, nx=60, nz=35):
