@@ -80,9 +80,16 @@ def apply_plan(plan, z, bucket: bool = True):
     it would be that same eager device pad); callers feeding ragged
     device-resident shapes must bucket upstream or accept per-shape
     compiles.
+
+    A compacted plan (``plan.sel`` set, see ``weights.compact_plan``)
+    gathers the referenced pixels first — on host for NumPy inputs
+    (shrinking the transfer), in-program for device inputs.
     """
     import numpy as _np
 
+    if plan.sel is not None:
+        z = jnp.take(z, jnp.asarray(plan.sel), axis=-1) \
+            if isinstance(z, jax.Array) else _np.asarray(z)[..., plan.sel]
     if bucket and not isinstance(z, jax.Array):
         z = _np.asarray(z)
         n = z.shape[-1]

@@ -33,7 +33,7 @@ import numpy as np
 from scipy.spatial import Delaunay, cKDTree
 
 __all__ = ["SparsePlan", "build_plan", "build_plan_structured", "fine_grid",
-           "grid_spacing", "diag_threshold"]
+           "grid_spacing", "diag_threshold", "compact_plan"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -42,17 +42,56 @@ class SparsePlan:
 
     Leaves are NumPy; move to device once per granule via the apply fns.
     ``mask``: True -> output NaN (too far / outside convex hull).
+
+    ``sel`` (set by :func:`compact_plan`): int32 list of the source pixels
+    the plan actually references; when present, ``idx`` indexes into the
+    COMPACTED axis and appliers must gather ``z[..., sel]`` before use.
+    A swath typically oversamples the analysis grid several-fold (OMI
+    along-track pitch ~0.02° vs a 0.25° grid) and partly misses the
+    domain, so only ~15–20%% of its pixels ever carry weight — gathering
+    on host before the H2D transfer cuts the dominant per-granule traffic
+    (the value rows) by that same factor on a network-attached chip.
     """
 
     idx: np.ndarray  # (T, K) int32 into flattened source pixels
     w: np.ndarray  # (T, K) float64 weights
     mask: np.ndarray  # (T,) bool
     out_shape: tuple  # target grid shape (Ny, Nx)
-    npix: int  # number of (flattened) source pixels
+    npix: int  # number of (flattened) source pixels (ORIGINAL, pre-compaction)
+    sel: np.ndarray | None = None  # compacted source-pixel ids (host int32)
 
     @property
     def k(self) -> int:
         return self.idx.shape[1]
+
+    @property
+    def n_src(self) -> int:
+        """Length of the source axis the appliers must be fed."""
+        return int(self.npix if self.sel is None else self.sel.size)
+
+
+def compact_plan(plan: "SparsePlan", max_keep_frac: float = 0.85):
+    """Remap ``plan`` onto only the source pixels it references.
+
+    Exact: the appliers gather the same values and multiply the same
+    weights in the same order, so outputs are bitwise identical (parity
+    mode included).  Masked targets emit NaN regardless of their gathered
+    values, so their (arbitrary) idx entries are pointed at slot 0.
+
+    Skipped (returns ``plan`` unchanged) when the plan already carries a
+    ``sel``, when its leaves are no longer NumPy (already on device), or
+    when the referenced fraction exceeds ``max_keep_frac`` (e.g. the
+    SSMIS global grid maps nearly 1:1 — a gather would cost host time for
+    no transfer win).
+    """
+    if plan.sel is not None or not isinstance(plan.idx, np.ndarray):
+        return plan
+    safe_idx = np.where(np.asarray(plan.mask, bool)[:, None], 0, plan.idx)
+    sel, inv = np.unique(safe_idx, return_inverse=True)
+    if sel.size > max_keep_frac * plan.npix:
+        return plan
+    idx = inv.reshape(plan.idx.shape).astype(np.int32)
+    return dataclasses.replace(plan, idx=idx, sel=sel.astype(np.int32))
 
 
 def grid_spacing(lon2d: np.ndarray, lat2d: np.ndarray):

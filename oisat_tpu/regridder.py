@@ -31,6 +31,7 @@ from oisat_tpu.ops.weights import (
     SparsePlan,
     build_plan,
     build_plan_structured,
+    compact_plan,
     diag_threshold,
     fine_grid,
     grid_spacing,
@@ -324,6 +325,10 @@ def _granule_plan(sat_lon, sat_lat, lons_fine, lats_fine, grid_size,
                           threshold=grid_size, far_factor=far_factor)
     if plan is None:
         return None  # untriangulatable granule: not cached
+    # compact BEFORE the device move: sel stays host NumPy (the per-granule
+    # value gather happens on host, shrinking the H2D transfer), while the
+    # remapped idx/w ride the device-side plan cache like before
+    plan = compact_plan(plan)
     plan = dataclasses.replace(plan, idx=jnp.asarray(plan.idx),
                                w=jnp.asarray(plan.w),
                                mask=jnp.asarray(plan.mask))
@@ -708,6 +713,13 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
     whose reference reader stores uncertainty at f16)."""
     if batch_lv is None:
         batch_lv = np.zeros((0, batch.shape[-1]))
+    if plan.sel is not None:
+        # compacted plan (weights.compact_plan): ship only the pixels the
+        # plan references — a cheap host gather that cuts the dominant
+        # H2D rows by the swath's oversampling factor (~5x for OMI)
+        batch = batch[:, plan.sel]
+        batch_lv = batch_lv[:, plan.sel]
+        err_batch = err_batch[:, plan.sel]
     n = batch.shape[-1]
     # tight 8-steps/octave bucket for the first (for fixed-geometry
     # sensors: only) pixel count per coarse region, coarse 4-step bucket

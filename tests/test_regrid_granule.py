@@ -227,3 +227,63 @@ def test_affine_stack_properties():
     # all-constant stack (MOPITT-style fixed table): b == 0 everywhere
     got = _affine_stack(ok)
     assert got is not None and np.allclose(got[1], 0.0)
+
+
+def test_compact_plan_exact_and_threshold():
+    """compact_plan is an exact (bitwise) rewrite of the sparse map."""
+    from oisat_tpu.ops.regrid import apply_plan
+    from oisat_tpu.ops.weights import build_plan, compact_plan
+
+    rng = np.random.default_rng(7)
+    # dense scattered pixels over a small window: a coarse target grid
+    # references only a fraction of them (the compaction win case)
+    plon = rng.uniform(-5, 5, 4000)
+    plat = rng.uniform(30, 40, 4000)
+    tlon, tlat = np.meshgrid(np.arange(-4, 4, 0.8), np.arange(31, 39, 0.8))
+    plan = build_plan(plon, plat, tlon, tlat, method=1, threshold=0.8)
+    cp = compact_plan(plan)
+    assert cp.sel is not None and cp.sel.size < plan.npix
+    assert cp.npix == plan.npix  # original count preserved
+    z = rng.normal(size=(3, 4000))
+    z[0, ::17] = np.nan
+    a = np.asarray(apply_plan(plan, z))
+    b = np.asarray(apply_plan(cp, z))
+    assert np.array_equal(a, b, equal_nan=True)
+    # device-array input takes the in-program gather, same values
+    import jax.numpy as jnp
+    c = np.asarray(apply_plan(cp, jnp.asarray(z)))
+    mask = np.isfinite(a)
+    assert np.array_equal(np.isfinite(c), mask)
+    np.testing.assert_allclose(c[mask], a[mask], rtol=2e-6)
+    # a plan that references (nearly) every pixel is left alone
+    near = build_plan(plon, plat,
+                      *np.meshgrid(np.arange(-5, 5, 0.05), np.arange(30, 40, 0.05)),
+                      method=4, threshold=0.8)
+    frac = np.unique(near.idx[~near.mask]).size / near.npix
+    assert frac > 0.85
+    assert compact_plan(near).sel is None
+
+
+def test_regrid_granule_compaction_bitwise(monkeypatch):
+    """The production regrid path is bitwise identical with the pixel
+    compaction disabled (it gathers the same values for the same
+    weights)."""
+    import oisat_tpu.regridder as R
+
+    clon, clat = ctm_grid()
+
+    def run():
+        R._plan_cache.clear()
+        g = synthetic_amf_granule(3)
+        out = regrid_granule(1, 0.25, g, clon, clat, flag_thresh=0.5)
+        return out
+
+    compacted = run()
+    assert R._plan_cache is not None
+    monkeypatch.setattr(R, "compact_plan", lambda p: p)
+    plain = run()
+    for name in ("vcd", "amf", "uncertainty", "tropopause",
+                 "scattering_weights", "pressure_mid"):
+        a, b = np.asarray(getattr(compacted, name)), np.asarray(getattr(plain, name))
+        assert np.array_equal(a, b, equal_nan=True), name
+    R._plan_cache.clear()
