@@ -422,15 +422,24 @@ def _affine_from_tables(stack, tabs, rtol: float = 1e-4):
 
     with np.errstate(invalid="ignore"), warnings.catch_warnings():
         warnings.simplefilter("ignore", RuntimeWarning)  # all-NaN slices
-        nan = np.isnan(flat)
-        if not np.array_equiv(nan, nan[ci][None]):
-            return None
-        pred = a[:, None] + b[:, None] * flat[ci][None].astype(np.float64)
-        resid = np.abs(flat - pred)
-        scale = np.maximum(np.nanmax(np.abs(flat), axis=1), 1e-300)
-        # NaN nanmax (all-NaN row) compares False -> passes, like the fit
-        if np.any(np.nanmax(resid, axis=1) > rtol * scale):
-            return None
+        # level-at-a-time so the working set stays cache-resident: the
+        # vectorized form streamed ~4 full-stack f64 passes through RAM
+        # (isnan + pred + resid + reductions) and dominated the host-side
+        # regrid cost; this loop reads the stack once
+        nan_c = np.isnan(flat[ci])
+        pred = np.empty_like(flat[ci])
+        for lev in range(L):
+            row = flat[lev]
+            if lev != ci and not np.array_equiv(np.isnan(row), nan_c):
+                return None
+            np.multiply(flat[ci], b[lev], out=pred)
+            pred += a[lev]
+            np.subtract(row, pred, out=pred)
+            np.abs(pred, out=pred)
+            # NaN nanmax (all-NaN row) compares False -> passes, like the fit
+            scale = max(np.nanmax(np.abs(row)), 1e-300)
+            if np.nanmax(pred) > rtol * scale:
+                return None
     return a, b, ci
 
 
