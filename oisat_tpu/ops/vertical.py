@@ -64,34 +64,40 @@ def interp_linear_batched(xp, fp, xq, extrapolate: bool):
     fp = jnp.moveaxis(fp, 0, -1)
     xq = jnp.moveaxis(xq, 0, -1)  # (..., Lt)
     ls = xp.shape[-1]
-    # monotonic columns sort by a flip, not an argsort: TPU gathers along
-    # the minor (lane) axis serialize badly — the argsort +
+    # Monotonic columns need neither an argsort nor a data flip: TPU
+    # gathers along the minor (lane) axis serialize badly — the argsort +
     # 6x take_along_axis formulation measured 0.92 s for a fused month's
-    # (60, 61, 81, 35->20) batch vs 0.13 s for this flip + one-hot
-    # contraction form (7x; it was most of the fused analysis leg's
-    # device time).  The documented contract is unchanged: abscissae in
-    # any MONOTONIC order — a genuinely unsorted column now yields NaN
-    # (guard below) instead of scipy's sort, a case no physical pressure
-    # grid produces.
+    # (60, 61, 81, 35->20) batch vs 0.13 s for this one-hot contraction
+    # form (7x; it was most of the fused analysis leg's device time).
+    # The bracketing count sum(xp <= xq) is order-independent, and a
+    # DESCENDING column's ascending-sorted element i lives at original
+    # index ls-1-i — so the one-hot picks read the original arrays with
+    # mirrored indices instead of materializing a lane-axis reverse.
+    # (An earlier xp[..., ::-1] flip variant crashed the TPU compiler's
+    # fusion emitter — ReverseInput::TransformWindow SIGABRT — at the
+    # MOPITT month-step shapes; this form has no reverse op at all.)
+    # The documented contract is unchanged: abscissae in any MONOTONIC
+    # order — a genuinely unsorted column yields NaN (guard below)
+    # instead of scipy's sort, a case no physical pressure grid produces.
     desc = xp[..., :1] > xp[..., -1:]
-    xs = jnp.where(desc, xp[..., ::-1], xp)
-    fs = jnp.where(desc, fp[..., ::-1], fp)
-    # searchsorted(right): number of xs <= xq
-    cnt = jnp.sum(xs[..., None, :] <= xq[..., :, None], axis=-1)  # (..., Lt)
+    # searchsorted(right) on the sorted column: number of xp <= xq
+    cnt = jnp.sum(xp[..., None, :] <= xq[..., :, None], axis=-1)  # (..., Lt)
     hi = jnp.clip(cnt, 1, ls - 1)
     lo = hi - 1
     # one-hot masked reductions instead of lane-axis gathers (VPU work)
     ar = jnp.arange(ls)
-    oh_lo = lo[..., :, None] == ar
-    oh_hi = hi[..., :, None] == ar
-    x0 = jnp.sum(jnp.where(oh_lo, xs[..., None, :], 0), -1)
-    x1 = jnp.sum(jnp.where(oh_hi, xs[..., None, :], 0), -1)
-    f0 = jnp.sum(jnp.where(oh_lo, fs[..., None, :], 0), -1)
-    f1 = jnp.sum(jnp.where(oh_hi, fs[..., None, :], 0), -1)
+    oh_lo = jnp.where(desc, ls - 1 - lo, lo)[..., :, None] == ar
+    oh_hi = jnp.where(desc, ls - 1 - hi, hi)[..., :, None] == ar
+    x0 = jnp.sum(jnp.where(oh_lo, xp[..., None, :], 0), -1)
+    x1 = jnp.sum(jnp.where(oh_hi, xp[..., None, :], 0), -1)
+    f0 = jnp.sum(jnp.where(oh_lo, fp[..., None, :], 0), -1)
+    f1 = jnp.sum(jnp.where(oh_hi, fp[..., None, :], 0), -1)
     t = (xq - x0) / (x1 - x0)
     out = f0 + t * (f1 - f0)
     if not extrapolate:
-        oob = (xq < xs[..., :1]) | (xq > xs[..., -1:])
+        # data range = the endpoint pair, whichever order the column runs
+        oob = (xq < jnp.minimum(xp[..., :1], xp[..., -1:])) | \
+              (xq > jnp.maximum(xp[..., :1], xp[..., -1:]))
         out = jnp.where(oob, jnp.nan, out)
     # Deliberate deviation from scipy: a column with ANY non-finite
     # abscissa is NaN'd entirely.  scipy interp1d would still interpolate
@@ -100,11 +106,12 @@ def interp_linear_batched(xp, fp, xq, extrapolate: bool):
     # The conservative rule is chosen because a NaN level inside a sorted
     # column makes the segment choice ill-defined on device, and an inf
     # abscissa would otherwise poison neighbouring segments silently.
-    # Non-monotonic columns (which the flip cannot sort) NaN for the same
-    # reason; NaN-containing columns trip this guard too (NaN compares
-    # False).
-    colbad = ~jnp.all(xs[..., 1:] >= xs[..., :-1], axis=-1, keepdims=True)
-    colbad |= ~jnp.all(jnp.isfinite(xs), axis=-1, keepdims=True)
+    # Non-monotonic columns NaN for the same reason; NaN-containing
+    # columns trip this guard too (NaN compares False).
+    step = jnp.diff(xp, axis=-1)
+    colbad = ~(jnp.all(step >= 0, axis=-1, keepdims=True)
+               | jnp.all(step <= 0, axis=-1, keepdims=True))
+    colbad |= ~jnp.all(jnp.isfinite(xp), axis=-1, keepdims=True)
     out = jnp.where(colbad, jnp.nan, out)
     return jnp.moveaxis(out, -1, 0)
 
