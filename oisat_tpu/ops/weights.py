@@ -90,7 +90,12 @@ def compact_plan(plan: "SparsePlan", max_keep_frac: float = 0.85):
     sel, inv = np.unique(safe_idx, return_inverse=True)
     if sel.size > max_keep_frac * plan.npix:
         return plan
-    idx = inv.reshape(plan.idx.shape).astype(np.int32)
+    # int16 indices when the compacted source axis fits: halves the
+    # per-orbit idx transfer for swath plans (index VALUES are < sel.size
+    # regardless of how far the pixel axis is bucket-padded, so 2**15 is
+    # the exact gate; XLA gathers take any integer index dtype)
+    idt = np.int16 if sel.size <= 2 ** 15 else np.int32
+    idx = inv.reshape(plan.idx.shape).astype(idt)
     return dataclasses.replace(plan, idx=idx, sel=sel.astype(np.int32))
 
 

@@ -244,6 +244,7 @@ def test_compact_plan_exact_and_threshold():
     cp = compact_plan(plan)
     assert cp.sel is not None and cp.sel.size < plan.npix
     assert cp.npix == plan.npix  # original count preserved
+    assert cp.idx.dtype == np.int16  # small compacted axis rides int16
     z = rng.normal(size=(3, 4000))
     z[0, ::17] = np.nan
     a = np.asarray(apply_plan(plan, z))
