@@ -230,18 +230,19 @@ def bench_kalman(n=8192):
     run = lambda: oi_full_dense(xa, y, sigb, sigo, lat, lon, 300.0)
     np.asarray(run()[0])  # compile
     t = _marginal(run, lambda o: np.asarray(o[0]), n_steps=20)
-    # task-level flops: the standard algorithm (chol + forward/back solve
-    # per diag block) — the historical row's model, so the number stays
-    # comparable across rounds; the implementation does the SAME task with
-    # the half-solve trick (V = L^-1 B, N^3/3 + N^3/2 actual flops), which
-    # shows up here as a higher task rate, not a flop-model change
+    # task-level flops: the standard algorithm (chol N^3/3 + forward/back
+    # solve pair per diag block, N^3 each) — the historical row's model,
+    # so the number stays comparable across rounds; the implementation
+    # does the SAME task with the half-solve trick (V = L^-1 B: ONE
+    # triangular solve, N^3 under the same convention), which shows up
+    # here as a higher task rate, not a flop-model change
     task_flops = n**3 / 3 + 2 * n**3 + 10 * n**2
-    impl_flops = n**3 / 3 + n**3 / 2 + 10 * n**2
+    impl_flops = n**3 / 3 + n**3 + 10 * n**2
     tflops = task_flops / t / 1e12
     achieved = impl_flops / t / 1e12
     _emit("kalman_full_solve", round(tflops, 2), "TFLOP/s", None,
           {"n_cells": n, "ms": round(t * 1e3, 1),
-           "flop_model": "task N^3/3+2N^3+10N^2; impl half-solve N^3/3+N^3/2",
+           "flop_model": "task N^3/3+2N^3+10N^2; impl half-solve N^3/3+N^3",
            "impl_tflops": round(achieved, 2),
            "roofline": {
                "pct_of_mxu_bf16_peak": round(100 * achieved / V5E_BF16_TFLOPS, 1),

@@ -63,8 +63,8 @@ def oi_full_dense(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
     materialize several NxN temporaries and exhausts HBM above ~10k cells).
     With ``A = L L^T`` the quadratic form needs only HALF a solve per
     block: ``diag(B A^-1 B) = colsum(V * V)`` for ``V = L^-1 B`` — one
-    lower-triangular solve (N^3/2 flops over all blocks) instead of
-    ``cho_solve``'s forward+back pair (N^3), the dominant term of the
+    lower-triangular solve (N^3 flops over all blocks) instead of
+    ``cho_solve``'s forward+back pair (2 N^3), the dominant term of the
     whole dense path.
     """
     b = build_covariance(lat, lon, sigma_b, length_scale_km, tile=LANES)

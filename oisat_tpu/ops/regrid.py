@@ -83,13 +83,20 @@ def apply_plan(plan, z, bucket: bool = True):
 
     A compacted plan (``plan.sel`` set, see ``weights.compact_plan``)
     gathers the referenced pixels first — on host for NumPy inputs
-    (shrinking the transfer), in-program for device inputs.
+    (shrinking the transfer); a device-resident ``z`` takes a single
+    fused gather+apply program (``sel`` rides in with the other plan
+    arrays — no extra eager dispatch through the tunnel).
     """
     import numpy as _np
 
     if plan.sel is not None:
-        z = jnp.take(z, jnp.asarray(plan.sel), axis=-1) \
-            if isinstance(z, jax.Array) else _np.asarray(z)[..., plan.sel]
+        if isinstance(z, jax.Array):
+            out = _apply_plan_compact(z, jnp.asarray(plan.sel),
+                                      jnp.asarray(plan.idx),
+                                      jnp.asarray(plan.w),
+                                      jnp.asarray(plan.mask))
+            return out.reshape(z.shape[:-1] + plan.out_shape)
+        z = _np.asarray(z)[..., plan.sel]
     if bucket and not isinstance(z, jax.Array):
         z = _np.asarray(z)
         n = z.shape[-1]
@@ -102,6 +109,12 @@ def apply_plan(plan, z, bucket: bool = True):
         z, jnp.asarray(plan.idx), jnp.asarray(plan.w), jnp.asarray(plan.mask)
     )
     return out.reshape(z.shape[:-1] + plan.out_shape)
+
+
+@jax.jit
+def _apply_plan_compact(z, sel, idx, w, mask):
+    """Compacted-plan applier for device inputs: gather + apply, ONE program."""
+    return apply_plan_arrays(jnp.take(z, sel, axis=-1), idx, w, mask)
 
 
 @partial(jax.jit, static_argnames=("ky", "kx", "squared"))

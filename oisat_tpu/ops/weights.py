@@ -48,7 +48,7 @@ class SparsePlan:
     COMPACTED axis and appliers must gather ``z[..., sel]`` before use.
     A swath typically oversamples the analysis grid several-fold (OMI
     along-track pitch ~0.02° vs a 0.25° grid) and partly misses the
-    domain, so only ~15–20%% of its pixels ever carry weight — gathering
+    domain, so only ~15–20% of its pixels ever carry weight — gathering
     on host before the H2D transfer cuts the dominant per-granule traffic
     (the value rows) by that same factor on a network-attached chip.
     """
@@ -63,11 +63,6 @@ class SparsePlan:
     @property
     def k(self) -> int:
         return self.idx.shape[1]
-
-    @property
-    def n_src(self) -> int:
-        """Length of the source axis the appliers must be fed."""
-        return int(self.npix if self.sel is None else self.sel.size)
 
 
 def compact_plan(plan: "SparsePlan", max_keep_frac: float = 0.85):
