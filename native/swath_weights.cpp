@@ -40,21 +40,31 @@ extern "C" {
 // to apply the far-mask cutoff, so exactness past it is wasted work — a
 // target a whole domain away from the swath would otherwise ring-scan
 // O((dist/pitch)^2) bins).
+// dist_mode: 0 -> dist is the exact nearest-pixel distance (up to
+// max_dist) and nn its pixel id, matching scipy cKDTree.query with a
+// lowest-id tie break.  1 -> dist is only guaranteed on the
+// <=/> max_dist SIDE of the cutoff (the scan stops at the FIRST pixel
+// within max_dist); nn is unspecified.  The linear-interpolation caller
+// consumes dist solely as the boolean far mask `dist > cutoff`, so mode
+// 1 preserves its output exactly while skipping the argmin scan — for an
+// on-swath target the very first bin usually terminates it.
 // Outputs: idx (nt,3) int32 flat pixel ids; w (nt,3); dist (nt,) nearest
 // pixel distance (Euclidean in degrees, matching the reference's cKDTree
-// query metric, exact while <= max_dist); nn (nt,) flat id of that nearest
-// pixel (the native nearest-neighbour interpolation mode); ok (nt,) 1 if
-// inside some swath triangle.  Returns 0 on success.
-// need_tri: 0 skips the point-in-triangle pass entirely (nearest-neighbour
-// interpolation modes use only dist/nn) — roughly halves the build.
+// query metric, exact while <= max_dist and dist_mode=0); nn (nt,) flat
+// id of that nearest pixel (the native nearest-neighbour interpolation
+// mode); ok (nt,) 1 if inside some swath triangle.  Returns 0 on success.
+// need_tri: 0 skips the point-in-triangle pass AND the quad spatial hash
+// entirely (nearest-neighbour interpolation modes use only dist/nn).
 int build_structured_weights(const double* lon, const double* lat, int ny,
                              int nx, const double* tx, const double* ty,
                              int nt, double max_dist, int need_tri,
+                             int dist_mode,
                              int32_t* idx, double* w,
                              double* dist, int32_t* nn, uint8_t* ok) {
   if (ny < 2 || nx < 2 || nt <= 0) return 1;
   const int nquad_y = ny - 1, nquad_x = nx - 1;
   const int64_t nquads = int64_t(nquad_y) * nquad_x;
+  const int64_t npix = int64_t(ny) * nx;
 
   // ---- swath bounds + typical quad size for the bin pitch ----------------
   double xmin = 1e300, xmax = -1e300, ymin = 1e300, ymax = -1e300;
@@ -86,9 +96,30 @@ int build_structured_weights(const double* lon, const double* lat, int ny,
     return by * nbx + bx;
   };
 
-  // ---- count pass: each quad registers in every bin its bbox overlaps ----
+  // ---- pixel spatial hash (CSR): every pixel lands in exactly one bin.
+  // The nearest-pixel scan walks this instead of quad corners — the old
+  // corner walk tested each interior pixel up to 4x (once per adjacent
+  // quad) and could not reach a pixel whose every adjacent quad was an
+  // antimeridian-crossing skip; hashing pixels directly fixes both.
   const int nbins = nbx * nby;
+  std::vector<int32_t> pix_start(nbins + 1, 0);
+  std::vector<int32_t> pix_items(npix);
+  {
+    std::vector<int32_t> pcount(nbins + 1, 0);
+    for (int64_t p = 0; p < npix; ++p) pcount[bin_of(lon[p], lat[p]) + 1]++;
+    for (int b = 0; b < nbins; ++b) pcount[b + 1] += pcount[b];
+    pix_start = pcount;
+    std::vector<int32_t> cur(pcount.begin(), pcount.end() - 1);
+    // pixels inserted in ascending flat id: within-bin order stays sorted,
+    // which the lowest-id tie break below relies on
+    for (int64_t p = 0; p < npix; ++p)
+      pix_items[cur[bin_of(lon[p], lat[p])]++] = int32_t(p);
+  }
+
+  // ---- quad hash (tri pass only): each quad registers in every bin its
+  // bbox overlaps ----
   std::vector<int32_t> counts(nbins + 1, 0);
+  std::vector<int32_t> items;
   auto quad_bins = [&](int64_t q, auto&& fn) {
     const int qy = int(q / nquad_x), qx = int(q % nquad_x);
     const int64_t p00 = int64_t(qy) * nx + qx;
@@ -111,13 +142,15 @@ int build_structured_weights(const double* lon, const double* lat, int ny,
     for (int by = by0; by <= by1; ++by)
       for (int bx = bx0; bx <= bx1; ++bx) fn(by * nbx + bx);
   };
-  for (int64_t q = 0; q < nquads; ++q)
-    quad_bins(q, [&](int b) { counts[b + 1]++; });
-  for (int b = 0; b < nbins; ++b) counts[b + 1] += counts[b];
-  std::vector<int32_t> items(counts[nbins]);
-  std::vector<int32_t> cursor(counts.begin(), counts.end() - 1);
-  for (int64_t q = 0; q < nquads; ++q)
-    quad_bins(q, [&](int b) { items[cursor[b]++] = int32_t(q); });
+  if (need_tri) {
+    for (int64_t q = 0; q < nquads; ++q)
+      quad_bins(q, [&](int b) { counts[b + 1]++; });
+    for (int b = 0; b < nbins; ++b) counts[b + 1] += counts[b];
+    items.resize(counts[nbins]);
+    std::vector<int32_t> cursor(counts.begin(), counts.end() - 1);
+    for (int64_t q = 0; q < nquads; ++q)
+      quad_bins(q, [&](int b) { items[cursor[b]++] = int32_t(q); });
+  }
 
   // ---- per-target: point-in-triangle over hashed quads -------------------
   const double eps = 1e-12;
@@ -166,41 +199,39 @@ int build_structured_weights(const double* lon, const double* lat, int ny,
         }
       }
     }
-    // nearest-pixel search: expanding ring scan over pixel bins
-    // (pixels hashed implicitly via quads' p00 corner is insufficient at
-    // edges, so scan pixels of quads in expanding bin rings).  Ties go to
-    // the lowest flat pixel id, matching scipy cKDTree.query.
+    // nearest-pixel search: expanding ring scan over the pixel hash.
+    // Ties go to the lowest flat pixel id, matching scipy cKDTree.query
+    // (within-bin items are id-sorted; across bins the d2 < best /
+    // d2 == best && id < best_id comparison settles it).
     double best = 1e300;
     int64_t best_id = 0;
     const double cell_w = 1.0 / h.inv_cx, cell_h = 1.0 / h.inv_cy;
     const double min_pitch = std::min(cell_w, cell_h);
+    const double cut2 = max_dist < 1e150 ? max_dist * max_dist : 1e300;
     const int max_ring = nbx + nby;
-    for (int ring = 0; ring <= max_ring; ++ring) {
+    bool settled = false;  // dist_mode 1: found any pixel within cutoff
+    for (int ring = 0; ring <= max_ring && !settled; ++ring) {
       // every bin in ring r (Chebyshev shell) is at least (r-1)*min_pitch
       // away from the target; once that exceeds the best distance found
       // (or the caller's cutoff), no useful ring remains.
       const double bound = std::min(std::sqrt(best), max_dist);
       if (double(ring - 1) * min_pitch > bound) break;
       const int bx0 = bx - ring, bx1 = bx + ring, by0 = by - ring, by1 = by + ring;
-      for (int iby = by0; iby <= by1; ++iby) {
+      for (int iby = by0; iby <= by1 && !settled; ++iby) {
         if (iby < 0 || iby >= nby) continue;
-        for (int ibx = bx0; ibx <= bx1; ++ibx) {
+        for (int ibx = bx0; ibx <= bx1 && !settled; ++ibx) {
           if (ibx < 0 || ibx >= nbx) continue;
           // ring shell only
           if (ring > 0 && ibx != bx0 && ibx != bx1 && iby != by0 && iby != by1) continue;
           const int bb = iby * nbx + ibx;
-          for (int32_t k = counts[bb]; k < counts[bb + 1]; ++k) {
-            const int32_t q = items[k];
-            const int qy = q / nquad_x, qx = q % nquad_x;
-            const int64_t corners[4] = {int64_t(qy) * nx + qx, int64_t(qy) * nx + qx + 1,
-                                        int64_t(qy + 1) * nx + qx, int64_t(qy + 1) * nx + qx + 1};
-            for (int c = 0; c < 4; ++c) {
-              const double dx = lon[corners[c]] - X, dy = lat[corners[c]] - Y;
-              const double d2 = dx * dx + dy * dy;
-              if (d2 < best || (d2 == best && corners[c] < best_id)) {
-                best = d2;
-                best_id = corners[c];
-              }
+          for (int32_t k = pix_start[bb]; k < pix_start[bb + 1]; ++k) {
+            const int32_t p = pix_items[k];
+            const double dx = lon[p] - X, dy = lat[p] - Y;
+            const double d2 = dx * dx + dy * dy;
+            if (d2 < best || (d2 == best && p < best_id)) {
+              best = d2;
+              best_id = p;
+              if (dist_mode == 1 && d2 <= cut2) { settled = true; break; }
             }
           }
         }

@@ -48,7 +48,7 @@ def _ensure_built():
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
             ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
-            ctypes.c_int, ctypes.c_double, ctypes.c_int,
+            ctypes.c_int, ctypes.c_double, ctypes.c_int, ctypes.c_int,
             ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_double),
             ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int32),
             ctypes.POINTER(ctypes.c_uint8),
@@ -68,7 +68,7 @@ def available() -> bool:
 
 
 def structured_weights(lon2d, lat2d, tx, ty, max_dist=float("inf"),
-                       need_tri=True):
+                       need_tri=True, exact_dist=True):
     """Barycentric weights of targets in a structured swath.
 
     Returns (idx (T,3) int32 into flattened pixels, w (T,3), dist (T,)
@@ -77,6 +77,12 @@ def structured_weights(lon2d, lat2d, tx, ty, max_dist=float("inf"),
     Distances are exact up to ``max_dist`` (pass the far-mask cutoff:
     farther targets report some value > max_dist without paying the
     O((dist/pitch)^2) ring scan).
+
+    ``exact_dist=False`` relaxes the contract to the boolean the far mask
+    needs: ``dist`` is only guaranteed to land on the correct SIDE of
+    ``max_dist`` (the scan stops at the first pixel within the cutoff)
+    and ``nn`` is unspecified — callers that use only
+    ``dist > max_dist`` get an identical mask for a fraction of the scan.
     """
     lib = _ensure_built()
     if lib is None:
@@ -101,6 +107,7 @@ def structured_weights(lon2d, lat2d, tx, ty, max_dist=float("inf"),
         dptr(lon), dptr(lat), lon.shape[0], lon.shape[1],
         dptr(tx), dptr(ty), nt, ctypes.c_double(max_dist),
         ctypes.c_int(1 if need_tri else 0),
+        ctypes.c_int(0 if exact_dist else 1),
         iptr(idx), dptr(w), dptr(dist), iptr(nn),
         ok.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
     if rc != 0:

@@ -284,7 +284,11 @@ def build_plan_structured(
                                     max_dist=far_factor * threshold,
                                     # NN modes only need dist/nn: skip the
                                     # point-in-triangle pass (~half the build)
-                                    need_tri=(method == 1))
+                                    need_tri=(method == 1),
+                                    # linear mode consumes dist only as the
+                                    # far-mask boolean below: the relaxed
+                                    # first-hit scan yields the same mask
+                                    exact_dist=(method != 1))
     if out is None:
         return None
     idx, w, dist, nn, ok = out

@@ -67,6 +67,39 @@ def test_distance_mask_close_to_kdtree():
     np.testing.assert_allclose(dist, dists, rtol=0, atol=1e-12)
 
 
+def test_relaxed_dist_same_far_mask():
+    """exact_dist=False only promises the correct SIDE of the cutoff —
+    which must make the method-1 far mask identical to the exact scan's."""
+    from scipy.spatial import cKDTree
+
+    lon, lat = swath(seed=5)
+    tlon, tlat = targets()
+    tree = cKDTree(np.column_stack([lon.ravel(), lat.ravel()]))
+    dists, _ = tree.query(np.column_stack([tlon.ravel(), tlat.ravel()]))
+    for cutoff in (0.2, 0.6, 2.0):
+        out = native.structured_weights(lon, lat, tlon.ravel(), tlat.ravel(),
+                                        max_dist=cutoff, exact_dist=False)
+        assert out is not None
+        np.testing.assert_array_equal(out[2] > cutoff, dists > cutoff)
+
+
+def test_pixel_hash_reaches_antimeridian_isolated_pixels():
+    """The NN scan walks a pixel hash, not quad corners: a pixel whose
+    every adjacent quad is an antimeridian-crossing skip is still the
+    nearest-neighbour pick (the old corner walk could not see it)."""
+    # 2-column swath straddling the antimeridian: EVERY quad wraps
+    lats = np.linspace(0.0, 10.0, 8)
+    lon2d = np.tile(np.array([179.5, -179.5]), (8, 1))
+    lat2d = np.tile(lats[:, None], (1, 2))
+    out = native.structured_weights(lon2d, lat2d,
+                                    np.array([-179.4]), np.array([5.0]))
+    assert out is not None
+    idx, w, dist, nn, ok = out
+    # nearest pixel is in the -179.5 column at lat ~5.0 (flat ids 1,3,5..)
+    assert nn[0] % 2 == 1
+    assert dist[0] < 0.8
+
+
 def test_nearest_mode_matches_kdtree():
     """Native nearest mode (methods 2/4) picks the same pixel as scipy's
     cKDTree query away from exact ties."""
