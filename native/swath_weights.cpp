@@ -164,6 +164,17 @@ int build_structured_weights(const double* lon, const double* lat, int ny,
     // a non-finite target would hit double->int UB in bin_of and force a
     // full ring scan (every NaN comparison is false)
     if (!std::isfinite(X) || !std::isfinite(Y)) continue;
+    // O(1) far rejection: a target more than max_dist outside the swath
+    // bounding box cannot have any pixel within the cutoff (nor lie in a
+    // triangle) — without this, every far-off-domain target walks
+    // O((max_dist/pitch)^2) empty bins before the ring bound trips.
+    // dist stays 1e300 (> max_dist), the documented "some value past the
+    // cutoff"; no-op when max_dist is inf.
+    if (X < xmin - max_dist || X > xmax + max_dist ||
+        Y < ymin - max_dist || Y > ymax + max_dist) {
+      dist[t] = 1e300;
+      continue;
+    }
     const int b = bin_of(X, Y);
     const int bx = b % nbx, by = b / nbx;
     for (int dby = -1; dby <= 1 && need_tri && !ok[t]; ++dby) {

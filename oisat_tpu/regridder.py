@@ -382,7 +382,7 @@ def _affine_stack(stack, rtol: float = 1e-5):
     return tab[0], tab[1], ci
 
 
-def _affine_from_tables(stack, tabs, rtol: float = 1e-4):
+def _affine_from_tables(stack, tabs, rtol: float = 1e-4, sel=None):
     """Derive the (a, b, carrier_index) affine contract of
     :func:`_affine_stack` from READER-PROVIDED construction tables
     (``stack[l] == A[l] + B[l]*ps``, see
@@ -400,7 +400,14 @@ def _affine_from_tables(stack, tabs, rtol: float = 1e-4):
     :func:`_affine_stack` fit.  ``B == 0`` everywhere (fixed
     1-D pressure tables: OMI NO2, MOPITT) degenerates to ``b = 0`` with
     level 0 as carrier — NaN masking still propagates because IEEE
-    ``0*NaN`` is NaN."""
+    ``0*NaN`` is NaN.
+
+    ``sel`` (a compacted plan's referenced-pixel ids): validate only
+    those pixels.  The regrid output is a weighted sum over exactly the
+    referenced pixels and the affine reconstruction runs on that output,
+    so a mismatch confined to UNREFERENCED pixels cannot alter any
+    result — checking 100% of the swath bought no additional safety for
+    ~5x the memory traffic."""
     A, B = tabs
     s = np.asarray(stack)
     L = s.shape[0]
@@ -426,13 +433,14 @@ def _affine_from_tables(stack, tabs, rtol: float = 1e-4):
         # vectorized form streamed ~4 full-stack f64 passes through RAM
         # (isnan + pred + resid + reductions) and dominated the host-side
         # regrid cost; this loop reads the stack once
-        nan_c = np.isnan(flat[ci])
-        pred = np.empty_like(flat[ci])
+        car = flat[ci] if sel is None else flat[ci][sel]
+        nan_c = np.isnan(car)
+        pred = np.empty_like(car)
         for lev in range(L):
-            row = flat[lev]
+            row = flat[lev] if sel is None else flat[lev][sel]
             if lev != ci and not np.array_equiv(np.isnan(row), nan_c):
                 return None
-            np.multiply(flat[ci], b[lev], out=pred)
+            np.multiply(car, b[lev], out=pred)
             pred += a[lev]
             np.subtract(row, pred, out=pred)
             np.abs(pred, out=pred)
@@ -697,9 +705,24 @@ def _f16_row_mask(batch_lv) -> np.ndarray:
     return ~(rowmax >= F16_SAFE_MAX)  # NaN rowmax (all-NaN row) -> True
 
 
+def _gather_stack(fields, mask_sel, sel, dtype):
+    """Masked compacted batch in ONE pass per field: gather the plan's
+    referenced pixels, cast on assignment, apply the QA mask in place.
+    The full-width mask-multiply + stack + re-gather sequence touched ~5x
+    the bytes for swath plans that reference ~18% of the pixels; values
+    are bitwise identical (the mask is exactly 1.0 or NaN, so cast-then-
+    multiply equals multiply-then-cast)."""
+    out = np.empty((len(fields), sel.size), dtype)
+    for i, f in enumerate(fields):
+        out[i] = np.asarray(f).ravel()[sel]
+        out[i] *= mask_sel
+    return out
+
+
 def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
                   lazy: bool = False, device: bool = False,
-                  square_err: bool = False, err_narrow: bool = False):
+                  square_err: bool = False, err_narrow: bool = False,
+                  sel_applied: bool = False):
     """Host wrapper: bucket-pad, run the fused program, return numpy.
 
     ``batch_lv``: the narrow-transfer-eligible rows (per-level 3-D field
@@ -722,10 +745,11 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
     whose reference reader stores uncertainty at f16)."""
     if batch_lv is None:
         batch_lv = np.zeros((0, batch.shape[-1]))
-    if plan.sel is not None:
+    if plan.sel is not None and not sel_applied:
         # compacted plan (weights.compact_plan): ship only the pixels the
         # plan references — a cheap host gather that cuts the dominant
-        # H2D rows by the swath's oversampling factor (~5x for OMI)
+        # H2D rows by the swath's oversampling factor (~5x for OMI).
+        # ``sel_applied`` callers gathered during assembly (_gather_stack).
         batch = batch[:, plan.sel]
         batch_lv = batch_lv[:, plan.sel]
         err_batch = err_batch[:, plan.sel]
@@ -761,9 +785,10 @@ def _regrid_fused(plan, upsc, batch, err_batch, dtype, batch_lv=None,
     mesh = _regrid_mesh_default()
     regrid_fn = _regrid_device if mesh is None else _sharded_regrid_fn(mesh)
     out, out_err = regrid_fn(
-        jnp.asarray(batch.astype(dtype)), jnp.asarray(lv16.astype(lv_dtype)),
-        jnp.asarray(lv_wide.astype(dtype)),
-        jnp.asarray(err_batch.astype(err_dtype)),
+        jnp.asarray(batch.astype(dtype, copy=False)),
+        jnp.asarray(lv16.astype(lv_dtype, copy=False)),
+        jnp.asarray(lv_wide.astype(dtype, copy=False)),
+        jnp.asarray(err_batch.astype(err_dtype, copy=False)),
         jnp.asarray(plan.idx), jnp.asarray(plan.w), jnp.asarray(plan.mask),
         jnp.asarray(up_idx), jnp.asarray(up_w), jnp.asarray(up_mask),
         plan.out_shape, upsc.ky, upsc.kx, upsc.needed, square_err)
@@ -859,6 +884,7 @@ def regrid_granule(
     upsc = make_upscaler(lons_fine, lats_fine, ctm_lon2d, ctm_lat2d,
                          grid_size, threshold_ctm, method=4, far_factor=2.0,
                          fast=fast_swath)
+    sel = plan.sel if isinstance(plan.sel, np.ndarray) else None
 
     host_dtype = np.float64 if dtype == np.float64 else np.float32
     mask = _quality_mask(sat_data.quality_flag, flag_thresh, host_dtype)
@@ -882,13 +908,15 @@ def regrid_granule(
         {"vcd", "aprior_column"} if getattr(sat_data, "sensor", "") == "MOPITT"
         else set())
 
+    # the add helpers store RAW fields; the QA-mask multiply happens once
+    # during batch assembly (gather-first for compacted plans)
     def add2d(name, arr):
         if name in narrow2d:
             names_lv.append(name)
-            cols_lv.append(np.asarray(arr, host_dtype) * mask)
+            cols_lv.append(np.squeeze(np.asarray(arr)))
         else:
             names.append(name)
-            cols.append(np.asarray(arr, host_dtype) * mask)
+            cols.append(np.squeeze(np.asarray(arr)))
 
     add2d("vcd", sat_data.vcd)
     if is_amf:
@@ -901,7 +929,7 @@ def regrid_granule(
         a = np.asarray(arr)
         for z in range(a.shape[0]):
             names_lv.append(f"{name}:{z}")
-            cols_lv.append(np.squeeze(a[z]) * mask)
+            cols_lv.append(np.squeeze(a[z]))
 
     pmid_affine = None
 
@@ -920,7 +948,7 @@ def regrid_granule(
             # reader-provided construction tables skip the full-stack fit
             tabs = getattr(sat_data, "_pmid_eta", None)
             if tabs is not None:
-                ab = _affine_from_tables(arr, tabs)
+                ab = _affine_from_tables(arr, tabs, sel=sel)
             if ab is None:
                 ab = _affine_stack(arr)
         if ab is None:
@@ -929,7 +957,7 @@ def regrid_granule(
         a_, b_, ci = ab
         pmid_affine = (a_, b_)
         names_lv.append("pressure_mid:carrier")
-        cols_lv.append(np.squeeze(np.asarray(arr)[ci]) * mask)
+        cols_lv.append(np.squeeze(np.asarray(arr)[ci]))
 
     has_sw = is_amf and np.size(sat_data.scattering_weights) != 1
     if has_sw:
@@ -949,21 +977,37 @@ def regrid_granule(
         add3d_pmid(sat_data.pressure_mid)
         add3d("apriori_profile", sat_data.apriori_profile)
 
-    batch = _stack(cols, host_dtype)  # (F2, Npix)
-    batch_lv = _stack(cols_lv, host_dtype) if cols_lv else None  # (F3, Npix)
     # RAW uncertainty; the device program squares it (square_err) so the
     # row can ship at the reference's own f16 storage precision for the
     # AMF sensors (reference reader.py:487 etc.; MOPITT/GOSAT store
     # uncertainty f32 — err_narrow off keeps those wide)
-    err_batch = _stack([np.asarray(sat_data.uncertainty, host_dtype) * mask],
-                       host_dtype)
+    err_cols = [np.squeeze(np.asarray(sat_data.uncertainty))]
+    if sel is not None:
+        # compacted plan: gather + cast + mask in one pass per field
+        # instead of masking/stacking the full swath then re-gathering
+        msel = mask.ravel()[sel]
+        batch = _gather_stack(cols, msel, sel, host_dtype)
+        batch_lv = (_gather_stack(cols_lv, msel, sel, host_dtype)
+                    if cols_lv else None)
+        err_batch = _gather_stack(err_cols, msel, sel, host_dtype)
+    else:
+        # cast first: the multiply then runs at the (narrower) host dtype;
+        # bitwise equal either way because mask is exactly 1.0 or NaN
+        batch = _stack([np.asarray(c, host_dtype) * mask for c in cols],
+                       host_dtype)  # (F2, Npix)
+        batch_lv = (_stack([np.asarray(c, host_dtype) * mask
+                            for c in cols_lv], host_dtype)
+                    if cols_lv else None)
+        err_batch = _stack([np.asarray(err_cols[0], host_dtype) * mask],
+                           host_dtype)
     if not (is_amf or is_opt):
         raise TypeError(f"unsupported granule type {type(sat_data)!r}")
     if device is None:
         device = device_granules_default()
     collect = _regrid_fused(plan, upsc, batch, err_batch, dtype,
                             batch_lv=batch_lv, lazy=True, device=device,
-                            square_err=True, err_narrow=is_amf)
+                            square_err=True, err_narrow=is_amf,
+                            sel_applied=sel is not None)
 
     def finish():
         name_idx = {n: i for i, n in enumerate(names + names_lv)}

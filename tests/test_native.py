@@ -100,6 +100,19 @@ def test_pixel_hash_reaches_antimeridian_isolated_pixels():
     assert dist[0] < 0.8
 
 
+def test_bbox_far_rejection_reports_past_cutoff():
+    """Targets farther than max_dist outside the swath bbox skip the ring
+    scan entirely but must still land on the far side of the cutoff (and
+    inside-bbox results must be unaffected)."""
+    lon, lat = swath()
+    t_far = (np.array([60.0, -45.0, 0.0]), np.array([37.0, 37.0, 80.0]))
+    out = native.structured_weights(lon, lat, t_far[0], t_far[1],
+                                    max_dist=0.6)
+    assert out is not None
+    _, _, dist, _, ok = out
+    assert (dist > 0.6).all() and not ok.any()
+
+
 def test_nearest_mode_matches_kdtree():
     """Native nearest mode (methods 2/4) picks the same pixel as scipy's
     cKDTree query away from exact ties."""
