@@ -82,7 +82,11 @@ def compact_plan(plan: "SparsePlan", max_keep_frac: float = 0.85):
     if plan.sel is not None or not isinstance(plan.idx, np.ndarray):
         return plan
     safe_idx = np.where(np.asarray(plan.mask, bool)[:, None], 0, plan.idx)
-    sel, inv = np.unique(safe_idx, return_inverse=True)
+    # O(npix) flag + remap instead of sort-based np.unique: indices are
+    # bounded ints, and flatnonzero returns them ascending like unique did
+    flags = np.zeros(plan.npix, bool)
+    flags[safe_idx.ravel()] = True
+    sel = np.flatnonzero(flags)
     if sel.size > max_keep_frac * plan.npix:
         return plan
     # int16 indices when the compacted source axis fits: halves the
@@ -90,8 +94,10 @@ def compact_plan(plan: "SparsePlan", max_keep_frac: float = 0.85):
     # regardless of how far the pixel axis is bucket-padded, so 2**15 is
     # the exact gate; XLA gathers take any integer index dtype)
     idt = np.int16 if sel.size <= 2 ** 15 else np.int32
-    idx = inv.reshape(plan.idx.shape).astype(idt)
-    return dataclasses.replace(plan, idx=idx, sel=sel.astype(np.int32))
+    remap = np.zeros(plan.npix, idt)
+    remap[sel] = np.arange(sel.size, dtype=idt)
+    return dataclasses.replace(plan, idx=remap[safe_idx],
+                               sel=sel.astype(np.int32))
 
 
 def grid_spacing(lon2d: np.ndarray, lat2d: np.ndarray):

@@ -265,6 +265,59 @@ def test_compact_plan_exact_and_threshold():
     assert compact_plan(near).sel is None
 
 
+def synthetic_opt_granule(seed=0, ny=60, nx=40, nz=6):
+    """MOPITT-shaped satellite_opt granule: exercises every add2d/add3d
+    route of the assembly (aprior/surface 2-D fields, AK + apriori-profile
+    stacks, x_col) plus the narrow2d MOPITT set."""
+    rng = np.random.default_rng(seed)
+    lat = np.linspace(31, 44, ny)[:, None] + 0.05 * rng.standard_normal((ny, nx))
+    lon = np.linspace(-8, 8, nx)[None, :] + 0.2 * np.linspace(0, 1, ny)[:, None]
+    qa = np.ones((ny, nx))
+    qa[20:23, 10:13] = 0.0
+    return satellite_opt(
+        vcd=np.abs(rng.normal(2, 0.5, (ny, nx))),
+        time=None,
+        latitude_center=lat,
+        longitude_center=lon + 0 * lat,
+        uncertainty=np.abs(rng.normal(0.3, 0.05, (ny, nx))),
+        quality_flag=qa,
+        pressure_mid=np.linspace(1000, 100, nz)[:, None, None] * np.ones((nz, ny, nx)),
+        averaging_kernels=np.abs(rng.normal(0.8, 0.1, (nz, ny, nx))),
+        apriori_profile=np.abs(rng.normal(1.5, 0.2, (nz, ny, nx))),
+        aprior_column=np.abs(rng.normal(1.8, 0.2, (ny, nx))),
+        surface_pressure=np.abs(rng.normal(990, 15, (ny, nx))),
+        apriori_surface=np.abs(rng.normal(1.2, 0.1, (ny, nx))),
+        x_col=np.abs(rng.normal(90, 5, (ny, nx))),
+        pressure_weight=[],
+        ctm_upscaled_needed=False, ctm_vcd=[], ctm_time_at_sat=[],
+        ctm_xcol=[], sensor="MOPITT",
+    )
+
+
+def test_regrid_opt_granule_compaction_bitwise(monkeypatch):
+    """The gather-first assembly is bitwise identical to the full-width
+    mask+stack path for the satellite_opt field routes too."""
+    import oisat_tpu.regridder as R
+
+    clon, clat = ctm_grid()
+
+    def run():
+        R._plan_cache.clear()
+        g = synthetic_opt_granule(5)
+        return regrid_granule(1, 0.25, g, clon, clat, flag_thresh=0.5)
+
+    compacted = run()
+    monkeypatch.setattr(R, "compact_plan", lambda p: p)
+    plain = run()
+    for name in ("vcd", "x_col", "uncertainty", "aprior_column",
+                 "surface_pressure", "apriori_surface",
+                 "averaging_kernels", "apriori_profile", "pressure_mid"):
+        a = np.asarray(getattr(compacted, name))
+        b = np.asarray(getattr(plain, name))
+        assert np.array_equal(a, b, equal_nan=True), name
+    R._plan_cache.clear()
+
+
 def test_regrid_granule_compaction_bitwise(monkeypatch):
     """The production regrid path is bitwise identical with the pixel
     compaction disabled (it gathers the same values for the same
