@@ -390,12 +390,13 @@ def _affine_from_tables(stack, tabs, rtol: float = 1e-4, sel=None):
     pixel data: with carrier level ``ci = argmax|B|``,
     ``stack[l] == a[l] + b[l]*stack[ci]`` for ``b = B/B[ci]``,
     ``a = A - A[ci]*B/B[ci]`` — exact by construction, no per-level
-    re-fit.  A FULL-stack residual + NaN-pattern check (two cheap
+    re-fit.  A residual + NaN-pattern check over the validated pixels
+    (the whole swath, or ``plan.sel`` when given — see below; two cheap
     vectorized passes, still ~10x cheaper than the fit it replaces)
     guards against a stack that was edited after construction — a
-    localized scrub that re-masks or rescales a sub-swath must not slip
-    through, because reconstruction would force the carrier's values and
-    NaN pattern onto every level; on any mismatch (or shape
+    localized scrub that re-masks or rescales a validated sub-swath must
+    not slip through, because reconstruction would force the carrier's
+    values and NaN pattern onto every level; on any mismatch (or shape
     disagreement) returns None and the caller falls back to the full
     :func:`_affine_stack` fit.  ``B == 0`` everywhere (fixed
     1-D pressure tables: OMI NO2, MOPITT) degenerates to ``b = 0`` with
@@ -705,16 +706,25 @@ def _f16_row_mask(batch_lv) -> np.ndarray:
     return ~(rowmax >= F16_SAFE_MAX)  # NaN rowmax (all-NaN row) -> True
 
 
-def _gather_stack(fields, mask_sel, sel, dtype):
+def _gather_stack(fields, mask_sel, sel, dtype, shape):
     """Masked compacted batch in ONE pass per field: gather the plan's
     referenced pixels, cast on assignment, apply the QA mask in place.
     The full-width mask-multiply + stack + re-gather sequence touched ~5x
     the bytes for swath plans that reference ~18% of the pixels; values
     are bitwise identical (the mask is exactly 1.0 or NaN, so cast-then-
-    multiply equals multiply-then-cast)."""
+    multiply equals multiply-then-cast).  ``shape`` is the swath shape:
+    sub-shaped fields (size-1 placeholders that pass the assembly's
+    ``.any()`` guards) broadcast against it exactly like the full-width
+    branch's ``field * mask`` does."""
     out = np.empty((len(fields), sel.size), dtype)
     for i, f in enumerate(fields):
-        out[i] = np.asarray(f).ravel()[sel]
+        f = np.asarray(f)
+        if f.size == 1:
+            out[i] = f.reshape(())[()]
+        else:
+            if f.shape != shape:
+                f = np.broadcast_to(f, shape)
+            out[i] = f.ravel()[sel]
         out[i] *= mask_sel
     return out
 
@@ -986,10 +996,10 @@ def regrid_granule(
         # compacted plan: gather + cast + mask in one pass per field
         # instead of masking/stacking the full swath then re-gathering
         msel = mask.ravel()[sel]
-        batch = _gather_stack(cols, msel, sel, host_dtype)
-        batch_lv = (_gather_stack(cols_lv, msel, sel, host_dtype)
+        batch = _gather_stack(cols, msel, sel, host_dtype, mask.shape)
+        batch_lv = (_gather_stack(cols_lv, msel, sel, host_dtype, mask.shape)
                     if cols_lv else None)
-        err_batch = _gather_stack(err_cols, msel, sel, host_dtype)
+        err_batch = _gather_stack(err_cols, msel, sel, host_dtype, mask.shape)
     else:
         # cast first: the multiply then runs at the (narrower) host dtype;
         # bitwise equal either way because mask is exactly 1.0 or NaN

@@ -318,6 +318,36 @@ def test_regrid_opt_granule_compaction_bitwise(monkeypatch):
     R._plan_cache.clear()
 
 
+def test_regrid_opt_granule_size1_broadcast(monkeypatch):
+    """Nonzero size-1 placeholder fields (they pass the assembly's .any()
+    guards) broadcast on the compacted gather path exactly like the
+    full-width branch's `field * mask` multiply."""
+    import dataclasses
+    import oisat_tpu.regridder as R
+
+    clon, clat = ctm_grid()
+
+    def run():
+        R._plan_cache.clear()
+        g = synthetic_opt_granule(7)
+        g = dataclasses.replace(
+            g,
+            aprior_column=np.array([1.75]),
+            apriori_surface=np.full((1, g.vcd.shape[1]), 1.25),
+        )
+        return regrid_granule(1, 0.25, g, clon, clat, flag_thresh=0.5)
+
+    compacted = run()
+    assert np.isfinite(np.asarray(compacted.aprior_column)).any()
+    monkeypatch.setattr(R, "compact_plan", lambda p: p)
+    plain = run()
+    for name in ("vcd", "aprior_column", "apriori_surface", "x_col"):
+        a = np.asarray(getattr(compacted, name))
+        b = np.asarray(getattr(plain, name))
+        assert np.array_equal(a, b, equal_nan=True), name
+    R._plan_cache.clear()
+
+
 def test_regrid_granule_compaction_bitwise(monkeypatch):
     """The production regrid path is bitwise identical with the pixel
     compaction disabled (it gathers the same values for the same
