@@ -169,18 +169,26 @@ def _unit_vectors(lat_deg, lon_deg):
 
 @partial(jax.jit, static_argnames=("length_scale_km", "block"))
 def _b_matmat(u3, sigma_b, v, length_scale_km: float, block: int):
-    """Y = B V without materializing B: row blocks of the Gram matrix
-    C = exp(kappa (U U^T - 1)) are generated on the MXU and immediately
-    contracted against ALL right-hand sides.  ``v``: (N, K).  Peak memory
-    O(block * N + N * K) instead of O(N^2).  Generating the C tiles (one
-    N^2 Gram + exp sweep) dominates, so batching K columns into one call
-    costs barely more than one — the multi-probe posterior diagonal rides
-    the same sweep as the innovation solve.
+    """Y = B V without materializing B: row blocks of the kernel matrix
+    C = exp(-kappa |u_i - u_j|^2 / 2) are generated on the VPU and
+    immediately contracted against ALL right-hand sides on the MXU.
+    ``v``: (N, K).  Peak memory O(block * N + N * K) instead of O(N^2).
+    Batching K columns into one call costs barely more than one — the
+    multi-probe posterior diagonal rides the same sweep as the innovation
+    solve.
 
-    precision=HIGHEST on both matmuls: the decay argument is kappa (1 - g)
-    with g ~ 1 for nearby cells, so bf16 Gram error (~1e-3) would corrupt
-    the exponent by kappa * 1e-3 — catastrophic for kappa = (R/L)^2 ~ 1e3.
-    """
+    The squared chordal distance is computed by EXPLICIT coordinate
+    differences, NOT as the algebraically-equal MXU Gram form
+    kappa (u_i.u_j - 1): an f32 dot product carries ~eps ABSOLUTE error,
+    which the kappa = (R/L)^2 ~ 450 amplification turns into ~5e-5
+    relative error on every kernel element — enough to make the implied
+    B indefinite below sigma_o^2 ~ 1e-5 and silently diverge CG on the
+    production month's conditioning (measured).  Differences of nearby
+    f32 coordinates are exact (Sterbenz), so this form's error is
+    RELATIVE to each element (~couple ulp, matching the Pallas haversine
+    kernel and the f64 reference cast to f32), and B stays numerically
+    PSD.  precision=HIGHEST on the apply matmul: bf16 would round the
+    well-conditioned contraction itself."""
     kappa = (EARTH_RADIUS_KM / length_scale_km) ** 2
     n = u3.shape[0]
     dv = sigma_b[:, None] * v  # (N, K)
@@ -188,9 +196,8 @@ def _b_matmat(u3, sigma_b, v, length_scale_km: float, block: int):
 
     def body(start):
         ub = jax.lax.dynamic_slice(u3, (start, 0), (block, 3))
-        g = jax.lax.dot_general(ub, u3, (((1,), (1,)), ((), ())),
-                                precision=jax.lax.Precision.HIGHEST)
-        c = jnp.exp(kappa * (g - 1.0))
+        d2 = sum((ub[:, None, k] - u3[None, :, k]) ** 2 for k in range(3))
+        c = jnp.exp((-0.5 * kappa) * d2)
         return jax.lax.dot_general(c, dv, (((1,), (0,)), ((), ())),
                                    precision=jax.lax.Precision.HIGHEST)
 
@@ -198,58 +205,185 @@ def _b_matmat(u3, sigma_b, v, length_scale_km: float, block: int):
     return sigma_b[:, None] * rows.reshape(n, -1)
 
 
-@partial(jax.jit, static_argnames=("length_scale_km", "block", "maxiter"))
-def _cg_solve_multi(u3, sigma_b, sigma_o2, rhs, length_scale_km: float,
-                    block: int, tol: float, maxiter: int):
-    """Jacobi-preconditioned CG for A X = RHS (column-wise), A = B +
-    diag(sigma_o^2), with the matrix-free blocked B mat-mat.  A is SPD
-    (B PSD + positive diagonal).  ``rhs``: (N, K); every iteration costs
-    ONE covariance-tile sweep regardless of K.  Converged columns freeze
-    (alpha = 0) while the rest keep iterating."""
+def _cg_loop(amat, psolve, rhs, tol, maxiter, stall: int = 50):
+    """Preconditioned-CG loop body shared by the Jacobi and Nystrom
+    entry points (traced inside their jit wrappers).  A is SPD; ``rhs``:
+    (N, K); every iteration costs ONE covariance-tile sweep regardless of
+    K.  Converged columns freeze (alpha = 0) while the rest keep
+    iterating.
 
-    def amat(v):
-        return _b_matmat(u3, sigma_b, v, length_scale_km, block) + sigma_o2[:, None] * v
+    ``stall``: iterations without a 10% residual improvement before a
+    column freezes — f32 matvec roundoff puts a floor under the
+    attainable residual, and grinding past it wastes covariance sweeps.
+    High-cond solves plateau for long stretches BEFORE converging
+    (residual 2-norm oscillates while the A-norm error falls), so the
+    deflated path passes a window sized for its spectrum.
 
-    minv = (1.0 / (sigma_b**2 + sigma_o2))[:, None]
+    Every column returns its MINIMUM-residual iterate, not its last: the
+    f32 covariance matvec carries accumulation noise ~sqrt(N) eps |B|
+    that acts as an indefinite perturbation of A below sigma_o^2 ~ 1e-5,
+    so on extreme-conditioning solves CG reduces the residual to the
+    noise floor and then the spurious negative mode amplifies
+    exponentially — the best iterate is the right answer and a column
+    whose residual grows 100x past its own best freezes (unambiguous
+    divergence — transient 2-norm growth of a few x is NORMAL for
+    ill-conditioned CG and must stay live; the stall window handles
+    mere plateaus).
+    """
     bnorm2 = jnp.sum(rhs * rhs, axis=0)  # (K,)
     tol2 = tol * tol * jnp.maximum(bnorm2, 1e-30)
-    STALL = 50  # iterations without a 10% residual improvement -> frozen:
-    # f32 matvec roundoff puts a floor under the attainable residual that
-    # grows with N; grinding past it wastes covariance sweeps.
+    STALL = stall
 
     def cond(state):
-        k, _, r, _, _, _, stall = state
-        alive = (jnp.sum(r * r, axis=0) > tol2) & (stall < STALL)
+        k, _, r, _, _, _, stall, _, best = state
+        r2n = jnp.sum(r * r, axis=0)
+        alive = (r2n > tol2) & (stall < STALL) & (r2n < 1e4 * best)
         return (k < maxiter) & jnp.any(alive)
 
     def step(state):
-        k, x, r, z, p, anchor, stall = state
+        k, x, r, z, p, anchor, stall, xbest, best = state
         r2n = jnp.sum(r * r, axis=0)
-        live = ((r2n > tol2) & (stall < STALL))[None, :]
+        live = ((r2n > tol2) & (stall < STALL) & (r2n < 1e4 * best))[None, :]
         ap = amat(p)
         rz = jnp.sum(r * z, axis=0)
         den = jnp.sum(p * ap, axis=0)
         alpha = jnp.where((den > 0) & live[0], rz / jnp.where(den > 0, den, 1.0), 0.0)
         x = x + alpha[None, :] * p
         r2 = r - alpha[None, :] * ap
-        z2 = minv * r2
+        z2 = psolve(r2)
         beta = jnp.where(rz > 0, jnp.sum(r2 * z2, axis=0) / jnp.where(rz > 0, rz, 1.0), 0.0)
         p2 = z2 + beta[None, :] * p
         r2n_new = jnp.sum(r2 * r2, axis=0)
+        record = r2n_new < best
+        xbest = jnp.where(record[None, :], x, xbest)
+        best = jnp.where(record, r2n_new, best)
         # windowed criterion: compare against the residual at the last
         # reset (the anchor), NOT the running minimum — a slow-but-steady
         # 1%/iteration column improves 40% per window and must stay live
         improved = r2n_new < 0.81 * anchor  # 10% norm improvement (squared)
         anchor = jnp.where(improved, r2n_new, anchor)
         stall = jnp.where(improved, 0, stall + 1)
-        return k + 1, x, r2, z2, p2, anchor, stall
+        return k + 1, x, r2, z2, p2, anchor, stall, xbest, best
 
     x0 = jnp.zeros_like(rhs)
-    z0 = minv * rhs
-    init = (0, x0, rhs, z0, z0, bnorm2, jnp.zeros_like(bnorm2, dtype=jnp.int32))
-    k, x, r, *_ = jax.lax.while_loop(cond, step, init)
-    resid = jnp.sqrt(jnp.max(jnp.sum(r * r, axis=0) / jnp.maximum(bnorm2, 1e-30)))
-    return x, k, resid
+    z0 = psolve(rhs)
+    init = (0, x0, rhs, z0, z0, bnorm2,
+            jnp.zeros_like(bnorm2, dtype=jnp.int32), x0, bnorm2)
+    k, x, r, _, _, _, _, xbest, best = jax.lax.while_loop(cond, step, init)
+    resid = jnp.sqrt(jnp.max(best / jnp.maximum(bnorm2, 1e-30)))
+    return xbest, k, resid
+
+
+@partial(jax.jit, static_argnames=("length_scale_km", "block", "maxiter"))
+def _cg_solve_multi(u3, sigma_b, sigma_o2, rhs, length_scale_km: float,
+                    block: int, tol: float, maxiter: int):
+    """Jacobi-preconditioned CG for A X = RHS (column-wise), A = B +
+    diag(sigma_o^2), with the matrix-free blocked B mat-mat.  Adequate
+    when sigma_b/sigma_o is O(1); for observation errors far tighter than
+    the prior (monthly averages: sigma_b/sigma_o ~ 100) cond(A) reaches
+    ~1e7 and f32 CG both stalls and hits its roundoff floor — those
+    solves take :func:`_pcg_solve_nystrom`."""
+
+    def amat(v):
+        return _b_matmat(u3, sigma_b, v, length_scale_km, block) + sigma_o2[:, None] * v
+
+    minv = (1.0 / (sigma_b**2 + sigma_o2))[:, None]
+    return _cg_loop(amat, lambda r: minv * r, rhs, tol, maxiter)
+
+
+@partial(jax.jit, static_argnames=("length_scale_km", "block"))
+def _nystrom_factor(u3, sigma_b, omega, length_scale_km: float,
+                    block: int):
+    """Rank-k randomized Nystrom eigenfactor (U, lam) of the prior
+    covariance: B ~= U diag(lam) U^T with U (N, k) orthonormal.  Two
+    covariance-tile sweeps' worth of matmuls plus two k x k
+    eigendecompositions — no n x n storage.
+
+    Deliberately sketches B UNWHITENED: every f32 quantity here carries
+    absolute error ~eps * lam_max(B), and the preconditioner's shift
+    floor (4 eps lam_max, see :func:`_pcg_solve_nystrom`) bounds that
+    error's effect on the preconditioned spectrum by 1/4.  Sketching the
+    whitened kernel D_o^-1 B D_o^-1 instead (spectral range ~cond(A) ~
+    1/eps_f32 for monthly-average sigma_o) was measured to make the f32
+    factor error O(1) in the units that matter — an indefinite
+    preconditioner that diverges CG.  Rank-deficient sketch directions
+    drop out cleanly: their columns are zeroed, surfacing as lam = 0 =
+    plain shift directions."""
+    y = _b_matmat(u3, sigma_b, omega, length_scale_km, block)  # (N, k)
+    g = jax.lax.dot_general(omega, y, (((0,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)
+    g = 0.5 * (g + g.T)
+    w, v = jnp.linalg.eigh(g)  # ascending
+    keep = w > jnp.maximum(w[-1], 0.0) * 3e-6  # f32 eigh noise floor
+    wsafe = jnp.where(keep, w, 1.0)
+    z = jax.lax.dot_general(y, v * (keep / jnp.sqrt(wsafe))[None, :],
+                            (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)  # (N, k)
+    # thin eigenform of Z Z^T via the k x k Gram: Z^T Z = P diag(s) P^T
+    # -> U = Z P s^-1/2, lam = s
+    zz = jax.lax.dot_general(z, z, (((0,), (0,)), ((), ())),
+                             precision=jax.lax.Precision.HIGHEST)
+    zz = 0.5 * (zz + zz.T)
+    s, p = jnp.linalg.eigh(zz)
+    lam = jnp.maximum(s, 0.0)
+    skeep = s > jnp.maximum(s[-1], 0.0) * 3e-6
+    ssafe = jnp.where(skeep, s, 1.0)
+    u = jax.lax.dot_general(z, p * (skeep / jnp.sqrt(ssafe))[None, :],
+                            (((1,), (0,)), ((), ())),
+                            precision=jax.lax.Precision.HIGHEST)
+    return u, jnp.where(skeep, lam, 0.0)
+
+
+@partial(jax.jit, static_argnames=("length_scale_km", "block", "maxiter"))
+def _pcg_solve_nystrom(u3, sigma_b, sigma_o2, rhs, nys_u, nys_lam, c2,
+                       dcomp, length_scale_km: float, block: int,
+                       tol: float, maxiter: int):
+    """CG with the randomized-Nystrom deflation preconditioner
+    (the Frangella, Tropp & Udell SIAM J. Matrix Anal. 2023 pattern,
+    projector form for a non-scalar complement):
+
+        M^-1 = P D_c^-1 P + U diag(1/(lam + c2)) U^T,   P = I - U U^T
+
+    SPD by construction (a PSD congruence plus a PSD low-rank term).
+    ``dcomp`` = dtail + sigma_o^2 is the per-cell complement diagonal:
+    dtail = diag(B) - diag(U lam U^T) is exactly the local prior variance
+    the sketch did NOT capture, so complement directions see a Jacobi
+    scaling matched to the residual operator P (B - B^) P + P R P — this
+    absorbs both the B tail below the f32 eigh floor (only the modes
+    above ~3e-6 lam_max survive :func:`_nystrom_factor`) and sigma_o
+    heterogeneity, which a scalar 1/c2 complement amplified by
+    lam_tail / min sigma_o^2 (measured divergent on the production
+    month).  ``c2`` (max of min-valid sigma_o^2 and 4 eps_f32 lam_max)
+    keeps the deflated coefficients f32-safe.
+
+    Deflates the eigenvalues of B that make Jacobi CG stall (cond(A) ~
+    1e7 when monthly-average observation errors are ~100x tighter than
+    the prior); f32 PCG then converges in tens-to-~200 iterations with a
+    correspondingly low roundoff floor.  Padding rows (sigma_b = 0,
+    sigma_o = 1, rhs = 0) keep zero residual forever."""
+
+    def amat(v):
+        return _b_matmat(u3, sigma_b, v, length_scale_km, block) + sigma_o2[:, None] * v
+
+    dinv = (1.0 / dcomp)[:, None]
+    dl = (1.0 / (nys_lam + c2))[:, None]
+
+    def ut(v):
+        return jax.lax.dot_general(nys_u, v, (((0,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    def u_(t):
+        return jax.lax.dot_general(nys_u, t, (((1,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    def psolve(r):
+        t = ut(r)
+        rp = r - u_(t)          # P r
+        z = dinv * rp
+        z = z - u_(ut(z))       # P D_c^-1 P r
+        return z + u_(dl * t)
+
+    return _cg_loop(amat, psolve, rhs, tol, maxiter, stall=200)
 
 
 @partial(jax.jit, static_argnames=("length_scale_km", "block", "m"))
@@ -482,11 +616,16 @@ def _distance_coloring_cached(lat, lon, sep_km: float, cluster_radius_km: float,
     return out
 
 
+NYSTROM_MIN_CELLS = 4096  # below this the tests' well-conditioned small
+# problems converge in a handful of Jacobi iterations; the sketch would
+# cost more than it saves.
+
+
 def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
                     block: int = 1024, cg_tol: float = 1e-6,
                     cg_maxiter: int = 400, probe_sep_factor: float = 4.0,
                     max_colors: int = 192, cluster_radius_factor: float = 0.25,
-                    valid=None):
+                    valid=None, precond: str = "auto", nystrom_k: int = None):
     """Full-covariance OI for domains beyond the dense HBM limit.
 
     Dense-cell inputs (1-D, finite; padded internally to a ``block``
@@ -510,6 +649,13 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
         color per crowded neighbour); and the separation guarantee is
         never relaxed — when more than ``max_colors`` colors are needed
         the probes run in multiple CG chunks instead of merging colors.
+
+    ``precond``: "jacobi" | "nystrom" | "auto" (default — Nystrom
+    deflation for npad >= NYSTROM_MIN_CELLS, where production problems
+    with monthly-average observation errors reach cond(A) ~ 1e7 and
+    Jacobi CG stalls at an f32 floor of ~1e-1 relative residual;
+    see :func:`_pcg_solve_nystrom`).  ``nystrom_k``: sketch rank
+    (default min(2048, npad // 4), lane-rounded).
 
     Returns (xb, ak, increment, err, info dict) trimmed to the input length.
     """
@@ -539,77 +685,161 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
     innov = jnp.asarray(np.asarray(y, np.float64) - np.asarray(xa, np.float64),
                         jnp.float32)
 
-    # coloring runs on the real cells only — padding rows (sigma_b = 0)
-    # share one location and would otherwise force one color each
     n = u3.shape[0]
     if valid is None:
         valid = np.ones(n, bool)
     valid = np.asarray(valid, bool)
     vidx = np.flatnonzero(valid)
-    rep_v, colors_v = _distance_coloring_cached(
-        np.asarray(lat)[valid], np.asarray(lon)[valid],
-        probe_sep_factor * float(length_scale_km),
-        cluster_radius_factor * float(length_scale_km),
-        prefer=np.asarray(sigma_b, np.float64)[valid] > 0)
-    rep = np.full(n, -1, np.int64)
-    rep[vidx] = vidx[rep_v]
-    colors = np.full(n, -1, np.int64)
-    colors[vidx] = colors_v  # color at representatives; -1 on members
-    ncolors = int(colors.max()) + 1
-    is_rep = colors >= 0
+    bd = np.asarray(sigma_b, np.float64) ** 2
+    so2_np = np.asarray(sigma_o2, np.float64)
 
-    # batched flow, chunked when the (uncapped) color count exceeds the
-    # per-CG column budget: within each chunk the innovation solve (first
-    # chunk only) and every probe share each covariance-tile sweep.
-    #   Q = B P;  [w | T] = A^-1 [innov | Q];  [Bw | BT] = B [w | T]
-    quad_rep = np.zeros(n, np.float64)
-    increment = None
+    use_nystrom = (precond == "nystrom"
+                   or (precond == "auto" and n >= NYSTROM_MIN_CELLS))
     iters_total = 0
     resid_max = 0.0
-    nchunks = max(1, -(-ncolors // max_colors))
-    for ci in range(nchunks):
-        c0, c1 = ci * max_colors, min((ci + 1) * max_colors, ncolors)
-        sel = is_rep & (colors >= c0) & (colors < c1)
-        # pad the column count to a lane multiple: fewer compile variants
-        # (K changes with the coloring) and clean MXU tiling; zero
-        # columns start converged and cost nothing in CG.
-        lead = 1 if ci == 0 else 0
-        kpad = int(np.ceil(max(c1 - c0 + lead, 1) / LANES)) * LANES
-        probes = np.zeros((n, kpad - lead), np.float32)
-        probes[np.flatnonzero(sel), colors[sel] - c0] = 1.0
-        q = _b_matmat(u3, sigma_b, jnp.asarray(probes),
-                      float(length_scale_km), block)
-        rhs = jnp.concatenate([innov[:, None], q], axis=1) if ci == 0 else q
-        x, iters, resid = _cg_solve_multi(u3, sigma_b, sigma_o2, rhs,
-                                          float(length_scale_km), block,
-                                          cg_tol, cg_maxiter)
-        s_all = _b_matmat(u3, sigma_b, x, float(length_scale_km), block)
-        iters_total += int(iters)
-        resid_max = max(resid_max, float(resid))
-        if ci == 0:
-            increment = s_all[:, 0]
-        s = np.asarray(s_all[:, lead:], np.float64)  # B A^-1 B P
-        cells = np.flatnonzero(sel)
-        quad_rep[cells] = s[cells, colors[cells] - c0]
+    if use_nystrom:
+        k = nystrom_k or min(2048, n // 4)
+        k = max(LANES, int(np.ceil(k / LANES)) * LANES)
+        omega = jnp.asarray(
+            np.random.default_rng(0).standard_normal((n, k)), jnp.float32)
+        nys_u, nys_lam = _nystrom_factor(u3, sigma_b, omega,
+                                         float(length_scale_km), block)
+        so2_min = float(np.min(so2_np[valid]))
+        c2 = jnp.maximum(jnp.float32(so2_min),
+                         4.0 * jnp.float32(1.2e-7) * nys_lam[-1])
+        dcap = np.asarray(jnp.sum(nys_u * nys_u * nys_lam[None, :], axis=1),
+                          np.float64)  # diag of the sketched prior
+        dtail = np.maximum(bd - dcap, 0.0)
+        dcomp = jnp.asarray(dtail + so2_np, jnp.float32)
+        # innovation solve only — the posterior diagonal needs no probe
+        # columns here (Woodbury on the same factor, below); pad the
+        # single column to the f32 sublane count (8), NOT to LANES: zero
+        # columns start converged but still ride every CG matmul, and a
+        # 128-wide pad was measured spending 16x the flops of the solve
+        rhs = jnp.zeros((n, 8), jnp.float32).at[:, 0].set(innov)
+        x, iters, resid = _pcg_solve_nystrom(
+            u3, sigma_b, sigma_o2, rhs, nys_u, nys_lam, c2, dcomp,
+            float(length_scale_km), block, cg_tol, cg_maxiter)
+        iters_total = int(iters)
+        resid_max = float(resid)
+        increment = _b_matmat(u3, sigma_b, x[:, :1],
+                              float(length_scale_km), block)[:, 0]
+
+        # Posterior diagonal from the Nystrom factor itself, exact for
+        # the sketched prior B^ = U diag(lam) U^T in EVERY noise regime
+        # (the B - B A^-1 B probing form loses all significance when
+        # sigma_o << sigma_b — Sb ~ so^2 emerges as the difference of two
+        # O(diag B) quantities; the R - R A^-1 R form cancels in the
+        # opposite regime; diag(U S U^T) with S = (lam^-1 + U^T R^-1 U)^-1
+        # cancels in neither, and carries no probe cross-term noise):
+        #   S = lam^1/2 (I + lam^1/2 W lam^1/2)^-1 lam^1/2,  W = U^T R^-1 U
+        # The k x k Cholesky runs in float64 on the host — the inner
+        # matrix conditioning tracks cond(A) ~ 1e7, past f32's reach.
+        # Prior variance the k modes miss (dtail = diag B - diag B^) is
+        # closed per-cell as an independent scalar-OI remainder: those
+        # tail modes are nearly unfiltered by the analysis, contributing
+        # dtail * so^2 / (dtail + so^2) each.
+        w_small = np.asarray(
+            jax.lax.dot_general(nys_u, nys_u / sigma_o2[:, None],
+                                (((0,), (0,)), ((), ())),
+                                precision=jax.lax.Precision.HIGHEST),
+            np.float64)
+        lam64 = np.asarray(nys_lam, np.float64)
+        lam_sqrt = np.sqrt(lam64)
+        t_mat = np.eye(k) + lam_sqrt[:, None] * w_small * lam_sqrt[None, :]
+        import scipy.linalg as _sla
+        lt = _sla.cholesky(t_mat, lower=True)
+        m_right = _sla.solve_triangular(
+            lt, np.diag(lam_sqrt), lower=True).T  # lam^1/2 Lt^-T (k, k)
+        v_cols = jax.lax.dot_general(
+            nys_u, jnp.asarray(m_right, jnp.float32),
+            (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST)
+        sb_diag = np.asarray(jnp.sum(v_cols * v_cols, axis=1), np.float64)
+        with np.errstate(invalid="ignore", divide="ignore"):
+            sb_diag = sb_diag + np.where(dtail > 0,
+                                         dtail * so2_np / (dtail + so2_np),
+                                         0.0)
+        ncolors = 0
+        nchunks = 0
+        nreps = 0
+    else:
+        # coloring runs on the real cells only — padding rows (sigma_b =
+        # 0) share one location and would otherwise force one color each
+        rep_v, colors_v = _distance_coloring_cached(
+            np.asarray(lat)[valid], np.asarray(lon)[valid],
+            probe_sep_factor * float(length_scale_km),
+            cluster_radius_factor * float(length_scale_km),
+            prefer=np.asarray(sigma_b, np.float64)[valid] > 0)
+        rep = np.full(n, -1, np.int64)
+        rep[vidx] = vidx[rep_v]
+        colors = np.full(n, -1, np.int64)
+        colors[vidx] = colors_v  # color at representatives; -1 on members
+        ncolors = int(colors.max()) + 1
+        is_rep = colors >= 0
+        nreps = int(is_rep.sum())
+
+        # batched flow, chunked when the (uncapped) color count exceeds
+        # the per-CG column budget: within each chunk the innovation
+        # solve (first chunk only) and every probe share each
+        # covariance-tile sweep.
+        #   [w | Xrp] = A^-1 [innov | R P];  A^-1 B P = P - Xrp  (exact:
+        #   B = A - R, and R P scales each unit probe by its cell's
+        #   sigma_o^2);  [Bw | B A^-1 B P] = B [w | P - Xrp]
+        # Solving R-scaled probes instead of the old Q = B P right-hand
+        # sides saves one covariance sweep per chunk.
+        quad_rep = np.zeros(n, np.float64)   # diag(B A^-1 B) at reps
+        increment = None
+        nchunks = max(1, -(-ncolors // max_colors))
+        for ci in range(nchunks):
+            c0, c1 = ci * max_colors, min((ci + 1) * max_colors, ncolors)
+            sel = is_rep & (colors >= c0) & (colors < c1)
+            # pad the column count to a lane multiple: fewer compile
+            # variants (K changes with the coloring) and clean MXU
+            # tiling; zero columns start converged and cost nothing.
+            lead = 1 if ci == 0 else 0
+            kpad = int(np.ceil(max(c1 - c0 + lead, 1) / LANES)) * LANES
+            cells_sel = np.flatnonzero(sel)
+            punit = np.zeros((n, kpad - lead), np.float32)
+            punit[cells_sel, colors[sel] - c0] = 1.0
+            prp = np.zeros((n, kpad - lead), np.float32)
+            prp[cells_sel, colors[sel] - c0] = so2_np[cells_sel]
+            pj = jnp.asarray(prp)
+            rhs = (jnp.concatenate([innov[:, None], pj], axis=1)
+                   if ci == 0 else pj)
+            x, iters, resid = _cg_solve_multi(
+                u3, sigma_b, sigma_o2, rhs, float(length_scale_km), block,
+                cg_tol, cg_maxiter)
+            tcols = jnp.asarray(punit) - x[:, lead:]       # A^-1 B P
+            s_all = _b_matmat(u3, sigma_b,
+                              jnp.concatenate([x[:, :lead], tcols], axis=1),
+                              float(length_scale_km), block)
+            iters_total += int(iters)
+            resid_max = max(resid_max, float(resid))
+            if ci == 0:
+                increment = s_all[:, 0]
+            s = np.asarray(s_all[:, lead:], np.float64)  # B A^-1 B P
+            cells = np.flatnonzero(sel)
+            quad_rep[cells] = s[cells, colors[cells] - c0]
+
+        # members inherit their representative's diagonal, rescaled by
+        # the local variance ratio (M_ii ~ (sigma_i/sigma_rep)^2
+        # M_rep,rep within cluster_radius_factor * L — relative error
+        # O((radius/L)^2))
+        quad = np.zeros(n, np.float64)
+        vr = rep[vidx]
+        scale = np.divide(bd[vidx], bd[vr], out=np.ones(vidx.size),
+                          where=bd[vr] > 0)
+        quad[vidx] = quad_rep[vr] * scale
+        sb_diag = bd - quad
 
     xb = jnp.asarray(xa, jnp.float32) + increment
-
-    # members inherit their representative's diagonal, rescaled by the
-    # local variance ratio (M_ii ~ (sigma_i/sigma_rep)^2 M_rep,rep within
-    # cluster_radius_factor * L — relative error O((radius/L)^2))
-    bd = np.asarray(sigma_b, np.float64) ** 2
-    quad = np.zeros(n, np.float64)
-    vr = rep[vidx]
-    scale = np.divide(bd[vidx], bd[vr], out=np.ones(vidx.size), where=bd[vr] > 0)
-    quad[vidx] = quad_rep[vr] * scale
-
-    sb_diag = bd - quad
     with np.errstate(invalid="ignore", divide="ignore"):
         ak = 1.0 - sb_diag / bd
     err = np.sqrt(np.maximum(sb_diag, 0.0))
     info = {"cg_iters": iters_total, "cg_resid": resid_max,
             "ncolors": ncolors, "nchunks": nchunks,
-            "nreps": int(is_rep.sum())}
+            "nreps": nreps,
+            "precond": f"nystrom(k={k})" if use_nystrom else "jacobi"}
     return (np.asarray(xb, np.float64)[:n_in], ak[:n_in],
             np.asarray(increment, np.float64)[:n_in], err[:n_in], info)
 
