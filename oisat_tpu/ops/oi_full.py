@@ -19,6 +19,19 @@ XLA's blocked TPU Cholesky (``jax.scipy.linalg``).  Setting
 Missing cells (NaN) are compacted out on host; valid cells are padded to a
 lane multiple with ``sigma_b = 0`` / ``sigma_o = 1`` rows, which decouple
 from the solve.
+
+f32 accuracy wall (measured against full float64 dense solves): the
+matrix-free CG increment converges to a relative residual floor of
+~2e-6 x cond_eff, where cond_eff ~ (sigma_b/sigma_o)^2 x local obs
+density — kernel-element rounding (exp at ~1 ulp) acts as an indefinite
+perturbation of A below that scale, and ``||delta inc|| <= resid ||d||``
+is tight.  Real-sensor months (sigma_b/sigma_o <~ 30) converge below
+1e-4; the synthetic bench stresses sigma_b/sigma_o ~ 300 and saturates
+at ~5%, reported per-run via ``info["cg_resid"]`` and the loud
+non-convergence warning.  The averaging-kernel diagonal does NOT share
+this wall (Woodbury on the Nystrom factor, k x k algebra in host f64 —
+3e-5 absolute on the production month), and the posterior error is a
+tail-closure estimate good to a small factor (~2x in std units).
 """
 
 from __future__ import annotations
@@ -188,18 +201,48 @@ def _b_matmat(u3, sigma_b, v, length_scale_km: float, block: int):
     RELATIVE to each element (~couple ulp, matching the Pallas haversine
     kernel and the f64 reference cast to f32), and B stays numerically
     PSD.  precision=HIGHEST on the apply matmul: bf16 would round the
-    well-conditioned contraction itself."""
+    well-conditioned contraction itself.
+
+    The contraction is CHUNKED into ``block``-sized batched matmuls whose
+    partials are summed separately: a single f32 matmul over all N
+    accumulates ~sqrt(N) eps |B| of rounding noise, which acts as an
+    indefinite perturbation of A = B + R and sets the attainable CG
+    residual floor on tight-observation solves; chunking caps the
+    in-matmul accumulation at sqrt(block) eps and the ~N/block partials
+    add only ~sqrt(N/block) eps more — a ~sqrt(N/block) floor reduction
+    (on-chip 64k-cell bench: CG residual floor 3.4e-5 -> 9.1e-7, i.e. the
+    solve now actually CONVERGES below tol=1e-6 instead of freezing at
+    the noise floor) expressed as a chunk-leading batched dot_general
+    (NOT a sequential Kahan lax.scan, which compiled for half an hour
+    through the remote TPU compile service, and NOT a reshape+swapaxes
+    into batch form, whose minor-axis transpose of the 0.5 GB kernel
+    tile measured 4.4x on the whole solve)."""
     kappa = (EARTH_RADIUS_KM / length_scale_km) ** 2
     n = u3.shape[0]
+    nchunks = n // block
     dv = sigma_b[:, None] * v  # (N, K)
-    starts = jnp.arange(n // block) * block
+    dv3 = dv.reshape(nchunks, block, -1)
+    starts = jnp.arange(nchunks) * block
+
+    u3c = u3.reshape(nchunks, block, 3)
 
     def body(start):
         ub = jax.lax.dynamic_slice(u3, (start, 0), (block, 3))
-        d2 = sum((ub[:, None, k] - u3[None, :, k]) ** 2 for k in range(3))
-        c = jnp.exp((-0.5 * kappa) * d2)
-        return jax.lax.dot_general(c, dv, (((1,), (0,)), ((), ())),
-                                   precision=jax.lax.Precision.HIGHEST)
+        # chunk axis LEADING from the start: a (block, N) tile reshaped +
+        # swapaxes'd into batch form costs a minor-axis transpose of the
+        # full 0.5 GB tile per block-row (measured 4.4x on the whole 64k
+        # solve); generating d2 directly in (chunk, row, col) layout is
+        # transpose-free at the same rounding floor (measured equal
+        # 1.22e-7 rel vs f64 at n=8192).
+        d2 = sum((ub[None, :, None, k] - u3c[:, None, :, k]) ** 2
+                 for k in range(3))
+        c = jnp.exp((-0.5 * kappa) * d2)  # (nchunks, block_row, block_col)
+        # batched over the chunk axis: (nchunks, block_row, chunk) x
+        # (nchunks, chunk, K) -> (nchunks, block_row, K)
+        parts = jax.lax.dot_general(
+            c, dv3, (((2,), (1,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST)
+        return jnp.sum(parts, axis=0)
 
     rows = jax.lax.map(body, starts)  # (nblocks, block, K)
     return sigma_b[:, None] * rows.reshape(n, -1)
