@@ -743,8 +743,10 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
     if use_nystrom:
         k = nystrom_k or min(2048, n // 4)
         k = max(LANES, int(np.ceil(k / LANES)) * LANES)
-        omega = jnp.asarray(
-            np.random.default_rng(0).standard_normal((n, k)), jnp.float32)
+        # f32 directly: the f64 intermediate is a ~1 GB host temporary at
+        # (64800, 2048) and the sketch only needs isotropy, not precision
+        omega = jnp.asarray(np.random.default_rng(0).standard_normal(
+            (n, k), dtype=np.float32))
         nys_u, nys_lam = _nystrom_factor(u3, sigma_b, omega,
                                          float(length_scale_km), block)
         so2_min = float(np.min(so2_np[valid]))
@@ -787,13 +789,22 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
                                 (((0,), (0,)), ((), ())),
                                 precision=jax.lax.Precision.HIGHEST),
             np.float64)
+        w_small = 0.5 * (w_small + w_small.T)  # f32 matmul asymmetry
         lam64 = np.asarray(nys_lam, np.float64)
         lam_sqrt = np.sqrt(lam64)
         t_mat = np.eye(k) + lam_sqrt[:, None] * w_small * lam_sqrt[None, :]
         import scipy.linalg as _sla
-        lt = _sla.cholesky(t_mat, lower=True)
-        m_right = _sla.solve_triangular(
-            lt, np.diag(lam_sqrt), lower=True).T  # lam^1/2 Lt^-T (k, k)
+        try:
+            lt = _sla.cholesky(t_mat, lower=True)
+            m_right = _sla.solve_triangular(
+                lt, np.diag(lam_sqrt), lower=True).T  # lam^1/2 Lt^-T (k, k)
+        except np.linalg.LinAlgError:
+            # t_mat = I + PSD is PD in exact arithmetic; f32 noise in W can
+            # in principle tip a near-null direction negative.  Eigen-clip
+            # fallback: S^1/2 = lam^1/2 Q max(th, 0)^-1/2 Q^T keeps the
+            # production month alive instead of crashing it.
+            th, q = np.linalg.eigh(t_mat)
+            m_right = (lam_sqrt[:, None] * q) / np.sqrt(np.maximum(th, 1.0))
         v_cols = jax.lax.dot_general(
             nys_u, jnp.asarray(m_right, jnp.float32),
             (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST)
