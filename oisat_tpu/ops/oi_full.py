@@ -334,8 +334,8 @@ def _cg_solve_multi(u3, sigma_b, sigma_o2, rhs, length_scale_km: float,
     return _cg_loop(amat, lambda r: minv * r, rhs, tol, maxiter)
 
 
-@partial(jax.jit, static_argnames=("length_scale_km", "block"))
-def _nystrom_factor(u3, sigma_b, omega, length_scale_km: float,
+@partial(jax.jit, static_argnames=("length_scale_km", "block", "k"))
+def _nystrom_factor(u3, sigma_b, key, k: int, length_scale_km: float,
                     block: int):
     """Rank-k randomized Nystrom eigenfactor (U, lam) of the prior
     covariance: B ~= U diag(lam) U^T with U (N, k) orthonormal.  Two
@@ -351,7 +351,14 @@ def _nystrom_factor(u3, sigma_b, omega, length_scale_km: float,
     factor error O(1) in the units that matter — an indefinite
     preconditioner that diverges CG.  Rank-deficient sketch directions
     drop out cleanly: their columns are zeroed, surfacing as lam = 0 =
-    plain shift directions."""
+    plain shift directions.
+
+    The Gaussian sketch is generated ON DEVICE from ``key`` (the sketch
+    needs isotropy, not any particular numbers): materializing it on host
+    shipped (N, k) f32 — 0.5 GB at the 64k bench shape — through the
+    tunnel-attached link on EVERY solve, several times the solve's other
+    traffic combined."""
+    omega = jax.random.normal(key, (u3.shape[0], k), jnp.float32)
     y = _b_matmat(u3, sigma_b, omega, length_scale_km, block)  # (N, k)
     g = jax.lax.dot_general(omega, y, (((0,), (0,)), ((), ())),
                             precision=jax.lax.Precision.HIGHEST)
@@ -743,11 +750,7 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
     if use_nystrom:
         k = nystrom_k or min(2048, n // 4)
         k = max(LANES, int(np.ceil(k / LANES)) * LANES)
-        # f32 directly: the f64 intermediate is a ~1 GB host temporary at
-        # (64800, 2048) and the sketch only needs isotropy, not precision
-        omega = jnp.asarray(np.random.default_rng(0).standard_normal(
-            (n, k), dtype=np.float32))
-        nys_u, nys_lam = _nystrom_factor(u3, sigma_b, omega,
+        nys_u, nys_lam = _nystrom_factor(u3, sigma_b, jax.random.key(0), k,
                                          float(length_scale_km), block)
         so2_min = float(np.min(so2_np[valid]))
         c2 = jnp.maximum(jnp.float32(so2_min),
