@@ -439,3 +439,32 @@ def test_matfree_nystrom_auto_threshold():
         lat.ravel(), lon.ravel(), 300.0, block=128, precond="nystrom",
         nystrom_k=128)
     assert info["precond"] == "nystrom(k=128)"
+
+
+def test_matfree_nystrom_cholesky_fallback(monkeypatch):
+    """If f32 noise ever tips the Woodbury inner matrix I + PSD indefinite,
+    the host Cholesky raises and the eigen-clip fallback must produce the
+    same posterior diagonal (same S^1/2 up to an orthogonal factor, which
+    the row-norm diagonal cannot see) instead of crashing the month."""
+    import scipy.linalg
+    from oisat_tpu.ops.oi_full import oi_full_matfree
+
+    H, W = 8, 16
+    xa, y, sigb, sigo, lat, lon = _random_domain(H, W, seed=7)
+    args = (xa.ravel(), y.ravel(), sigb.ravel(), sigo.ravel(),
+            lat.ravel(), lon.ravel(), 300.0)
+    kw = dict(block=128, precond="nystrom", nystrom_k=128)
+    _, ak_ref, inc_ref, err_ref, _ = oi_full_matfree(*args, **kw)
+
+    real_chol = scipy.linalg.cholesky
+
+    def boom(*a, **k):
+        raise np.linalg.LinAlgError("forced indefinite for the test")
+
+    monkeypatch.setattr(scipy.linalg, "cholesky", boom)
+    _, ak_fb, inc_fb, err_fb, info = oi_full_matfree(*args, **kw)
+    assert info["precond"] == "nystrom(k=128)"
+    np.testing.assert_allclose(ak_fb, ak_ref, atol=1e-5)
+    np.testing.assert_allclose(err_fb, err_ref, atol=1e-5)
+    np.testing.assert_allclose(inc_fb, inc_ref, rtol=0, atol=1e-6)
+    monkeypatch.setattr(scipy.linalg, "cholesky", real_chol)
