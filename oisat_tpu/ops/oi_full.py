@@ -20,18 +20,29 @@ Missing cells (NaN) are compacted out on host; valid cells are padded to a
 lane multiple with ``sigma_b = 0`` / ``sigma_o = 1`` rows, which decouple
 from the solve.
 
-f32 accuracy wall (measured against full float64 dense solves): the
-matrix-free CG increment converges to a relative residual floor of
-~2e-6 x cond_eff, where cond_eff ~ (sigma_b/sigma_o)^2 x local obs
-density — kernel-element rounding (exp at ~1 ulp) acts as an indefinite
-perturbation of A below that scale, and ``||delta inc|| <= resid ||d||``
-is tight.  Real-sensor months (sigma_b/sigma_o <~ 30) converge below
-1e-4; the synthetic bench stresses sigma_b/sigma_o ~ 300 and saturates
-at ~5%, reported per-run via ``info["cg_resid"]`` and the loud
-non-convergence warning.  The averaging-kernel diagonal does NOT share
-this wall (Woodbury on the Nystrom factor, k x k algebra in host f64 —
-3e-5 absolute on the production month), and the posterior error is a
-tail-closure estimate good to a small factor (~2x in std units).
+f32 accuracy wall and its repair (measured against full float64 dense
+solves): kernel-element rounding (exp at ~1 ulp RELATIVE) is an
+operator perturbation whose solution effect scales with
+cond_eff ~ (sigma_b/sigma_o)^2 x local obs density — an f32-CONVERGED
+CG increment can still sit 10-25% from the f64 solution at
+monthly-average conditioning (sigma_b/sigma_o ~ 150-300), invisibly to
+the f32 residual, and mixed-precision iterative refinement against the
+true kernel stalls once its correction RHS concentrates in the modes
+the f32 inner solve cannot resolve (measured: frozen at 4.6e-3 on the
+bench month).  The matfree Nystrom path therefore solves the
+innovation system EXACTLY in host f64 (blocked dense kernel + dpotrf,
+~9 s at n ~ 10k on this host) for production-size months
+(n <= REFINE_MAX_CELLS), with the increment in the R-form
+``inc = d - R x`` (error bounded by the TRUE residual — R A^-1 is an
+SPD contraction); beyond that size the f32 deflated PCG stands (huge
+coarse domains are mildly conditioned), and explicit ``refine=p``
+forces p IR passes.  The residual warning weighs numerics against
+statistics: ``info["resid_abs"]`` (the field-error bound) vs
+``info["stat_norm"]`` (the posterior-std norm).  The averaging-kernel
+diagonal never shared the wall (Woodbury on the Nystrom factor, k x k
+algebra in host f64 — 3e-5 absolute on the production month), and the
+posterior error is a tail-closure estimate good to a small factor
+(~2x in std units).
 """
 
 from __future__ import annotations
@@ -670,12 +681,162 @@ NYSTROM_MIN_CELLS = 4096  # below this the tests' well-conditioned small
 # problems converge in a handful of Jacobi iterations; the sketch would
 # cost more than it saves.
 
+REFINE_MAX_CELLS = 16384  # host f64 residual evaluation is O(n^2) dgemm +
+# exp per pass (~1-2 s at production month sizes n ~ 10k on this 1-core
+# host); beyond this the quadratic host cost outgrows its value and the
+# refinement defaults off (the huge-domain bench regimes are mildly
+# conditioned, where the f32 solve is already at tolerance).
+
+
+REFINE_CACHE_BYTES = 8 << 30  # dense f64 kernel cache cap for refinement
+# passes (this class of host has 128 GB; n = 16384 needs 2.1 GB)
+
+
+def _kernel_block_f64(u3_64, s, e, kappa: float, out=None, full=None):
+    """Rows [s:e) of the f64 correlation kernel exp(kappa (u.u - 1))
+    against the columns of ``full`` (defaults to ``u3_64`` itself).
+    The argument is clipped at -60 (elements 8.8e-27 — utterly negligible
+    against O(1) elements summed over ~1e4 terms) BEFORE exp: glibc's
+    exp takes its ~700 ns/element soft-underflow path for far pairs
+    (kappa d2/2 reaches ~900 at antipodes), which measured 65 s for a
+    9.7k^2 kernel vs ~3 s clipped.  Callers should keep row blocks SMALL
+    (~512 rows): the five elementwise passes run cache-resident per
+    block — a 9.7k^2 build measured 0.6-0.9 s at row_block 256-1024 vs
+    14.4 s at 4096 on this memory-bandwidth-starved host."""
+    cols = u3_64 if full is None else full
+    g = np.matmul(u3_64[s:e], cols.T, out=out)  # dgemm, f64
+    np.clip(g, -1.0, 1.0, out=g)
+    g -= 1.0
+    g *= kappa                               # kappa (u.u - 1) = -0.5 kappa d2
+    np.maximum(g, -60.0, out=g)
+    np.exp(g, out=g)
+    return g
+
+
+def _direct_solve_f64(u3_64, sb_64, so2_64, d64, kappa: float,
+                      row_block: int = 512):
+    """EXACT f64 innovation solve A x = d on host for production-size
+    full-covariance months: build the dense kernel (row-blocked), scale to
+    A = D_b G D_b + D_o^2, Cholesky-factor (OpenBLAS dpotrf measured
+    8.6 s at n = 9.7k on this 1-core host — ~36 GFLOP/s), solve.  This
+    replaces iterative refinement below REFINE_MAX_CELLS: the tight-obs
+    regime (monthly-average sigma_o, cond(A) ~ 1e7-1e9) leaves ANY
+    f32-matvec inner solver stalled orders above the posterior-std
+    significance threshold, while the direct factor lands at the f64
+    backward-error floor (~1e-13) for comparable wall time.  The kernel
+    is scaled IN PLACE and the factorization overwrites it (a second
+    (n, n) buffer measured ~13 s of pure memory traffic on this host);
+    the caller estimates the residual bound with one f32 device sweep.
+    Returns x64, or None if the f64 factorization fails (A is PD by
+    construction; failure would mean pathological inputs — callers fall
+    back to the iterative path)."""
+    import scipy.linalg as _sla
+
+    n = u3_64.shape[0]
+    g = np.empty((n, n))
+    for s in range(0, n, row_block):
+        _kernel_block_f64(u3_64, s, min(s + row_block, n), kappa,
+                          out=g[s:min(s + row_block, n)])
+    g *= sb_64[None, :]
+    g *= sb_64[:, None]
+    g[np.arange(n), np.arange(n)] += so2_64
+    try:
+        c = _sla.cho_factor(g, lower=True, overwrite_a=True,
+                            check_finite=False)
+        return _sla.cho_solve(c, d64, check_finite=False)
+    except np.linalg.LinAlgError:
+        return None
+
+
+def _make_apply_a_f64(u3_64, sb_64, so2_64, kappa: float,
+                      row_block: int = 512):
+    """Host-f64 ``x -> (B + R) x``: the TRUE operator for mixed-precision
+    iterative refinement.  The device solve's f32 kernel elements carry
+    ~1 ulp RELATIVE error — an operator perturbation delta_B whose effect
+    on the solution scales with cond(A) = O((sigma_b/sigma_o)^2): at the
+    monthly-average conditioning (sigma_b/sigma_o ~ 150-300) an
+    f32-CONVERGED increment still sits percents-to-tens-of-percents from
+    the f64 solution.  Evaluating the residual here in f64 (Gram-form d2
+    is safe at f64 eps: the kappa ~ 450 amplification leaves ~1e-13
+    relative) and re-solving the correction on device contracts that
+    error by the inner solve's relative accuracy per pass.
+
+    The exp'd kernel (the dominant per-pass cost: ~94M f64 exps at
+    production month sizes take seconds on this 1-core host) is CACHED
+    densely across passes when it fits ``REFINE_CACHE_BYTES``; beyond
+    that each apply streams row blocks at O(row_block * n) memory."""
+    n = u3_64.shape[0]
+    cache = [None]
+    use_cache = n * n * 8 <= REFINE_CACHE_BYTES
+
+    def _kernel_rows(s, e, out=None):
+        return _kernel_block_f64(u3_64, s, e, kappa, out=out)
+
+    def apply_a(x_64):
+        y = so2_64 * x_64
+        dx = sb_64 * x_64
+        if use_cache:
+            if cache[0] is None:
+                cache[0] = np.empty((n, n))
+                for s in range(0, n, row_block):
+                    e = min(s + row_block, n)
+                    _kernel_rows(s, e, out=cache[0][s:e])
+            y += sb_64 * (cache[0] @ dx)
+            return y
+        for s in range(0, n, row_block):
+            e = min(s + row_block, n)
+            y[s:e] += sb_64[s:e] * (_kernel_rows(s, e) @ dx)
+        return y
+
+    return apply_a
+
+
+def _refine_f64(x0_f32, d64, apply_a, solve, max_passes: int,
+                target: float = 0.0):
+    """Mixed-precision iterative refinement: x held in host f64, residual
+    r = d - A x evaluated with the TRUE f64 operator
+    (:func:`_make_apply_a_f64`), correction solved on device in f32 via
+    ``solve(rhs_f32_unit) -> x``.  Each pass contracts the error by the
+    inner solve's relative accuracy (classic IR; the inner
+    perturbed-operator solve is the contraction factor, so even a
+    ~25%-accurate extreme-conditioning inner solve converges
+    geometrically — measured ~10x per pass).  Runs until the f64 relative
+    residual reaches ``target`` or ``max_passes`` corrections have been
+    applied; a pass that fails to improve the residual 2x stops the loop
+    (the inner-solve floor has been reached).  Returns (x64, f64 relative
+    residual, extra iteration count, passes applied)."""
+    x64 = np.asarray(x0_f32, np.float64)
+    dn = float(np.linalg.norm(d64))
+    if dn == 0.0:
+        return x64, 0.0, 0, 0
+    extra = 0
+    applied = 0
+    rrel_prev = np.inf
+    r64 = d64 - apply_a(x64)
+    rrel = float(np.linalg.norm(r64)) / dn
+    while (applied < max_passes and rrel > max(target, 1e-9)
+           and rrel < 0.5 * rrel_prev):
+        s = float(np.max(np.abs(r64)))
+        dx, it = solve(np.asarray(r64 / s, np.float32))
+        extra += int(it)
+        x64 += s * np.asarray(dx, np.float64)
+        applied += 1
+        rrel_prev = rrel
+        r64 = d64 - apply_a(x64)
+        rrel = float(np.linalg.norm(r64)) / dn
+        if rrel >= rrel_prev:  # floor reached; keep the better iterate
+            x64 -= s * np.asarray(dx, np.float64)
+            rrel = rrel_prev
+            break
+    return x64, rrel, extra, applied
+
 
 def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
                     block: int = 1024, cg_tol: float = 1e-6,
                     cg_maxiter: int = 400, probe_sep_factor: float = 4.0,
                     max_colors: int = 192, cluster_radius_factor: float = 0.25,
-                    valid=None, precond: str = "auto", nystrom_k: int = None):
+                    valid=None, precond: str = "auto", nystrom_k: int = None,
+                    refine="auto"):
     """Full-covariance OI for domains beyond the dense HBM limit.
 
     Dense-cell inputs (1-D, finite; padded internally to a ``block``
@@ -706,6 +867,24 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
     Jacobi CG stalls at an f32 floor of ~1e-1 relative residual;
     see :func:`_pcg_solve_nystrom`).  ``nystrom_k``: sketch rank
     (default min(2048, npad // 4), lane-rounded).
+
+    ``refine`` (Nystrom path only — the Jacobi path serves small /
+    mildly-conditioned problems where the f32 solve is already at
+    tolerance): "auto" (default) solves the innovation system EXACTLY in
+    host f64 (:func:`_direct_solve_f64`) when npad <= REFINE_MAX_CELLS
+    and keeps the f32 deflated PCG beyond; an int p forces the f32 PCG
+    followed by exactly p mixed-precision iterative-refinement passes
+    (f64 host residual with the TRUE kernel + f32 device correction
+    solves — removes the f32 kernel REPRESENTATION error, which an
+    f32-converged residual cannot see and which scales with cond(A):
+    measured 25% RMS increment error at sb/so ~ 300 despite
+    cg_resid = 8e-7; each pass contracts by the inner solve's relative
+    accuracy, ~10x on well-deflated problems, but STALLS where the
+    correction RHS concentrates in modes the f32 matvec noise owns —
+    hence the direct default).  ``info["f64_resid"]`` reports the
+    true-operator relative residual (it becomes ``cg_resid`` when the
+    direct solve or refinement ran); ``info["solver"]`` says which path
+    produced x.
 
     Returns (xb, ak, increment, err, info dict) trimmed to the input length.
     """
@@ -747,6 +926,7 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
                    or (precond == "auto" and n >= NYSTROM_MIN_CELLS))
     iters_total = 0
     resid_max = 0.0
+    d64 = np.asarray(y, np.float64).ravel() - np.asarray(xa, np.float64).ravel()
     if use_nystrom:
         k = nystrom_k or min(2048, n // 4)
         k = max(LANES, int(np.ceil(k / LANES)) * LANES)
@@ -764,14 +944,84 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
         # single column to the f32 sublane count (8), NOT to LANES: zero
         # columns start converged but still ride every CG matmul, and a
         # 128-wide pad was measured spending 16x the flops of the solve
-        rhs = jnp.zeros((n, 8), jnp.float32).at[:, 0].set(innov)
-        x, iters, resid = _pcg_solve_nystrom(
-            u3, sigma_b, sigma_o2, rhs, nys_u, nys_lam, c2, dcomp,
-            float(length_scale_km), block, cg_tol, cg_maxiter)
-        iters_total = int(iters)
-        resid_max = float(resid)
-        increment = _b_matmat(u3, sigma_b, x[:, :1],
-                              float(length_scale_km), block)[:, 0]
+        f64_resid = None
+        applied = 0
+        solver = "pcg_f32"
+        kappa = (EARTH_RADIUS_KM / float(length_scale_km)) ** 2
+        direct = None
+        if refine == "auto" and n <= REFINE_MAX_CELLS:
+            # Production-size months take the EXACT host f64 direct solve:
+            # at monthly-average conditioning (cond(A) ~ 1e7-1e9) any
+            # f32-matvec inner solver — PCG or iterative refinement —
+            # stalls orders above the posterior-std significance line
+            # (measured: IR froze at 4.6e-3 relative true residual on the
+            # bench month), while dpotrf at n ~ 10k costs ~9 s on this
+            # host and lands at the f64 backward-error floor.
+            u3_64 = _sphere_points(lat, lon)
+            sb_64 = np.asarray(sigma_b, np.float64)
+            direct = _direct_solve_f64(u3_64, sb_64, so2_np, d64, kappa)
+        if direct is not None:
+            x64 = direct
+            # Residual verified by ROW-SAMPLED f64 evaluation (the factor
+            # overwrote the kernel; a full rebuild costs ~15 s, an f32
+            # device sweep reads its own representation noise ~1e-1 at
+            # tight conditioning — useless).  Uniform row sampling gives
+            # an unbiased ||r||^2 estimate at ~0.1 s for 512 rows.
+            m = min(512, n)
+            rows = np.random.default_rng(1).choice(n, size=m, replace=False)
+            g_rows = _kernel_block_f64(np.ascontiguousarray(u3_64[rows]),
+                                       0, m, kappa, full=u3_64)
+            r_rows = d64[rows] - (sb_64[rows] * (g_rows @ (sb_64 * x64))
+                                  + so2_np[rows] * x64[rows])
+            dn = float(np.linalg.norm(d64))
+            f64_resid = (float(np.sqrt(n / m) * np.linalg.norm(r_rows)) / dn
+                         if dn > 0 else 0.0)
+            resid_max = f64_resid
+            solver = "direct_f64"
+        else:
+            rhs = jnp.zeros((n, 8), jnp.float32).at[:, 0].set(innov)
+            x, iters, resid = _pcg_solve_nystrom(
+                u3, sigma_b, sigma_o2, rhs, nys_u, nys_lam, c2, dcomp,
+                float(length_scale_km), block, cg_tol, cg_maxiter)
+            iters_total = int(iters)
+            resid_max = float(resid)
+            x64 = np.asarray(x[:, 0], np.float64)
+            if isinstance(refine, int):
+                max_passes, target = refine, 0.0
+            else:  # auto beyond REFINE_MAX_CELLS: refinement's O(n^2)
+                # host passes outgrow their value; huge coarse domains
+                # are mildly conditioned and converge on device
+                max_passes, target = 0, 3e-5
+            if max_passes > 0:
+                # mixed-precision IR (kept for explicit ``refine=p``): f64
+                # host residual against the true kernel + f32 device
+                # correction solves with the same deflation preconditioner;
+                # contracts by the inner solve's relative accuracy per pass
+                u3_64 = _sphere_points(lat, lon)
+                sb_64 = np.asarray(sigma_b, np.float64)
+
+                def _corr_solve(r32):
+                    rhs_c = jnp.zeros((n, 8), jnp.float32).at[:, 0].set(
+                        jnp.asarray(r32))
+                    xc, itc, _ = _pcg_solve_nystrom(
+                        u3, sigma_b, sigma_o2, rhs_c, nys_u, nys_lam, c2,
+                        dcomp, float(length_scale_km), block, cg_tol,
+                        cg_maxiter)
+                    return np.asarray(xc[:, 0]), itc
+
+                x64, f64_resid, extra, applied = _refine_f64(
+                    x64, d64, _make_apply_a_f64(u3_64, sb_64, so2_np, kappa),
+                    _corr_solve, max_passes, target)
+                iters_total += extra
+                # the f64 residual is the TRUE-operator measure of the
+                # returned x — authoritative over the f32-internal estimate
+                resid_max = f64_resid
+        # Increment in f64 on host via the R-form  inc = d - R x  (exact
+        # algebra: B A^-1 = I - R A^-1).  Both forms' absolute error is
+        # bounded by the TRUE residual ||d - A_f64 x|| (R A^-1 and B A^-1
+        # are SPD contractions), but the R-form needs no extra covariance
+        # sweep and adds no f32 matvec noise of its own.
+        increment = d64 - so2_np * x64
 
         # Posterior diagonal from the Nystrom factor itself, exact for
         # the sketched prior B^ = U diag(lam) U^T in EVERY noise regime
@@ -889,14 +1139,23 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
         quad[vidx] = quad_rep[vr] * scale
         sb_diag = bd - quad
 
-    xb = jnp.asarray(xa, jnp.float32) + increment
+    increment = np.asarray(increment, np.float64)
+    xb = np.asarray(xa, np.float64).ravel() + increment
     with np.errstate(invalid="ignore", divide="ignore"):
         ak = 1.0 - sb_diag / bd
     err = np.sqrt(np.maximum(sb_diag, 0.0))
     info = {"cg_iters": iters_total, "cg_resid": resid_max,
             "ncolors": ncolors, "nchunks": nchunks,
             "nreps": nreps,
-            "precond": f"nystrom(k={k})" if use_nystrom else "jacobi"}
+            "precond": f"nystrom(k={k})" if use_nystrom else "jacobi",
+            "solver": (solver + ("+ir" if applied else "")) if use_nystrom
+                      else "pcg_f32",
+            "refine_passes": applied if use_nystrom else 0,
+            "f64_resid": f64_resid if use_nystrom else None,
+            # absolute error bound on increment/xb: ||inc - inc_true|| =
+            # ||R A^-1 r|| <= ||r|| (R A^-1 is an SPD contraction);
+            # callers compare it to the posterior's statistical std
+            "resid_abs": resid_max * float(np.linalg.norm(d64))}
     return (np.asarray(xb, np.float64)[:n_in], ak[:n_in],
             np.asarray(increment, np.float64)[:n_in], err[:n_in], info)
 
@@ -1018,10 +1277,25 @@ def _oi_full_large(xa, y, sb, so, lat2d, lon2d, idx, length_scale_km: float,
     xb_v, ak_v, inc_v, err_v, info = oi_full_matfree(
         xa_v, y_v, sb_v, so_v, lat_v, lon_v, length_scale_km,
         block=block, valid=valid)
-    if info["cg_resid"] > 1e-4:  # ~1e-5..1e-4 is the practical f32 range
+    # Numerical-vs-statistical significance: the solve's absolute field
+    # error is bounded by resid_abs = ||d - A x||_f64 (the R-form increment
+    # error is R A^-1 r, an SPD contraction of r), while the analysis
+    # itself is only determined to the posterior std.  When the numerical
+    # bound sits well under the statistical uncertainty, tighter
+    # convergence cannot change any scientifically meaningful digit — the
+    # tight-obs regime (monthly-average sigma_o) hits the f32 kernel
+    # representation wall at a RELATIVE residual ~1e-3 even after f64
+    # iterative refinement, yet that is an order below ||posterior std||.
+    stat = float(np.linalg.norm(np.asarray(err_v, np.float64)[:n]))
+    num = info.get("resid_abs")
+    info["stat_norm"] = stat
+    if info["cg_resid"] > 1e-4 and (num is None or num > 0.3 * stat):
         print(f"WARNING: oi_full matrix-free CG did not fully converge "
               f"(residual {info['cg_resid']:.2e} after {info['cg_iters']} "
-              f"iterations); posterior fields are correspondingly approximate")
+              f"iterations; field-error bound "
+              f"{f'{num:.2e}' if num is not None else 'n/a'} vs "
+              f"posterior-std norm {stat:.2e}); posterior fields are "
+              f"correspondingly approximate")
 
     def scatter(v):
         out = np.full(np.asarray(xa).size, np.nan)
