@@ -1215,14 +1215,38 @@ def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: floa
     if regularization_on:
         from oisat_tpu.ops.oi import regularization_grid
 
-        xb_v, ak_v, inc_v, err_v, _, _ = oi_full_dense_scan(
+        xb_v, ak_v, inc_v, err_v, reg_index, _ = oi_full_dense_scan(
             take(xa_n, 0.0), take(y_n, 0.0), take(sb_n, 0.0), take(so_n, 1.0),
             take(lat2d, 0.0), take(lon2d, 0.0), float(length_scale_km),
             regularization_grid().astype(np.float32))
+        r_chosen = float(regularization_grid()[int(reg_index)])
     else:
         xb_v, ak_v, inc_v, err_v = oi_full_dense(
             take(xa_n, 0.0), take(y_n, 0.0), take(sb_n, 0.0), take(so_n, 1.0),
             take(lat2d, 0.0), take(lon2d, 0.0), float(length_scale_km))
+        r_chosen = 1.0
+
+    # f32 representation wall (same physics as the matfree path, see the
+    # module docstring): at tight-obs conditioning the DEVICE dense solve's
+    # increment silently drifts 10-25% from f64 even though the algebra is
+    # exact — re-solve the innovation system at the chosen factor exactly
+    # in host f64 when the conditioning estimate crosses the ~1e-3-error
+    # line.  Sub-second at dense-path sizes (n <= 10240: dpotrf ~2e10 flop).
+    sbv = np.asarray(sb_n, np.float64).ravel()[idx] * np.sqrt(r_chosen)
+    sov = np.asarray(so_n, np.float64).ravel()[idx]
+    info = None
+    if sov.size and (np.max(sbv) / np.min(sov)) ** 2 > 1e4:
+        xav = np.asarray(xa_n, np.float64).ravel()[idx]
+        d64 = np.asarray(y_n, np.float64).ravel()[idx] - xav
+        kappa = (EARTH_RADIUS_KM / float(length_scale_km)) ** 2
+        u3_64 = _sphere_points(np.asarray(lat2d, np.float64).ravel()[idx],
+                               np.asarray(lon2d, np.float64).ravel()[idx])
+        x64 = _direct_solve_f64(u3_64, sbv, sov ** 2, d64, kappa)
+        if x64 is not None:
+            inc64 = d64 - sov ** 2 * x64
+            inc_v = np.concatenate([inc64, np.zeros(npad - n)])
+            xb_v = np.concatenate([xav + inc64, np.zeros(npad - n)])
+            info = {"solver": "dense+direct_f64", "reg": r_chosen}
 
     def scatter(v, s=1.0):
         out = np.full(xa.size, np.nan)
@@ -1230,7 +1254,7 @@ def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: floa
         return out.reshape(xa.shape)
 
     return OIFullResult(scatter(xb_v, scale), scatter(ak_v),
-                        scatter(inc_v, scale), scatter(err_v, scale))
+                        scatter(inc_v, scale), scatter(err_v, scale), info)
 
 
 def _oi_full_large(xa, y, sb, so, lat2d, lon2d, idx, length_scale_km: float,

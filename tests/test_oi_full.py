@@ -541,3 +541,38 @@ def test_matfree_direct_f64_exact_at_production_size():
     assert info["f64_resid"] == info["cg_resid"] < 1e-7
     rms = np.sqrt(np.mean((inc - inc_t) ** 2)) / np.sqrt(np.mean(inc_t ** 2))
     assert rms < 1e-6
+
+
+def test_dense_path_exact_recompute_at_tight_conditioning():
+    """The device dense solve shares the f32 representation wall: at
+    sb/so ~ 300 the grid front end must re-solve the innovation exactly in
+    host f64 (conditioning-gated) so small production months match the f64
+    reference too."""
+    from oisat_tpu.ops.oi_full import oi_full
+
+    H, W = 8, 16  # 128 cells: dense path
+    rng = np.random.default_rng(5)
+    lon2, lat2 = np.meshgrid(np.linspace(-3, 3, W), np.linspace(38, 44, H))
+    xa = np.abs(rng.normal(0.8, 0.1, (H, W)))
+    y = xa * rng.uniform(0.9, 1.2, (H, W))
+    sb = 0.5 * xa
+    so = np.full((H, W), 0.5 / 300.0 * 0.8)
+
+    latr, lonr = np.deg2rad(lat2.ravel()), np.deg2rad(lon2.ravel())
+    u3 = np.stack([np.cos(latr) * np.cos(lonr),
+                   np.cos(latr) * np.sin(lonr), np.sin(latr)], 1)
+    kappa = (6371.0 / 300.0) ** 2
+    B = (sb.ravel()[:, None] * np.exp(kappa * ((u3 @ u3.T) - 1.0))
+         * sb.ravel()[None, :])
+    inc_t = B @ np.linalg.solve(B + np.diag(so.ravel() ** 2),
+                                (y - xa).ravel())
+
+    res = oi_full(xa, y, sb, so, lat2, lon2, 300.0, regularization_on=False)
+    assert res.info is not None and res.info["solver"] == "dense+direct_f64"
+    rms = (np.sqrt(np.mean((res.increment.ravel() - inc_t) ** 2))
+           / np.sqrt(np.mean(inc_t ** 2)))
+    assert rms < 1e-6
+
+    # mild conditioning keeps the pure device path (no host recompute)
+    res2 = oi_full(xa, y, sb, np.full((H, W), 0.4), lat2, lon2, 300.0)
+    assert res2.info is None
