@@ -191,8 +191,9 @@ def _unit_vectors(lat_deg, lon_deg):
     return jnp.stack([cl * jnp.cos(lon), cl * jnp.sin(lon), jnp.sin(lat)], axis=-1)
 
 
-@partial(jax.jit, static_argnames=("length_scale_km", "block"))
-def _b_matmat(u3, sigma_b, v, length_scale_km: float, block: int):
+@partial(jax.jit, static_argnames=("length_scale_km", "block", "mesh"))
+def _b_matmat(u3, sigma_b, v, length_scale_km: float, block: int,
+              mesh=None):
     """Y = B V without materializing B: row blocks of the kernel matrix
     C = exp(-kappa |u_i - u_j|^2 / 2) are generated on the VPU and
     immediately contracted against ALL right-hand sides on the MXU.
@@ -236,6 +237,19 @@ def _b_matmat(u3, sigma_b, v, length_scale_km: float, block: int):
     starts = jnp.arange(nchunks) * block
 
     u3c = u3.reshape(nchunks, block, 3)
+    # Multi-chip: the chunk axis is the natural GSPMD split of each row
+    # sweep — a mid-program sharding constraint (the same pattern as
+    # regridder._sharded_regrid_fn) partitions the kernel tile and its
+    # contraction over ALL mesh devices; the chunk-partial sum lowers to a
+    # psum.  Inputs stay replicated (u3: (N, 3) and dv: (N, K) are <~3 MB
+    # at the 64k bench — negligible next to the O(block x N) tile).
+    spec = None
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        spec = NamedSharding(mesh, PartitionSpec(tuple(mesh.axis_names),
+                                                 None, None))
+        dv3 = jax.lax.with_sharding_constraint(dv3, spec)
 
     def body(start):
         ub = jax.lax.dynamic_slice(u3, (start, 0), (block, 3))
@@ -248,6 +262,8 @@ def _b_matmat(u3, sigma_b, v, length_scale_km: float, block: int):
         d2 = sum((ub[None, :, None, k] - u3c[:, None, :, k]) ** 2
                  for k in range(3))
         c = jnp.exp((-0.5 * kappa) * d2)  # (nchunks, block_row, block_col)
+        if spec is not None:
+            c = jax.lax.with_sharding_constraint(c, spec)
         # batched over the chunk axis: (nchunks, block_row, chunk) x
         # (nchunks, chunk, K) -> (nchunks, block_row, K)
         parts = jax.lax.dot_general(
@@ -328,9 +344,10 @@ def _cg_loop(amat, psolve, rhs, tol, maxiter, stall: int = 50):
     return xbest, k, resid
 
 
-@partial(jax.jit, static_argnames=("length_scale_km", "block", "maxiter"))
+@partial(jax.jit, static_argnames=("length_scale_km", "block", "maxiter",
+                                     "mesh"))
 def _cg_solve_multi(u3, sigma_b, sigma_o2, rhs, length_scale_km: float,
-                    block: int, tol: float, maxiter: int):
+                    block: int, tol: float, maxiter: int, mesh=None):
     """Jacobi-preconditioned CG for A X = RHS (column-wise), A = B +
     diag(sigma_o^2), with the matrix-free blocked B mat-mat.  Adequate
     when sigma_b/sigma_o is O(1); for observation errors far tighter than
@@ -339,15 +356,16 @@ def _cg_solve_multi(u3, sigma_b, sigma_o2, rhs, length_scale_km: float,
     solves take :func:`_pcg_solve_nystrom`."""
 
     def amat(v):
-        return _b_matmat(u3, sigma_b, v, length_scale_km, block) + sigma_o2[:, None] * v
+        return (_b_matmat(u3, sigma_b, v, length_scale_km, block, mesh=mesh)
+                + sigma_o2[:, None] * v)
 
     minv = (1.0 / (sigma_b**2 + sigma_o2))[:, None]
     return _cg_loop(amat, lambda r: minv * r, rhs, tol, maxiter)
 
 
-@partial(jax.jit, static_argnames=("length_scale_km", "block", "k"))
+@partial(jax.jit, static_argnames=("length_scale_km", "block", "k", "mesh"))
 def _nystrom_factor(u3, sigma_b, key, k: int, length_scale_km: float,
-                    block: int):
+                    block: int, mesh=None):
     """Rank-k randomized Nystrom eigenfactor (U, lam) of the prior
     covariance: B ~= U diag(lam) U^T with U (N, k) orthonormal.  Two
     covariance-tile sweeps' worth of matmuls plus two k x k
@@ -370,7 +388,8 @@ def _nystrom_factor(u3, sigma_b, key, k: int, length_scale_km: float,
     tunnel-attached link on EVERY solve, several times the solve's other
     traffic combined."""
     omega = jax.random.normal(key, (u3.shape[0], k), jnp.float32)
-    y = _b_matmat(u3, sigma_b, omega, length_scale_km, block)  # (N, k)
+    y = _b_matmat(u3, sigma_b, omega, length_scale_km, block,
+                  mesh=mesh)  # (N, k)
     g = jax.lax.dot_general(omega, y, (((0,), (0,)), ((), ())),
                             precision=jax.lax.Precision.HIGHEST)
     g = 0.5 * (g + g.T)
@@ -395,10 +414,11 @@ def _nystrom_factor(u3, sigma_b, key, k: int, length_scale_km: float,
     return u, jnp.where(skeep, lam, 0.0)
 
 
-@partial(jax.jit, static_argnames=("length_scale_km", "block", "maxiter"))
+@partial(jax.jit, static_argnames=("length_scale_km", "block", "maxiter",
+                                     "mesh"))
 def _pcg_solve_nystrom(u3, sigma_b, sigma_o2, rhs, nys_u, nys_lam, c2,
                        dcomp, length_scale_km: float, block: int,
-                       tol: float, maxiter: int):
+                       tol: float, maxiter: int, mesh=None):
     """CG with the randomized-Nystrom deflation preconditioner
     (the Frangella, Tropp & Udell SIAM J. Matrix Anal. 2023 pattern,
     projector form for a non-scalar complement):
@@ -424,7 +444,8 @@ def _pcg_solve_nystrom(u3, sigma_b, sigma_o2, rhs, nys_u, nys_lam, c2,
     sigma_o = 1, rhs = 0) keep zero residual forever."""
 
     def amat(v):
-        return _b_matmat(u3, sigma_b, v, length_scale_km, block) + sigma_o2[:, None] * v
+        return (_b_matmat(u3, sigma_b, v, length_scale_km, block, mesh=mesh)
+                + sigma_o2[:, None] * v)
 
     dinv = (1.0 / dcomp)[:, None]
     dl = (1.0 / (nys_lam + c2))[:, None]
@@ -447,9 +468,9 @@ def _pcg_solve_nystrom(u3, sigma_b, sigma_o2, rhs, nys_u, nys_lam, c2,
     return _cg_loop(amat, psolve, rhs, tol, maxiter, stall=200)
 
 
-@partial(jax.jit, static_argnames=("length_scale_km", "block", "m"))
+@partial(jax.jit, static_argnames=("length_scale_km", "block", "m", "mesh"))
 def _lanczos_tridiag_batch(u3, sigma_b, sigma_o, q0, length_scale_km: float,
-                           block: int, m: int):
+                           block: int, m: int, mesh=None):
     """Batched m-step Lanczos tridiagonalization of the whitened covariance
     C = D_o^-1 B D_o^-1, one independent recurrence per column of ``q0``,
     all columns sharing each covariance-tile sweep (one B mat-mat per
@@ -462,7 +483,7 @@ def _lanczos_tridiag_batch(u3, sigma_b, sigma_o, q0, length_scale_km: float,
 
     def cmat(v):
         return oin[:, None] * _b_matmat(u3, sigma_b, oin[:, None] * v,
-                                        length_scale_km, block)
+                                        length_scale_km, block, mesh=mesh)
 
     norms = jnp.sqrt(jnp.sum(q0 * q0, axis=0))
     safe = jnp.where(norms > 0, norms, 1.0)
@@ -485,7 +506,7 @@ def _lanczos_tridiag_batch(u3, sigma_b, sigma_o, q0, length_scale_km: float,
 def mean_ak_curve_slq(u3_or_latlon, sigma_b, sigma_o, regs,
                       length_scale_km: float, block: int = 1024,
                       n_probes: int = 8, m: int = 60, seed: int = 0,
-                      valid=None):
+                      valid=None, mesh=None):
     """Full-domain mean-AK-vs-regularization curve for the matrix-free OI,
     by stochastic Lanczos quadrature (SLQ).
 
@@ -531,7 +552,8 @@ def mean_ak_curve_slq(u3_or_latlon, sigma_b, sigma_o, regs,
     z[~valid] = 0.0
     zd = z / np.where(valid, bd, 1.0)[:, None]  # D_bd^-1 z
     both = jnp.asarray(np.concatenate([zd, z], axis=1), jnp.float32)
-    bz = _b_matmat(u3, sigma_b, both, float(length_scale_km), block)
+    bz = _b_matmat(u3, sigma_b, both, float(length_scale_km), block,
+                   mesh=mesh)
     a = np.asarray(bz[:, :n_probes], np.float64)  # B D_bd^-1 z
     b = np.asarray(bz[:, n_probes:], np.float64)  # B z
     oin = 1.0 / np.asarray(sigma_o, np.float64)
@@ -540,7 +562,8 @@ def mean_ak_curve_slq(u3_or_latlon, sigma_b, sigma_o, regs,
     q0 = jnp.asarray(np.concatenate([qp, qm], axis=1), jnp.float32)
 
     alphas, betas, norms = _lanczos_tridiag_batch(
-        u3, sigma_b, sigma_o, q0, float(length_scale_km), block, m)
+        u3, sigma_b, sigma_o, q0, float(length_scale_km), block, m,
+        mesh=mesh)
     alphas = np.asarray(alphas, np.float64)  # (m, 2K)
     betas = np.asarray(betas, np.float64)
     norms = np.asarray(norms, np.float64)
@@ -836,7 +859,7 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
                     cg_maxiter: int = 400, probe_sep_factor: float = 4.0,
                     max_colors: int = 192, cluster_radius_factor: float = 0.25,
                     valid=None, precond: str = "auto", nystrom_k: int = None,
-                    refine="auto"):
+                    refine="auto", mesh=None):
     """Full-covariance OI for domains beyond the dense HBM limit.
 
     Dense-cell inputs (1-D, finite; padded internally to a ``block``
@@ -886,6 +909,14 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
     direct solve or refinement ran); ``info["solver"]`` says which path
     produced x.
 
+    ``mesh``: a `jax.sharding.Mesh` shards every covariance-tile sweep
+    (CG matvecs, the Nystrom sketch, SLQ recurrences, probing) over ALL
+    mesh devices via a mid-program sharding constraint on the chunk axis
+    of the kernel tile — the chunk-partial sum lowers to a psum, inputs
+    stay replicated (<~3 MB at 64k cells).  Results match the
+    single-device solve to f32 reduction-order noise (~1e-6, tested on
+    the virtual 8-device CPU mesh).
+
     Returns (xb, ak, increment, err, info dict) trimmed to the input length.
     """
     n_in = int(np.size(xa))
@@ -931,7 +962,8 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
         k = nystrom_k or min(2048, n // 4)
         k = max(LANES, int(np.ceil(k / LANES)) * LANES)
         nys_u, nys_lam = _nystrom_factor(u3, sigma_b, jax.random.key(0), k,
-                                         float(length_scale_km), block)
+                                         float(length_scale_km), block,
+                                         mesh=mesh)
         so2_min = float(np.min(so2_np[valid]))
         c2 = jnp.maximum(jnp.float32(so2_min),
                          4.0 * jnp.float32(1.2e-7) * nys_lam[-1])
@@ -982,7 +1014,8 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
             rhs = jnp.zeros((n, 8), jnp.float32).at[:, 0].set(innov)
             x, iters, resid = _pcg_solve_nystrom(
                 u3, sigma_b, sigma_o2, rhs, nys_u, nys_lam, c2, dcomp,
-                float(length_scale_km), block, cg_tol, cg_maxiter)
+                float(length_scale_km), block, cg_tol, cg_maxiter,
+                mesh=mesh)
             iters_total = int(iters)
             resid_max = float(resid)
             x64 = np.asarray(x[:, 0], np.float64)
@@ -1006,7 +1039,7 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
                     xc, itc, _ = _pcg_solve_nystrom(
                         u3, sigma_b, sigma_o2, rhs_c, nys_u, nys_lam, c2,
                         dcomp, float(length_scale_km), block, cg_tol,
-                        cg_maxiter)
+                        cg_maxiter, mesh=mesh)
                     return np.asarray(xc[:, 0]), itc
 
                 x64, f64_resid, extra, applied = _refine_f64(
@@ -1115,11 +1148,11 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
                    if ci == 0 else pj)
             x, iters, resid = _cg_solve_multi(
                 u3, sigma_b, sigma_o2, rhs, float(length_scale_km), block,
-                cg_tol, cg_maxiter)
+                cg_tol, cg_maxiter, mesh=mesh)
             tcols = jnp.asarray(punit) - x[:, lead:]       # A^-1 B P
             s_all = _b_matmat(u3, sigma_b,
                               jnp.concatenate([x[:, :lead], tcols], axis=1),
-                              float(length_scale_km), block)
+                              float(length_scale_km), block, mesh=mesh)
             iters_total += int(iters)
             resid_max = max(resid_max, float(resid))
             if ci == 0:

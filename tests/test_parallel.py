@@ -676,3 +676,37 @@ def test_gosat_step_compressed_ctm_matches_full():
     got_sh = fn(shard(comp))
     np.testing.assert_allclose(np.asarray(got_sh.aux2), np.asarray(got.aux2),
                                rtol=1e-5, atol=1e-6, equal_nan=True)
+
+
+def test_matfree_oi_full_sharded_matches_single_device():
+    """`oi_full_matfree(mesh=...)` shards every covariance-tile sweep over
+    the mesh (chunk-axis GSPMD constraint; the chunk-partial sum lowers to
+    a psum).  Fields must match the single-device solve to f32
+    reduction-order noise, and the sharded sweep's HLO must actually
+    contain a cross-device reduction."""
+    import jax
+    from oisat_tpu.ops.oi_full import oi_full_matfree, _b_matmat
+
+    mesh = make_mesh(8)
+    H, W = 16, 32
+    rng = np.random.default_rng(5)
+    lon, lat = np.meshgrid(np.linspace(-3, 3, W), np.linspace(38, 44, H))
+    xa = np.abs(rng.normal(0.8, 0.1, (H, W))).ravel()
+    y = (xa.reshape(H, W) * rng.uniform(0.9, 1.2, (H, W))).ravel()
+    sb = 0.5 * xa
+    so = np.full(H * W, 0.1)
+    kw = dict(block=128, precond="nystrom", nystrom_k=128, refine=0)
+    ref = oi_full_matfree(xa, y, sb, so, lat.ravel(), lon.ravel(), 300.0, **kw)
+    got = oi_full_matfree(xa, y, sb, so, lat.ravel(), lon.ravel(), 300.0,
+                          mesh=mesh, **kw)
+    assert got[4]["cg_resid"] < 1e-5
+    np.testing.assert_allclose(got[2], ref[2], rtol=0, atol=1e-4)
+    np.testing.assert_allclose(got[1], ref[1], rtol=0, atol=1e-4)
+
+    import jax.numpy as jnp
+    u3 = np.random.default_rng(0).standard_normal((512, 3)).astype(np.float32)
+    u3 /= np.linalg.norm(u3, axis=1)[:, None]
+    hlo = _b_matmat.lower(jnp.asarray(u3), jnp.ones(512, jnp.float32),
+                          jnp.ones((512, 8), jnp.float32), 300.0, 128,
+                          mesh=mesh).compile().as_text()
+    assert "all-reduce" in hlo or "reduce-scatter" in hlo
