@@ -220,7 +220,7 @@ class oisatgmi:
             print("NOT applying the bias correction for satellite VCDs")
 
     def oi(self, sensor: str, error_ctm=50.0, method="scalar", length_scale_km=300.0,
-           desroziers_iterations=0, desroziers_bins=1):
+           desroziers_iterations=0, desroziers_bins=1, mesh=None):
         """The analysis update.
 
         ``method="scalar"`` (default) is the reference's per-cell diagonal
@@ -242,10 +242,10 @@ class oisatgmi:
         """
         with stage("oi"):
             self._oi_impl(sensor, error_ctm, method, length_scale_km,
-                          desroziers_iterations, desroziers_bins)
+                          desroziers_iterations, desroziers_bins, mesh=mesh)
 
     def _oi_impl(self, sensor, error_ctm, method="scalar", length_scale_km=300.0,
-                 desroziers_iterations=0, desroziers_bins=1):
+                 desroziers_iterations=0, desroziers_bins=1, mesh=None):
         # never leak a previous run's binned scale maps from this object
         self.desroziers_sa_scale_map = None
         self.desroziers_so_scale_map = None
@@ -263,7 +263,7 @@ class oisatgmi:
             sigma_o = np.asarray(self.sat_averaged_error)
             res = oi_full(xa, y, sigma_b, sigma_o, sat.latitude_center,
                           sat.longitude_center, length_scale_km,
-                          regularization_on=True)
+                          regularization_on=True, mesh=mesh)
             sa_scale_total, so_scale_total = 1.0, 1.0
             # moments must see the innovation the solver assimilated:
             # oi_full clips negative observations to 0 (reference
@@ -522,7 +522,9 @@ class oisatgmi:
                 # it overwrites the in-program OI result and writes its own
                 # diagnostics
                 self._oi_impl(sensor, error_ctm, oi_method, length_scale_km,
-                              desroziers_iterations, desroziers_bins)
+                              desroziers_iterations, desroziers_bins,
+                              mesh=(mesh if mesh is not None
+                                    and mesh.devices.size > 1 else None))
                 return out
             (self.ctm_averaged_vcd_corrected, self.ak_OI,
              self.increment_OI, self.error_OI) = (

@@ -1194,7 +1194,7 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
 
 
 def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: float,
-            regularization_on: bool = False):
+            regularization_on: bool = False, mesh=None):
     """Grid-shaped front end: NaN-compaction + padding + scatter-back.
 
     Inputs are normalized to O(1) magnitude before the f32 device compute:
@@ -1233,7 +1233,8 @@ def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: floa
 
     if n > (DENSE_SCAN_MAX_CELLS if regularization_on else DENSE_MAX_CELLS):
         res = _oi_full_large(xa_n, y_n, sb_n, so_n, lat2d, lon2d, idx,
-                             float(length_scale_km), regularization_on)
+                             float(length_scale_km), regularization_on,
+                             mesh=mesh)
         return OIFullResult(res.xb * scale, res.averaging_kernel,
                             res.increment * scale, res.error * scale,
                             res.info)
@@ -1292,7 +1293,7 @@ def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: floa
 
 def _oi_full_large(xa, y, sb, so, lat2d, lon2d, idx, length_scale_km: float,
                    regularization_on: bool, block: int = 1024,
-                   slq_probes: int = 8, slq_m: int = 60):
+                   slq_probes: int = 8, slq_m: int = 60, mesh=None):
     """Beyond-HBM branch of :func:`oi_full`: matrix-free CG + colored
     probing.  The regularization knee comes from the *full-domain* mean-AK
     curve computed by stochastic Lanczos quadrature
@@ -1324,7 +1325,7 @@ def _oi_full_large(xa, y, sb, so, lat2d, lon2d, idx, length_scale_km: float,
         curve = mean_ak_curve_slq((lat_v, lon_v), sb_v, so_v,
                                   regularization_grid(), length_scale_km,
                                   block=block, n_probes=slq_probes, m=slq_m,
-                                  valid=valid)
+                                  valid=valid, mesh=mesh)
         with np.errstate(invalid="ignore"):
             reg_index = kneedle_index_np(regularization_grid(), curve,
                                          fallback=0)
@@ -1333,7 +1334,7 @@ def _oi_full_large(xa, y, sb, so, lat2d, lon2d, idx, length_scale_km: float,
 
     xb_v, ak_v, inc_v, err_v, info = oi_full_matfree(
         xa_v, y_v, sb_v, so_v, lat_v, lon_v, length_scale_km,
-        block=block, valid=valid)
+        block=block, valid=valid, mesh=mesh)
     # Numerical-vs-statistical significance: the solve's absolute field
     # error is bounded by resid_abs = ||d - A x||_f64 (the R-form increment
     # error is R A^-1 r, an SPD contraction of r), while the analysis

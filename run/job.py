@@ -163,7 +163,9 @@ def _analyze(obj, ctrl, sensor, gas, start, end, savedaily, mesh=None):
     obj.oi(sensor, error_ctm=ctrl["ctm_error"],
            method=oi_method, length_scale_km=length_scale_km,
            desroziers_iterations=ctrl.get("desroziers_iterations", 0),
-           desroziers_bins=ctrl.get("desroziers_bins", 1))
+           desroziers_bins=ctrl.get("desroziers_bins", 1),
+           mesh=(mesh if mesh is not None and mesh.devices.size > 1
+                 else None))
 
 
 if __name__ == "__main__":
