@@ -166,7 +166,8 @@ def main():
     print(f"mean prior  {np.nanmean(prior[m]):.3f}  ->  mean posterior "
           f"{np.nanmean(post[m]):.3f}  (x1e15 molec/cm2)")
     print("OI diagnostics:",
-          {k: round(v, 4) for k, v in obj.oi_diagnostics.items()})
+          {k: round(v, 4) if isinstance(v, float) else v
+           for k, v in obj.oi_diagnostics.items()})
     print(f"\nwrote {out}/demo_201907.nc, {out}/daily/*.mat and "
           f"{out}/OI_report_NO2_201907_demo.pdf")
 

@@ -292,7 +292,7 @@ class oisatgmi:
                 so_scale_total = so_scale_total * so_step
                 res = oi_full(xa, y, sigma_b, sigma_o, sat.latitude_center,
                               sat.longitude_center, length_scale_km,
-                              regularization_on=True)
+                              regularization_on=True, mesh=mesh)
             self.ctm_averaged_vcd_corrected = res.xb
             self.ak_OI = res.averaging_kernel
             self.increment_OI = res.increment
@@ -311,7 +311,10 @@ class oisatgmi:
                 jnp.asarray(sigma_b.astype(np.float64) ** 2),
                 jnp.asarray(sigma_o.astype(np.float64) ** 2))
             self.oi_diagnostics = {k: float(v) for k, v in st._asdict().items()}
-            self.oi_diagnostics.update(res.info or {})
+            # h5py cannot store None attrs (f64_resid/resid_abs are None
+            # when no f64 verification ran) — drop them from the diag dict
+            self.oi_diagnostics.update(
+                {k: v for k, v in (res.info or {}).items() if v is not None})
             if desroziers_iterations:
                 self.oi_diagnostics.update(_desroziers_diag(
                     nb, bins, sa_scale_total, so_scale_total,

@@ -771,6 +771,26 @@ def _direct_solve_f64(u3_64, sb_64, so2_64, d64, kappa: float,
         return None
 
 
+def _sampled_resid_f64(u3_64, sb_64, so2_64, x64, d64, kappa: float,
+                       m: int = 512, seed: int = 1):
+    """Row-sampled TRUE-operator relative residual ||d - A_f64 x|| / ||d||.
+    Uniform row sampling gives an unbiased ||r||^2 estimate at O(m n)
+    kernel evals (~0.1 s for 512 rows at n ~ 10k) — a full f64 rebuild
+    costs seconds and an f32 device sweep reads its own representation
+    noise (~1e-1 at tight conditioning), so neither can serve as the
+    verification here."""
+    n = u3_64.shape[0]
+    m = min(m, n)
+    rows = np.random.default_rng(seed).choice(n, size=m, replace=False)
+    g_rows = _kernel_block_f64(np.ascontiguousarray(u3_64[rows]), 0, m,
+                               kappa, full=u3_64)
+    r_rows = d64[rows] - (sb_64[rows] * (g_rows @ (sb_64 * x64))
+                          + so2_64[rows] * x64[rows])
+    dn = float(np.linalg.norm(d64))
+    return (float(np.sqrt(n / m) * np.linalg.norm(r_rows)) / dn
+            if dn > 0 else 0.0)
+
+
 def _make_apply_a_f64(u3_64, sb_64, so2_64, kappa: float,
                       row_block: int = 512):
     """Host-f64 ``x -> (B + R) x``: the TRUE operator for mixed-precision
@@ -850,6 +870,8 @@ def _refine_f64(x0_f32, d64, apply_a, solve, max_passes: int,
         if rrel >= rrel_prev:  # floor reached; keep the better iterate
             x64 -= s * np.asarray(dx, np.float64)
             rrel = rrel_prev
+            applied -= 1  # the reverted correction is not in x (its
+            # iterations stay in the cost count)
             break
     return x64, rrel, extra, applied
 
@@ -940,8 +962,15 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
             valid = np.concatenate([np.asarray(valid, bool), np.zeros(pad, bool)])
 
     u3 = _unit_vectors(lat, lon)
-    sigma_b = jnp.asarray(np.asarray(sigma_b, np.float64), jnp.float32)
-    sigma_o2 = jnp.asarray(np.asarray(sigma_o, np.float64), jnp.float32) ** 2
+    # full-precision host copies FIRST: the f64 direct solve / refinement /
+    # residual verification must see the caller's data, not the
+    # f32-round-tripped device copies (a 1-ulp relative perturbation of
+    # sigma_b/sigma_o is exactly the operator-error class the f64 paths
+    # exist to remove)
+    sb_f64 = np.asarray(sigma_b, np.float64).ravel()
+    so_f64 = np.asarray(sigma_o, np.float64).ravel()
+    sigma_b = jnp.asarray(sb_f64, jnp.float32)
+    sigma_o2 = jnp.asarray(so_f64, jnp.float32) ** 2
     innov = jnp.asarray(np.asarray(y, np.float64) - np.asarray(xa, np.float64),
                         jnp.float32)
 
@@ -950,8 +979,8 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
         valid = np.ones(n, bool)
     valid = np.asarray(valid, bool)
     vidx = np.flatnonzero(valid)
-    bd = np.asarray(sigma_b, np.float64) ** 2
-    so2_np = np.asarray(sigma_o2, np.float64)
+    bd = sb_f64 ** 2
+    so2_np = so_f64 ** 2
 
     use_nystrom = (precond == "nystrom"
                    or (precond == "auto" and n >= NYSTROM_MIN_CELLS))
@@ -990,24 +1019,11 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
             # bench month), while dpotrf at n ~ 10k costs ~9 s on this
             # host and lands at the f64 backward-error floor.
             u3_64 = _sphere_points(lat, lon)
-            sb_64 = np.asarray(sigma_b, np.float64)
-            direct = _direct_solve_f64(u3_64, sb_64, so2_np, d64, kappa)
+            direct = _direct_solve_f64(u3_64, sb_f64, so2_np, d64, kappa)
         if direct is not None:
             x64 = direct
-            # Residual verified by ROW-SAMPLED f64 evaluation (the factor
-            # overwrote the kernel; a full rebuild costs ~15 s, an f32
-            # device sweep reads its own representation noise ~1e-1 at
-            # tight conditioning — useless).  Uniform row sampling gives
-            # an unbiased ||r||^2 estimate at ~0.1 s for 512 rows.
-            m = min(512, n)
-            rows = np.random.default_rng(1).choice(n, size=m, replace=False)
-            g_rows = _kernel_block_f64(np.ascontiguousarray(u3_64[rows]),
-                                       0, m, kappa, full=u3_64)
-            r_rows = d64[rows] - (sb_64[rows] * (g_rows @ (sb_64 * x64))
-                                  + so2_np[rows] * x64[rows])
-            dn = float(np.linalg.norm(d64))
-            f64_resid = (float(np.sqrt(n / m) * np.linalg.norm(r_rows)) / dn
-                         if dn > 0 else 0.0)
+            f64_resid = _sampled_resid_f64(u3_64, sb_f64, so2_np, x64, d64,
+                                           kappa)
             resid_max = f64_resid
             solver = "direct_f64"
         else:
@@ -1031,7 +1047,6 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
                 # correction solves with the same deflation preconditioner;
                 # contracts by the inner solve's relative accuracy per pass
                 u3_64 = _sphere_points(lat, lon)
-                sb_64 = np.asarray(sigma_b, np.float64)
 
                 def _corr_solve(r32):
                     rhs_c = jnp.zeros((n, 8), jnp.float32).at[:, 0].set(
@@ -1043,12 +1058,23 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
                     return np.asarray(xc[:, 0]), itc
 
                 x64, f64_resid, extra, applied = _refine_f64(
-                    x64, d64, _make_apply_a_f64(u3_64, sb_64, so2_np, kappa),
+                    x64, d64, _make_apply_a_f64(u3_64, sb_f64, so2_np, kappa),
                     _corr_solve, max_passes, target)
                 iters_total += extra
                 # the f64 residual is the TRUE-operator measure of the
                 # returned x — authoritative over the f32-internal estimate
                 resid_max = f64_resid
+            else:
+                # no f64 refinement ran: the f32-internal CG residual can
+                # understate the TRUE residual by orders at tight
+                # conditioning (the representation wall) — verify the
+                # returned x against the f64 operator by row sampling
+                # (O(m n) kernel evals, ~0.5 s at 64k cells) and report
+                # THAT as the solve's residual
+                f64_resid = _sampled_resid_f64(_sphere_points(lat, lon),
+                                               sb_f64, so2_np, x64, d64,
+                                               kappa)
+                resid_max = max(resid_max, f64_resid)
         # Increment in f64 on host via the R-form  inc = d - R x  (exact
         # algebra: B A^-1 = I - R A^-1).  Both forms' absolute error is
         # bounded by the TRUE residual ||d - A_f64 x|| (R A^-1 and B A^-1
@@ -1087,7 +1113,9 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
         except np.linalg.LinAlgError:
             # t_mat = I + PSD is PD in exact arithmetic; f32 noise in W can
             # in principle tip a near-null direction negative.  Eigen-clip
-            # fallback: S^1/2 = lam^1/2 Q max(th, 0)^-1/2 Q^T keeps the
+            # fallback: S^1/2 = lam^1/2 Q max(th, 1)^-1/2 (eigenvalues of
+            # I + PSD are >= 1 exactly, so 1 is the clip floor — NOT 0,
+            # which would divide by zero on a clipped direction) keeps the
             # production month alive instead of crashing it.
             th, q = np.linalg.eigh(t_mat)
             m_right = (lam_sqrt[:, None] * q) / np.sqrt(np.maximum(th, 1.0))
@@ -1186,9 +1214,14 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
             "refine_passes": applied if use_nystrom else 0,
             "f64_resid": f64_resid if use_nystrom else None,
             # absolute error bound on increment/xb: ||inc - inc_true|| =
-            # ||R A^-1 r|| <= ||r|| (R A^-1 is an SPD contraction);
-            # callers compare it to the posterior's statistical std
-            "resid_abs": resid_max * float(np.linalg.norm(d64))}
+            # ||R A^-1 r|| <= ||r|| (R A^-1 is an SPD contraction) —
+            # reported only when r was verified against the f64 operator
+            # (the f32-internal CG residual can understate the true one
+            # by orders at tight conditioning); callers compare it to the
+            # posterior's statistical std
+            "resid_abs": (resid_max * float(np.linalg.norm(d64))
+                          if use_nystrom and f64_resid is not None
+                          else None)}
     return (np.asarray(xb, np.float64)[:n_in], ak[:n_in],
             np.asarray(increment, np.float64)[:n_in], err[:n_in], info)
 
@@ -1265,7 +1298,9 @@ def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: floa
     # increment silently drifts 10-25% from f64 even though the algebra is
     # exact — re-solve the innovation system at the chosen factor exactly
     # in host f64 when the conditioning estimate crosses the ~1e-3-error
-    # line.  Sub-second at dense-path sizes (n <= 10240: dpotrf ~2e10 flop).
+    # line.  Cost: dpotrf is n^3/3 (~3.6e11 flop = ~10 s single-core at
+    # n = 10240, sub-second below ~4k) — paid only by tight-conditioned
+    # months, where a silently-wrong increment is the alternative.
     sbv = np.asarray(sb_n, np.float64).ravel()[idx] * np.sqrt(r_chosen)
     sov = np.asarray(so_n, np.float64).ravel()[idx]
     info = None

@@ -504,7 +504,10 @@ def test_matfree_refinement_beats_f32_representation_wall():
 
     r0, info0 = rms(0)
     r2, info2 = rms(2)
-    assert info0["refine_passes"] == 0 and info0["f64_resid"] is None
+    # even at refine=0 the returned x is verified against the f64 operator
+    # by row sampling, so the reported residual is honest (the f32 CG
+    # residual understates it by orders at this conditioning)
+    assert info0["refine_passes"] == 0 and info0["f64_resid"] > 1e-3
     assert info2["refine_passes"] == 2
     assert info2["f64_resid"] == info2["cg_resid"]  # true residual reported
     assert r2 < 5e-3

@@ -699,7 +699,9 @@ def test_matfree_oi_full_sharded_matches_single_device():
     ref = oi_full_matfree(xa, y, sb, so, lat.ravel(), lon.ravel(), 300.0, **kw)
     got = oi_full_matfree(xa, y, sb, so, lat.ravel(), lon.ravel(), 300.0,
                           mesh=mesh, **kw)
-    assert got[4]["cg_resid"] < 1e-5
+    # cg_resid is the row-sampled TRUE-operator residual (honest
+    # reporting; the f32-internal number reads ~1e-7 here)
+    assert got[4]["cg_resid"] < 1e-3
     np.testing.assert_allclose(got[2], ref[2], rtol=0, atol=1e-4)
     np.testing.assert_allclose(got[1], ref[1], rtol=0, atol=1e-4)
 
