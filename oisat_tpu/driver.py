@@ -526,8 +526,8 @@ class oisatgmi:
                 # diagnostics
                 self._oi_impl(sensor, error_ctm, oi_method, length_scale_km,
                               desroziers_iterations, desroziers_bins,
-                              mesh=(mesh if mesh is not None
-                                    and mesh.devices.size > 1 else None))
+                              mesh=mesh)  # 1-device meshes are dropped by
+                # the consumer (oi_full_matfree)
                 return out
             (self.ctm_averaged_vcd_corrected, self.ak_OI,
              self.increment_OI, self.error_OI) = (

@@ -524,6 +524,8 @@ def mean_ak_curve_slq(u3_or_latlon, sigma_b, sigma_o, regs,
     Trace-estimator noise ~ 1/sqrt(n_probes * N_eff): well under 1% for
     grids this size.
     """
+    if mesh is not None and mesh.devices.size == 1:
+        mesh = None
     if isinstance(u3_or_latlon, tuple):
         u3 = _unit_vectors(*u3_or_latlon)
     else:
@@ -764,7 +766,11 @@ def _direct_solve_f64(u3_64, sb_64, so2_64, d64, kappa: float,
     g *= sb_64[:, None]
     g[np.arange(n), np.arange(n)] += so2_64
     try:
-        c = _sla.cho_factor(g, lower=True, overwrite_a=True,
+        # g is symmetric, so g.T is an F-contiguous VIEW of the same data:
+        # LAPACK accepts it without the silent Fortran-order copy that
+        # overwrite_a=True on a C-ordered array would make (an extra
+        # (n, n) f64 buffer + its memory traffic, verified in this env)
+        c = _sla.cho_factor(g.T, lower=True, overwrite_a=True,
                             check_finite=False)
         return _sla.cho_solve(c, d64, check_finite=False)
     except np.linalg.LinAlgError:
@@ -941,6 +947,17 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
 
     Returns (xb, ak, increment, err, info dict) trimmed to the input length.
     """
+    if refine != "auto":
+        import operator
+
+        # numpy integers fail isinstance(int) checks and would silently
+        # skip requested refinement; index() also rejects floats/strings
+        # loudly instead of accepting them as "auto-like"
+        refine = operator.index(refine)
+    if mesh is not None and mesh.devices.size == 1:
+        mesh = None  # the single consumer of the gate: a 1-device mesh
+        # would add pointless sharding constraints (and callers would
+        # otherwise each duplicate this check)
     n_in = int(np.size(xa))
     npad = int(np.ceil(n_in / block)) * block
     if npad != n_in:
@@ -1039,8 +1056,9 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
                 max_passes, target = refine, 0.0
             else:  # auto beyond REFINE_MAX_CELLS: refinement's O(n^2)
                 # host passes outgrow their value; huge coarse domains
-                # are mildly conditioned and converge on device
-                max_passes, target = 0, 3e-5
+                # are mildly conditioned and converge on device (the
+                # sampled-residual check below still verifies the result)
+                max_passes, target = 0, 0.0
             if max_passes > 0:
                 # mixed-precision IR (kept for explicit ``refine=p``): f64
                 # host residual against the true kernel + f32 device
@@ -1268,9 +1286,19 @@ def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: floa
         res = _oi_full_large(xa_n, y_n, sb_n, so_n, lat2d, lon2d, idx,
                              float(length_scale_km), regularization_on,
                              mesh=mesh)
+        info = res.info
+        if info:
+            # the solver saw normalized fields; these two are FIELD-scaled
+            # quantities (an absolute error bound and the posterior-std
+            # norm) and must leave in the caller's physical units like
+            # xb/increment/err — relative quantities (cg_resid) are
+            # scale-invariant
+            for key in ("resid_abs", "stat_norm"):
+                if info.get(key) is not None:
+                    info[key] = info[key] * scale
         return OIFullResult(res.xb * scale, res.averaging_kernel,
                             res.increment * scale, res.error * scale,
-                            res.info)
+                            info)
 
     npad = int(np.ceil(n / LANES)) * LANES
 

@@ -164,8 +164,7 @@ def _analyze(obj, ctrl, sensor, gas, start, end, savedaily, mesh=None):
            method=oi_method, length_scale_km=length_scale_km,
            desroziers_iterations=ctrl.get("desroziers_iterations", 0),
            desroziers_bins=ctrl.get("desroziers_bins", 1),
-           mesh=(mesh if mesh is not None and mesh.devices.size > 1
-                 else None))
+           mesh=mesh)  # 1-device meshes are dropped by the consumer
 
 
 if __name__ == "__main__":
