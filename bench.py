@@ -644,6 +644,8 @@ if __name__ == "__main__":
         bench_month(fused=True)
     elif "--month" in sys.argv:
         bench_month()
+    elif "--matfree" in sys.argv:
+        bench_matfree()
     elif "--year" in sys.argv:
         bench_year()
     else:

@@ -579,3 +579,38 @@ def test_dense_path_exact_recompute_at_tight_conditioning():
     # mild conditioning keeps the pure device path (no host recompute)
     res2 = oi_full(xa, y, sb, np.full((H, W), 0.4), lat2, lon2, 300.0)
     assert res2.info is None
+
+
+def test_matfree_info_scaled_to_physical_units(monkeypatch):
+    """oi_full rescales resid_abs/stat_norm back to the caller's physical
+    units (they are field-scaled quantities, like xb/increment/err); the
+    relative cg_resid stays scale-invariant.  Pinned with a stub so the
+    contract is tested without a >10k-cell matfree solve."""
+    import oisat_tpu.ops.oi_full as mod
+
+    H, W = 8, 16
+    xa, y, sigb, sigo, lat2, lon2 = _random_domain(H, W, seed=9)
+    scale = 1e15
+
+    captured = {}
+
+    def fake_large(xa_n, y_n, sb_n, so_n, lat2d, lon2d, idx, L, reg_on,
+                   mesh=None, **kw):
+        captured["max"] = float(np.nanmax(np.abs(xa_n)))
+        shaped = np.full(np.shape(xa_n), 1.0)
+        return mod.OIFullResult(shaped, shaped.copy(), shaped.copy(),
+                                shaped.copy(),
+                                {"cg_resid": 1e-5, "resid_abs": 2.0,
+                                 "stat_norm": 3.0, "f64_resid": None})
+
+    monkeypatch.setattr(mod, "_oi_full_large", fake_large)
+    monkeypatch.setattr(mod, "DENSE_MAX_CELLS", 4)  # force the large branch
+    res = mod.oi_full(xa * scale, y * scale, sigb * scale, sigo * scale,
+                      lat2, lon2, 300.0)
+    assert captured["max"] <= 1.0 + 1e-12  # solver saw normalized fields
+    assert res.info["cg_resid"] == 1e-5           # relative: invariant
+    # both field-scaled values multiplied by the SAME (field-magnitude)
+    # scale, which is at least the 1e15 injected here
+    assert res.info["resid_abs"] / 2.0 == res.info["stat_norm"] / 3.0
+    assert res.info["resid_abs"] / 2.0 >= scale
+    assert res.info["f64_resid"] is None          # None passes through
