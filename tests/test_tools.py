@@ -108,3 +108,147 @@ def test_readjust_oi_desroziers(tmp_path):
     # the wildly inflated 200% prior error is re-estimated down)
     assert not np.allclose(f1["error_OI"], f0["error_OI"], equal_nan=True)
     assert np.nanmean(f1["error_OI"]) < np.nanmean(f0["error_OI"])
+
+
+def test_create_ind_co_emiss(tmp_path):
+    """tools/create_ind_CO_emiss builds one ExtData month from MERRA2-GMI
+    reaction rates + the OMI-HCHO SF climatology (reference
+    tools/create_ind_CO_emiss.py:1-130); validated against an independent
+    recomputation of the weighted-sum/thickness/biogenic formula."""
+    mod = _load("create_ind_CO_emiss")
+    rng = np.random.default_rng(7)
+    L, H, W = 3, 4, 5
+    lat = np.linspace(30, 33, H)
+    lon = np.linspace(-5, -1, W)
+    lev = np.arange(1.0, L + 1)
+    year, mm = 2019, 7
+    mdir = tmp_path / "merra2" / f"Y{year}" / f"M{mm:02}"
+    mdir.mkdir(parents=True)
+
+    def wnc(path, var3d):
+        write_nc(str(path),
+                 dims={"lev": lev, "lat": lat, "lon": lon},
+                 variables={"lat": (("lat",), None, {}),
+                            "lon": (("lon",), None, {}),
+                            "lev": (("lev",), None, {}),
+                            **{k: (("lev", "lat", "lon"), v, {})
+                               for k, v in var3d.items()}})
+
+    fields = {}
+    for group, reacts in mod.REACTIONS.items():
+        if group == "bio":
+            continue
+        vals = {r: np.abs(rng.normal(1e-9, 2e-10, (L, H, W))) for r in reacts}
+        fields.update(vals)
+        wnc(mdir / f"MERRA2_GMI.tavg24_3d_{group}_Nv.monthly.{year}{mm:02}.nc4", vals)
+    bio = {r: np.abs(rng.normal(1e-10, 2e-11, (H, W)))
+           for r in mod.REACTIONS["bio"]}
+    fields.update(bio)
+    write_nc(str(mdir / f"MERRA2_GMI.tavg24_2d_dad_Nx.monthly.{year}{mm:02}.nc4"),
+             dims={"lat": lat, "lon": lon},
+             variables={k: (("lat", "lon"), v, {}) for k, v in bio.items()})
+    h_mid = np.sort(rng.uniform(100, 5e4, (L, H, W)), axis=0)
+    h_edge = np.sort(rng.uniform(100, 6e4, (L + 1, H, W)), axis=0)
+    wnc(mdir / f"MERRA2_GMI.tavg3_3d_met_Nv.monthly.{year}{mm:02}.nc4", {"H": h_mid})
+    write_nc(str(mdir / f"MERRA2_GMI.tavg3_3d_mst_Ne.monthly.{year}{mm:02}.nc4"),
+             dims={"lev": np.arange(1.0, L + 2), "lat": lat, "lon": lon},
+             variables={"ZLE": (("lev", "lat", "lon"), h_edge, {})})
+
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    sf = np.abs(rng.normal(1.2, 0.1, (H, W)))
+    write_nc(str(sf_dir / f"HCHO_2010{mm:02}.nc"),
+             dims={"lat": lat, "lon": lon},
+             variables={"SF": (("lat", "lon"), sf, {})})
+
+    out = tmp_path / "out"
+    out.mkdir()
+    path = mod.build_month(out, tmp_path / "merra2", sf_dir, year, mm)
+    got = np.squeeze(read_nc(path, "CO_Indirect"))  # (1, L, H, W) on disk
+
+    # independent recomputation
+    order = [r for g, rs in mod.REACTIONS.items() if g != "bio" for r in rs]
+    exp = np.zeros((L, H, W))
+    for i, r in enumerate(order):
+        term = fields[r] * mod.FACTORS[i]
+        if r in mod.SF_REACTIONS:
+            term = term * sf[None]
+        exp = exp + term
+    exp = exp * (-2.0 * (h_edge[1:] - h_mid)) * 28.01 / 1000.0
+    exp[-1] += sum(bio.values())
+    np.testing.assert_allclose(got, exp, rtol=1e-12)
+
+
+def test_merge_soil_ccmi_nei(tmp_path):
+    """tools/merge_soil_CCMI_NEI merges CCMI + NEI-2016 + hourly soil NOx
+    with diurnal scaling (reference tools/merge_soil_CCMI_NEI.py:90-256):
+    NEI wins inside its domain (diurnally scaled), the global channels and
+    ship survive outside, zeros backfill from the raw inventory."""
+    import datetime as _dt
+
+    from scipy.io import savemat
+
+    mod = _load("merge_soil_CCMI_NEI")
+    lat1 = np.array([0.0, 1.0, 2.0, 3.0])
+    lon1 = np.array([0.0, 1.0, 2.0, 3.0, 4.0])
+    shape = (lat1.size, lon1.size)
+    FF, BF, SHIP, SOIL, NEI_NO, NEI_NO2, DIURNAL = 3.0, 4.0, 0.5, 0.25, 7.0, 1.0, 2.0
+    year = 2019
+
+    def grid_nc(path, variables, lat=lat1, lon=lon1, extra_dims=None):
+        dims = {"lat": lat, "lon": lon}
+        dims.update(extra_dims or {})
+        write_nc(str(path), dims=dims,
+                 variables={"lat": (("lat",), None, {}),
+                            "lon": (("lon",), None, {}), **variables})
+
+    for key in ("ccmi", "ccmi_os", "soil", "nei", "scales"):
+        (tmp_path / key).mkdir()
+    month12 = lambda v: np.full((12,) + shape, v)
+    grid_nc(tmp_path / "ccmi_os" / f"CCMI_emis01_OS_NO_{year}_t12.nc4",
+            {"NO_ff": (("t", "lat", "lon"), month12(FF), {}),
+             "NO_bf": (("t", "lat", "lon"), month12(BF), {})},
+            extra_dims={"t": 12})
+    grid_nc(tmp_path / "ccmi" / f"CCMI_emis01_NO_shp_{year}_t12.nc4",
+            {"NO_shp": (("t", "lat", "lon"), month12(SHIP), {})},
+            extra_dims={"t": 12})
+
+    sdir = tmp_path / "soil" / f"soilnox_{year}" / "07"
+    sdir.mkdir(parents=True)
+    grid_nc(sdir / f"soilnox_025.{year}0710.nc",
+            {"SOIL_NOx": (("t", "lat", "lon"), np.full((24,) + shape, SOIL), {})},
+            extra_dims={"t": 24})
+
+    nlat = np.array([0.0, 0.5, 1.0])
+    nlon = np.array([0.0, 0.5, 1.0, 1.5, 2.0])
+    grid_nc(tmp_path / "nei" / "2016fh_16j_merge_0pt1degree_month_07.ncf",
+            {"NO": (("lat", "lon"), np.full((3, 5), NEI_NO), {}),
+             "NO2": (("lat", "lon"), np.full((3, 5), NEI_NO2), {})},
+            lat=nlat, lon=nlon)
+
+    glon, glat = np.meshgrid(nlon, nlat)
+    savemat(str(tmp_path / "scales" / "Scales_201607.mat"),
+            {"NO_weekday": np.full((24, 3, 5), DIURNAL),
+             "NO_weekend": np.full((24, 3, 5), 99.0)})
+    write_nc(str(tmp_path / "scales" / "GRIDCRO2D_20190201.nc4"),
+             dims={"y": np.arange(3.0), "x": np.arange(5.0)},
+             variables={"LON": (("y", "x"), glon, {}),
+                        "LAT": (("y", "x"), glat, {})})
+
+    paths = {k: str(tmp_path / k) for k in ("ccmi", "ccmi_os", "soil", "nei", "scales")}
+    out = tmp_path / "out"
+    out.mkdir()
+    path = mod.merger(paths, "NO", "NO", _dt.date(year, 7, 10), str(out))
+
+    ff = read_nc(path, "NO_ff")
+    bf = read_nc(path, "NO_bf")
+    assert ff.shape == (24,) + shape and np.isfinite(ff).all()
+    nei_val = NEI_NO * (30.0 / 46.0) + NEI_NO2
+    # inside the NEI domain (lat<=1, lon<=2): diurnal * NEI + soil
+    np.testing.assert_allclose(ff[:, 0, 0], DIURNAL * nei_val + SOIL)
+    np.testing.assert_allclose(ff[:, 1, 2], DIURNAL * nei_val + SOIL)
+    # outside: soil + global ff + ship (diurnal defaults to 1 there)
+    np.testing.assert_allclose(ff[:, 3, 4], SOIL + FF + SHIP)
+    # bf: masked to zero inside NEI then backfilled from the raw global
+    # channel; untouched global value outside
+    np.testing.assert_allclose(bf, BF)
