@@ -795,14 +795,21 @@ class oisatgmi:
             ctm_pm_in = stack_lv(pmids)
             pm_a = pm_b = np.zeros((1, 1), np.float32)
         if sensor == "GOSAT":
+            # GOSAT ships its per-level stacks at f32, NOT the f16 narrow
+            # dtype: the reference stores AKs / pressure weights / apriori
+            # profiles / pressures at FULL precision (reference reader.py
+            # GOSAT section — no astype('float16') anywhere), and the
+            # xcol-pair innovations are ~10 ppb anomalies on a ~1900 ppb
+            # background, so f16's 1.0 ppb spacing would inject
+            # percent-level innovation errors the reference never has.
             return _settle_stacks(GosatMonthInputs(
                 ctm_pmid=ctm_pm_in,
-                ctm_profile=stack_lv(profs),
+                ctm_profile=stack(profs),
                 ctm_pmid_a=pm_a, ctm_pmid_b=pm_b,
-                sat_pmid=stack_lv([g.pressure_mid for g in grans]),
-                aks=stack_lv([g.averaging_kernels for g in grans]),
-                apriori_profile=stack_lv([g.apriori_profile for g in grans]),
-                pressure_weight=stack_lv([g.pressure_weight for g in grans]),
+                sat_pmid=stack([g.pressure_mid for g in grans]),
+                aks=stack([g.averaging_kernels for g in grans]),
+                apriori_profile=stack([g.apriori_profile for g in grans]),
+                pressure_weight=stack([g.pressure_weight for g in grans]),
                 vcd=stack([g.vcd for g in grans]),
                 x_col=stack([g.x_col for g in grans]),
                 uncertainty=stack([g.uncertainty for g in grans]),
@@ -833,7 +840,9 @@ class oisatgmi:
             ctm_airpc_a=ai_a, ctm_airpc_b=ai_b,
             sat_pmid=stack_lv([g.pressure_mid for g in grans]),
             aks=stack_lv([g.averaging_kernels for g in grans]),
-            apriori_profile=stack_lv([g.apriori_profile for g in grans]),
+            # the reference keeps MOPITT's apriori profile full-precision
+            # (unlike its f16 AKs/pressures) — ship it wide
+            apriori_profile=stack([g.apriori_profile for g in grans]),
             aprior_col=stack([g.aprior_column for g in grans]),
             apriori_surface=stack([g.apriori_surface for g in grans]),
             vcd=stack([g.vcd for g in grans]),

@@ -487,7 +487,10 @@ def ak_conv_mopitt(ctm_data: list, sat_data: list):
             _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
             _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
             stack([np.asarray(sat_data[i].aprior_column) for i in gis]),
-            _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
+            # the reference keeps MOPITT's apriori profile full-precision
+            # (reference reader.py MOPITT section: no astype, unlike its
+            # f16 AKs/pressures) — ship it wide
+            stack([np.asarray(sat_data[i].apriori_profile) for i in gis]),
             stack([np.asarray(sat_data[i].apriori_surface) for i in gis]),
             stack([np.asarray(sat_data[i].vcd) for i in gis]))
         grp = _affine_group([it[2] for it in items])
@@ -561,12 +564,18 @@ def ak_conv_gosat(ctm_data: list, sat_data: list):
         stack = lambda f: jnp.asarray(np.stack(f))
         # shared sat-side assembly, like ak_conv_mopitt: one tuple feeds
         # both the compressed and dense staged layouts
-        profile = _stack16([it[3] for it in items])
+        # GOSAT ships WIDE (f32): the reference stores its AKs, pressure
+        # weights, apriori profiles and pressures at full precision (no
+        # astype in reference reader.py's GOSAT section), and the
+        # xcol-pair innovations are ~10 ppb anomalies on a ~1900 ppb
+        # background — f16's 1.0 ppb spacing would inject percent-level
+        # innovation errors the reference never has.
+        profile = stack([it[3] for it in items])
         sat_args = (
-            _stack16([np.asarray(sat_data[i].pressure_mid) for i in gis]),
-            _stack16([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
-            _stack16([np.asarray(sat_data[i].apriori_profile) for i in gis]),
-            _stack16([np.asarray(sat_data[i].pressure_weight) for i in gis]),
+            stack([np.asarray(sat_data[i].pressure_mid) for i in gis]),
+            stack([np.asarray(sat_data[i].averaging_kernels) for i in gis]),
+            stack([np.asarray(sat_data[i].apriori_profile) for i in gis]),
+            stack([np.asarray(sat_data[i].pressure_weight) for i in gis]),
             stack([np.asarray(sat_data[i].x_col) for i in gis]))
         grp = _affine_group([it[2] for it in items])
         if grp is not None:
@@ -575,7 +584,7 @@ def ak_conv_gosat(ctm_data: list, sat_data: list):
                 stack(carriers), stack(pm_a), stack(pm_b), profile, *sat_args)
         else:
             model_xcol = _ak_gosat_batched(
-                _stack16([it[2] for it in items]), profile, *sat_args)
+                stack([it[2] for it in items]), profile, *sat_args)
         model_xcol = np.asarray(model_xcol)
         for k, (gi, closest, *_r) in enumerate(items):
             # XCH4-only: model VCD intentionally NaN (reference ak_conv_gosat.py:138)

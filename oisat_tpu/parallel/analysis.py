@@ -100,8 +100,18 @@ def _granule_weights_traced(weighting, uncertainty, aks=None):
 
 
 def _jit_cache_key(step_fn, mesh, curve_impl, rows_per_tile, kwargs):
-    """Hashable identity of a month-step jit wrapper, or None when a kwarg
-    isn't hashable (caller-supplied curve_fn closures)."""
+    """Hashable identity of a month-step jit wrapper, or None to bypass
+    the cache.  Functions ARE hashable (by identity), so a caller passing
+    a fresh lambda/closure per month would never hit yet would still
+    insert — each dead entry evicting a live month-step wrapper from the
+    LRU and re-paying its remote compile.  Bypass for any callable that
+    isn't a module-level function (lambdas and local closures get new
+    identities per call; module-level functions are stable and cache
+    usefully), and for genuinely unhashable values."""
+    for v in kwargs.values():
+        if callable(v) and ("<locals>" in getattr(v, "__qualname__", "")
+                            or getattr(v, "__name__", "") == "<lambda>"):
+            return None
     try:
         key = (step_fn, mesh, curve_impl, rows_per_tile,
                tuple(sorted(kwargs.items())))
@@ -275,12 +285,33 @@ def make_analysis_step(mesh: Mesh, curve_impl: str = "auto",
         return jax.jit(partial(analysis_step, **resolved),
                        in_shardings=(in_sh,), out_shardings=out_sh), in_sh
 
-    fn, _ = _cached_step_jit(analysis_step, mesh, curve_impl,
-                             curve_rows_per_tile, kwargs, build)
+    jit_fn, _ = _cached_step_jit(analysis_step, mesh, curve_impl,
+                                 curve_rows_per_tile, kwargs, build)
+    n_obs = mesh.shape["obs"]
+    n_grid = mesh.shape["grid"]
 
-    def shard_inputs(inputs: AnalysisInputs) -> AnalysisInputs:
-        return AnalysisInputs(*(jax.device_put(jnp.asarray(x), NamedSharding(mesh, in_spec))
-                                for x in inputs))
+    def shard_inputs(inputs: AnalysisInputs) -> "_ShardedMonth":
+        # NaN-pad non-mesh-divisible G/H like every sibling month-step
+        # maker: real months have arbitrary granule counts and odd grid
+        # heights, and in_shardings requires mesh-divisible shapes
+        inputs, h = _pad_to_mesh(inputs, AnalysisInputs, n_obs, n_grid)
+        sharded = AnalysisInputs(
+            *(jax.device_put(jnp.asarray(x), NamedSharding(mesh, in_spec))
+              for x in inputs))
+        return _ShardedMonth(sharded, h)
+
+    def fn(inputs):
+        if isinstance(inputs, _ShardedMonth):
+            h = inputs.true_h
+            inputs = inputs.fields
+        else:
+            h = inputs[0].shape[-2]
+        out = jit_fn(inputs)
+        if h != out.sat_vcd.shape[-2]:
+            out = jax.tree.map(
+                lambda a: a[..., :h, :] if getattr(a, "ndim", 0) >= 2 else a,
+                out)
+        return out
 
     return fn, shard_inputs
 
@@ -342,8 +373,6 @@ def _pad_to_mesh(inputs, fields_cls, n_obs: int, n_grid: int):
     ``in_shardings`` requires mesh-divisible global shapes.  NaN is the
     missing-data channel throughout (padded granules/rows contribute nothing
     to the nanmean statistics or the masked mean-AK curve)."""
-    import numpy as np
-
     g, h = np.shape(inputs[0])[0], np.shape(inputs[0])[-2]
     gp = -(-g // n_obs) * n_obs
     hp = -(-h // n_grid) * n_grid
@@ -492,8 +521,6 @@ def _pad_eta(inputs, n_obs: int, n_grid: int):
     unique-CTM axis is never G-padded, and padded granules' ctm_idx points
     at the trailing all-NaN slice (a real-slice index would let a padded
     granule's operator output leak finite values into the month means)."""
-    import numpy as np
-
     g, h = np.shape(inputs[0])[0], np.shape(inputs[0])[-2]
     gp = -(-g // n_obs) * n_obs
     hp = -(-h // n_grid) * n_grid
@@ -679,7 +706,17 @@ def mopitt_month_step(inputs: MopittMonthInputs, bias_offset: float = 0.0,
     if inputs.ctm_airpc_a.shape[-1] > 1:
         # air columns reconstructed from the SAME pressure carrier (both
         # stacks are affine in surface pressure); the shipped ctm_airpc is
-        # the empty (G, 0, H, W) placeholder
+        # the empty (G, 0, H, W) placeholder.  The reconstruction is only
+        # meaningful against the (G, 1, H, W) CARRIER layout — a full
+        # pressure stack here would silently use level 0 as the surface
+        # carrier, and the ~1e6 air-column slopes would amplify that into
+        # garbage columns (shapes are static, so this check is free)
+        if inputs.ctm_pmid.shape[1] != 1:
+            raise ValueError(
+                "compressed ctm_airpc tables require the carrier ctm_pmid "
+                f"layout (G, 1, H, W); got ctm_pmid.shape={inputs.ctm_pmid.shape}"
+                " — ship the pressure stack carrier-compressed too, or the"
+                " air columns dense")
         ctm_airpc = decompress_pmid(inputs.ctm_pmid[:, 0],
                                     inputs.ctm_airpc_a, inputs.ctm_airpc_b)
     else:

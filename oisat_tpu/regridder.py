@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import threading
+import warnings
 from functools import partial
 from typing import Optional
 
@@ -59,7 +60,7 @@ class PendingGranule:
         return self._finish()
 
 
-_lazy_local = __import__("threading").local()
+_lazy_local = threading.local()
 
 
 class lazy_collection:
@@ -96,8 +97,8 @@ def fits_f16(a) -> bool:
     a = np.asarray(a)
     if a.size == 0:
         return True
-    with np.errstate(invalid="ignore"), __import__("warnings").catch_warnings():
-        __import__("warnings").simplefilter("ignore", RuntimeWarning)
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
         m = np.nanmax(np.abs(a))
     return not (m >= F16_SAFE_MAX)  # NaN max (all-NaN) -> fits
 
@@ -198,6 +199,20 @@ def _geom_key(lon2d, lat2d):
 from oisat_tpu.utils.lru import LockedLRU
 
 _upscaler_cache = LockedLRU(16)
+_fine_grid_cache = LockedLRU(8)
+
+
+def _fine_grid_cached(ctm_lon2d, ctm_lat2d, grid_size):
+    """fine_grid memoized on the CTM geometry: the meshgrid spans the CTM
+    domain at grid_size pitch and was rebuilt identically for every
+    granule of a run on the per-orbit host hot path."""
+    key = (_geom_key(ctm_lon2d, ctm_lat2d), float(grid_size))
+    hit = _fine_grid_cache.get(key)
+    if hit is not None:
+        return hit
+    out = fine_grid(ctm_lon2d, ctm_lat2d, grid_size)
+    _fine_grid_cache.put(key, out)
+    return out
 
 
 def make_upscaler(
@@ -275,14 +290,16 @@ def _pixel_bucket(n: int) -> int:
     """Bucket the flattened pixel axis for transfer + compile.
 
     The first pixel count seen in a coarse 4-steps/octave region gets its
-    tight 8-steps/octave bucket (fixed-geometry sensors — OMI 1644x60,
-    SSMIS's one global grid — only ever present ONE count, so they keep
-    <=9% padded-byte waste on the transfer-bound link).  Any LATER
-    distinct count landing in the same coarse region escalates to the
-    coarse bucket itself: variable-scan sensors (TEMPO truncated hourly
-    scans, TROPOMI orbit-length jitter) then compile at most 2 regrid
-    programs per region instead of up to 8 per octave — each fresh shape
-    costs 30 s - 6 min on the remote compile service (CLAUDE.md)."""
+    tight 8-steps/octave bucket; any LATER distinct count landing in the
+    same coarse region escalates to the coarse bucket itself, so at most
+    2 regrid programs compile per region — each fresh shape costs
+    30 s - 6 min on the remote compile service (CLAUDE.md).  Since plan
+    compaction landed, the bucketed count is ``plan.sel.size`` — it
+    varies per orbit with domain overlap even for fixed-geometry sensors
+    (OMI 1644x60, SSMIS), so in practice most orbits ride the coarse
+    bucket (<=19% padded bytes, mean ~9%); the tight path still pays off
+    for repeated identical months (tests, the bench) and uncompacted
+    plans."""
     coarse = pad_to_bucket(n, steps_per_octave=4, align=128)
     with _pixel_bucket_lock:
         first = _pixel_bucket_first.setdefault(coarse, n)
@@ -700,8 +717,8 @@ def _f16_row_mask(batch_lv) -> np.ndarray:
     rows fit).  Rows that don't fit keep the compute dtype."""
     if batch_lv.shape[0] == 0:
         return np.zeros((0,), bool)
-    with np.errstate(invalid="ignore"), __import__("warnings").catch_warnings():
-        __import__("warnings").simplefilter("ignore", RuntimeWarning)
+    with np.errstate(invalid="ignore"), warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
         rowmax = np.nanmax(np.abs(batch_lv), axis=-1)
     return ~(rowmax >= F16_SAFE_MAX)  # NaN rowmax (all-NaN row) -> True
 
@@ -883,7 +900,7 @@ def regrid_granule(
     if fast_swath is None:
         fast_swath = fast_swath_default()
     threshold_ctm = diag_threshold(ctm_lon2d, ctm_lat2d)
-    lons_fine, lats_fine = fine_grid(ctm_lon2d, ctm_lat2d, grid_size)
+    lons_fine, lats_fine = _fine_grid_cached(ctm_lon2d, ctm_lat2d, grid_size)
 
     plan = _granule_plan(sat_data.longitude_center, sat_data.latitude_center,
                          lons_fine, lats_fine, grid_size,
@@ -897,9 +914,13 @@ def regrid_granule(
     sel = plan.sel if isinstance(plan.sel, np.ndarray) else None
 
     host_dtype = np.float64 if dtype == np.float64 else np.float32
-    mask = _quality_mask(sat_data.quality_flag, flag_thresh, host_dtype)
     is_amf = isinstance(sat_data, satellite_amf)
     is_opt = isinstance(sat_data, satellite_opt)
+    if not (is_amf or is_opt):
+        # before any attribute access: an SSMIS/foreign object would
+        # otherwise die on a bare AttributeError instead of this message
+        raise TypeError(f"unsupported granule type {type(sat_data)!r}")
+    mask = _quality_mask(sat_data.quality_flag, flag_thresh, host_dtype)
 
     # ---- gather every field (value-kernel batch + error field); rows the
     # reference readers store at float16 travel through the narrow batch
@@ -935,15 +956,24 @@ def regrid_granule(
     if has_trop:
         add2d("tropopause", sat_data.tropopause)
 
-    def add3d(name, arr):
+    def add3d(name, arr, narrow=True):
+        """3-D stacks: ``narrow`` follows the reference's OWN storage
+        dtype per field — AMF scattering weights / pressures and MOPITT
+        AKs / pressures are float16 in the reference readers (narrow
+        batch), while GOSAT's profiles/AKs/pressure weights/pressures and
+        MOPITT's apriori_profile carry NO astype there (reference
+        reader.py GOSAT/MOPITT sections) and must ship at full f32: a
+        ~1900 ppb CH4 apriori quantized to f16 (spacing 1.0) injects
+        ~0.5 ppb errors into ~10 ppb xcol-pair innovations."""
         a = np.asarray(arr)
+        tgt_n, tgt_c = (names_lv, cols_lv) if narrow else (names, cols)
         for z in range(a.shape[0]):
-            names_lv.append(f"{name}:{z}")
-            cols_lv.append(np.squeeze(a[z]))
+            tgt_n.append(f"{name}:{z}")
+            tgt_c.append(np.squeeze(a[z]))
 
     pmid_affine = None
 
-    def add3d_pmid(arr):
+    def add3d_pmid(arr, narrow=True):
         """Pressure stacks are affine in ONE field for every supported
         sensor (see _affine_stack) — regrid only the carrier level and
         reconstruct the rest on the output grid; non-affine stacks take
@@ -962,18 +992,20 @@ def regrid_granule(
             if ab is None:
                 ab = _affine_stack(arr)
         if ab is None:
-            add3d("pressure_mid", arr)
+            add3d("pressure_mid", arr, narrow=narrow)
             return
         a_, b_, ci = ab
         pmid_affine = (a_, b_)
-        names_lv.append("pressure_mid:carrier")
-        cols_lv.append(np.squeeze(np.asarray(arr)[ci]))
+        tgt_n, tgt_c = (names_lv, cols_lv) if narrow else (names, cols)
+        tgt_n.append("pressure_mid:carrier")
+        tgt_c.append(np.squeeze(np.asarray(arr)[ci]))
 
     has_sw = is_amf and np.size(sat_data.scattering_weights) != 1
     if has_sw:
         add3d("scattering_weights", sat_data.scattering_weights)
         add3d_pmid(sat_data.pressure_mid)
     if is_opt:
+        gosat = sat_data.sensor == "GOSAT"
         if np.asarray(sat_data.aprior_column).any():
             add2d("aprior_column", sat_data.aprior_column)
         if np.asarray(sat_data.surface_pressure).any():
@@ -981,11 +1013,15 @@ def regrid_granule(
         if np.asarray(sat_data.apriori_surface).any():
             add2d("apriori_surface", sat_data.apriori_surface)
         add2d("x_col", sat_data.x_col)
-        add3d("averaging_kernels", sat_data.averaging_kernels)
-        if sat_data.sensor == "GOSAT":
-            add3d("pressure_weight", sat_data.pressure_weight)
-        add3d_pmid(sat_data.pressure_mid)
-        add3d("apriori_profile", sat_data.apriori_profile)
+        # GOSAT stores AKs/PW/p_mid/apriori at full precision in the
+        # reference (no astype); MOPITT stores AKs/Pressure f16 but the
+        # apriori profile full-precision
+        add3d("averaging_kernels", sat_data.averaging_kernels,
+              narrow=not gosat)
+        if gosat:
+            add3d("pressure_weight", sat_data.pressure_weight, narrow=False)
+        add3d_pmid(sat_data.pressure_mid, narrow=not gosat)
+        add3d("apriori_profile", sat_data.apriori_profile, narrow=False)
 
     # RAW uncertainty; the device program squares it (square_err) so the
     # row can ship at the reference's own f16 storage precision for the
@@ -1010,8 +1046,6 @@ def regrid_granule(
                     if cols_lv else None)
         err_batch = _stack([np.asarray(err_cols[0], host_dtype) * mask],
                            host_dtype)
-    if not (is_amf or is_opt):
-        raise TypeError(f"unsupported granule type {type(sat_data)!r}")
     if device is None:
         device = device_granules_default()
     collect = _regrid_fused(plan, upsc, batch, err_batch, dtype,
@@ -1171,7 +1205,7 @@ def regrid_ssmis_granule(
     if fast_swath is None:
         fast_swath = fast_swath_default()
     threshold_ctm = diag_threshold(ctm_lon2d, ctm_lat2d)
-    lons_fine, lats_fine = fine_grid(ctm_lon2d, ctm_lat2d, grid_size)
+    lons_fine, lats_fine = _fine_grid_cached(ctm_lon2d, ctm_lat2d, grid_size)
     plan = _granule_plan(sat_data.longitude_center, sat_data.latitude_center,
                          lons_fine, lats_fine, grid_size, method=1,
                          far_factor=1.0, fast=fast_swath)

@@ -435,3 +435,47 @@ def test_affine_from_tables_catches_localized_edits():
     s_nan = stack.copy()
     s_nan[4, 3:5, 2:5] = np.nan
     assert _affine_from_tables(s_nan, (A, B)) is None
+
+
+def test_opt_3d_narrowing_policy(monkeypatch):
+    """Per-field 3-D narrow policy follows the reference's own storage:
+    MOPITT AKs/pressures are f16 there (narrow allowed) but its apriori
+    profile is full-precision; GOSAT stores AKs/pressure weights/apriori
+    profiles/pressures ALL full-precision — a ~1900 ppb CH4 apriori at
+    f16 (spacing 1.0) would corrupt ~10 ppb xcol-pair innovations."""
+    from oisat_tpu.datamodel import satellite_opt
+
+    def gosat_like(seed=4, ny=48, nx=36, nz=5):
+        rng = np.random.default_rng(seed)
+        lat = np.linspace(30.5, 45.2, ny)[:, None] * np.ones((ny, nx))
+        lon = np.ones((ny, 1)) * np.linspace(-9.8, 9.9, nx)[None, :]
+        return satellite_opt(
+            vcd=np.abs(rng.normal(4, 0.5, (ny, nx))).astype(np.float32),
+            time=datetime.datetime(2019, 7, 5), tropopause=np.empty((1,)),
+            latitude_center=lat, longitude_center=lon,
+            uncertainty=np.abs(rng.normal(10, 2, (ny, nx))).astype(np.float32),
+            quality_flag=np.ones((ny, nx)),
+            pressure_mid=np.sort(rng.uniform(100, 950, (nz, ny, nx)),
+                                 axis=0)[::-1].copy().astype(np.float32),
+            averaging_kernels=rng.uniform(0.2, 1.1, (nz, ny, nx)).astype(np.float32),
+            aprior_column=[], apriori_profile=np.abs(
+                rng.normal(1800, 60, (nz, ny, nx))).astype(np.float32),
+            surface_pressure=[], apriori_surface=np.empty((1,)),
+            x_col=np.abs(rng.normal(1800, 30, (ny, nx))).astype(np.float32),
+            pressure_weight=np.abs(rng.normal(1.0 / nz, 0.02,
+                                              (nz, ny, nx))).astype(np.float32),
+            sensor="GOSAT", ctm_upscaled_needed=False)
+
+    g16 = _regrid(monkeypatch, "f16", gosat_like())
+    g32 = _regrid(monkeypatch, "full", gosat_like())
+    m = np.isfinite(np.asarray(g32.x_col))
+    assert m.sum() > 200
+    # every GOSAT per-level stack: NO narrow-dtype quantization allowed
+    for fld in ("apriori_profile", "averaging_kernels", "pressure_weight",
+                "pressure_mid"):
+        a = np.asarray(getattr(g16, fld))
+        b = np.asarray(getattr(g32, fld))
+        mm = np.isfinite(b)
+        assert mm.sum() > 200, fld
+        np.testing.assert_allclose(a[mm], b[mm], rtol=1e-6, atol=0,
+                                   err_msg=fld)
