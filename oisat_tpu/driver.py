@@ -942,6 +942,13 @@ class oisatgmi:
             "aux1": self.aux1,
             "aux2": self.aux2,
         }
+        # binned Desroziers runs (desroziers_bins > 1) diagnose PER-CELL
+        # Sa/So scale maps; persist them so the tuning is auditable from
+        # the diag file alone (extension field — downstream tools read by
+        # name and ignore extras; scalar/global runs write nothing here)
+        if getattr(self, "desroziers_sa_scale_map", None) is not None:
+            fields["desroziers_sa_scale"] = self.desroziers_sa_scale_map
+            fields["desroziers_so_scale"] = self.desroziers_so_scale_map
         write_diag_nc(os.path.join(output_folder, output_file + ".nc"), fields,
                       self.avg_time.strftime("%Y-%m-%d %H:%M:%S"),
                       global_attrs=getattr(self, "oi_diagnostics", None))

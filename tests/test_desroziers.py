@@ -278,6 +278,39 @@ def test_driver_desroziers_bins_option():
     assert obj.desroziers_so_scale_map.shape == xa.shape
 
 
+def test_binned_scale_maps_persist_to_diag(tmp_path):
+    """The per-cell Sa/So scale maps of a binned Desroziers run land in the
+    diag file (global runs write no such fields)."""
+    import datetime
+    from types import SimpleNamespace
+
+    from oisat_tpu.ncwriter import read_diag_nc
+
+    xa, y, sa, so, lat = _north_south_analysis()
+    obj = oisatgmi()
+    obj.ctm_averaged_vcd = xa
+    obj.sat_averaged_vcd = y
+    obj.sat_averaged_error = np.sqrt(so)
+    obj.aux1 = obj.aux2 = np.full_like(xa, np.nan)
+    lon = np.linspace(-100.0, -60.0, xa.shape[1])[None, :] * np.ones((xa.shape[0], 1))
+    obj.reader_obj = SimpleNamespace(
+        sat_data=[SimpleNamespace(latitude_center=lat, longitude_center=lon)])
+    obj.avg_time = datetime.datetime(2005, 7, 15)
+    e = 100.0 * np.sqrt(np.mean(sa)) / np.mean(xa)
+    obj.oi("OMI", error_ctm=e, desroziers_iterations=2, desroziers_bins=2)
+    obj.write_to_nc("binned", str(tmp_path))
+    fields, _ = read_diag_nc(tmp_path / "binned.nc")
+    np.testing.assert_allclose(fields["desroziers_so_scale"],
+                               obj.desroziers_so_scale_map, rtol=1e-6)
+    np.testing.assert_allclose(fields["desroziers_sa_scale"],
+                               obj.desroziers_sa_scale_map, rtol=1e-6)
+    # a global (1-bin) run writes no map fields
+    obj.oi("OMI", error_ctm=e, desroziers_iterations=1)
+    obj.write_to_nc("global", str(tmp_path))
+    fields, _ = read_diag_nc(tmp_path / "global.nc")
+    assert "desroziers_so_scale" not in fields
+
+
 def test_driver_desroziers_bins_full_covariance():
     """method='full' honours desroziers_bins too (per-band scales applied to
     the sigma fields before the covariance solve)."""
