@@ -131,3 +131,25 @@ def test_make_coastlines_splits_dateline(tmp_path):
         lon = d["lon"]
     finite = lon[np.isfinite(lon)]
     assert np.max(np.abs(np.diff(finite[:2]))) < 180.0
+
+
+def test_survey_grade_coastlines_pending():
+    """CI-visible marker (VERDICT r4 #8): the shipped coastline set is the
+    ~600-vertex builtin approximation; the survey-grade npz (Natural Earth
+    via tools/make_coastlines.py) needs a network window.  When one
+    exists: run the tool, ship oisat_tpu/data/coastlines.npz, and delete
+    this skip."""
+    import os
+
+    import pytest
+
+    from oisat_tpu import data as _data
+
+    npz = os.path.join(os.path.dirname(_data.__file__), "coastlines.npz")
+    if not os.path.exists(npz):
+        pytest.skip("network-gated: survey-grade coastlines.npz not built; "
+                    "builtin approximate set in use (tools/make_coastlines.py)")
+    import numpy as np
+
+    with np.load(npz) as d:
+        assert d["lon"].size > 10_000  # survey grade, not the builtin

@@ -252,3 +252,34 @@ def test_merge_soil_ccmi_nei(tmp_path):
     # bf: masked to zero inside NEI then backfilled from the raw global
     # channel; untouched global value outside
     np.testing.assert_allclose(bf, BF)
+
+
+def test_readjust_oi_scale_maps_not_stale(tmp_path):
+    """A source diag carrying per-cell Desroziers scale maps must not leak
+    them verbatim into the readjusted file (advisor r4): without
+    --desroziers-bins the fields are dropped; with bins>1 they are the
+    re-estimated maps of THIS run."""
+    d = tmp_path / "diag"
+    d.mkdir()
+    fields = make_diag(d / "NO2_201907.nc", seed=5)
+    H, W = fields["lon"].shape
+    stale = dict(fields)
+    stale["desroziers_sa_scale"] = np.full((H, W), 7.0)
+    stale["desroziers_so_scale"] = np.full((H, W), 9.0)
+    from oisat_tpu.ncwriter import write_diag_nc
+
+    write_diag_nc(d / "NO2_201907.nc", stale, "2019-07-15 12:00:00")
+
+    mod = _load("readjust_OI")
+    out0 = mod.readjust(d, tmp_path / "out0", error_ctm=200.0)
+    f0, _ = read_diag_nc(out0[0])
+    assert "desroziers_sa_scale" not in f0
+    assert "desroziers_so_scale" not in f0
+
+    out1 = mod.readjust(d, tmp_path / "out1", error_ctm=200.0,
+                        desroziers_iterations=2, desroziers_bins=4)
+    f1, _ = read_diag_nc(out1[0])
+    assert f1["desroziers_sa_scale"].shape == (H, W)
+    # the maps describe this run's tuning, not the stale 7.0/9.0 fill
+    assert not np.allclose(f1["desroziers_sa_scale"], 7.0)
+    assert not np.allclose(f1["desroziers_so_scale"], 9.0)

@@ -47,21 +47,16 @@ def readjust(diag_folder, out_folder, error_ctm=50.0, desroziers_iterations=0,
             from oisat_tpu.ops.diagnostics import lat_band_index
 
             bins = lat_band_index(np.asarray(fields["lat"], np.float64), nb)
+        sa_total = so_total = None
         for _ in range(int(desroziers_iterations)):
-            from oisat_tpu.ops.diagnostics import (
-                desroziers_binned,
-                desroziers_estimates,
-            )
+            from oisat_tpu.driver import _desroziers_step
 
-            if bins is None:
-                est = desroziers_estimates(xa, y_clip, np.asarray(res.xb), sa, so)
-                sa = sa * float(est.sa_scale)
-                so = so * float(est.so_scale)
-            else:
-                est = desroziers_binned(xa, y_clip, np.asarray(res.xb), sa, so,
-                                        bins, nb)
-                sa = sa * np.asarray(est.sa_scale, np.float64)[bins]
-                so = so * np.asarray(est.so_scale, np.float64)[bins]
+            sa_step, so_step = _desroziers_step(xa, y_clip, np.asarray(res.xb),
+                                                sa, so, bins, nb)
+            sa = sa * sa_step
+            so = so * so_step
+            sa_total = sa_step if sa_total is None else sa_total * sa_step
+            so_total = so_step if so_total is None else so_total * so_step
             res = oi(jnp.asarray(xa), jnp.asarray(y), jnp.asarray(sa),
                      jnp.asarray(so))
         xb = np.asarray(res.xb)
@@ -69,12 +64,21 @@ def readjust(diag_folder, out_folder, error_ctm=50.0, desroziers_iterations=0,
             sf = xb / xa
         sf = np.where(np.isnan(sf) | np.isinf(sf) | (sf == 0.0), 1.0, sf)
         out = dict(fields)
+        # the source file's per-cell Desroziers scale maps describe ITS
+        # tuning, not this readjustment — never carry them verbatim
+        # (advisor r4); persist the re-estimated maps when this run used
+        # binned Desroziers, otherwise drop the fields entirely
+        out.pop("desroziers_sa_scale", None)
+        out.pop("desroziers_so_scale", None)
         out.update({
             "ctm_averaged_vcd_posterior": xb,
             "ak_OI": np.asarray(res.averaging_kernel),
             "error_OI": np.asarray(res.error),
             "scaling_factor": sf,
         })
+        if bins is not None and sa_total is not None:
+            out["desroziers_sa_scale"] = np.asarray(sa_total, np.float64)
+            out["desroziers_so_scale"] = np.asarray(so_total, np.float64)
         path = os.path.join(str(out_folder), os.path.basename(fname))
         # carry the source file's persisted OI diagnostics through the
         # round trip (they are global attrs; dropping them loses the
