@@ -30,19 +30,25 @@ the f32 residual, and mixed-precision iterative refinement against the
 true kernel stalls once its correction RHS concentrates in the modes
 the f32 inner solve cannot resolve (measured: frozen at 4.6e-3 on the
 bench month).  The matfree Nystrom path therefore solves the
-innovation system EXACTLY in host f64 (blocked dense kernel + dpotrf,
-~9 s at n ~ 10k on this host) for production-size months
-(n <= REFINE_MAX_CELLS), with the increment in the R-form
-``inc = d - R x`` (error bounded by the TRUE residual — R A^-1 is an
-SPD contraction); beyond that size the f32 deflated PCG stands (huge
-coarse domains are mildly conditioned), and explicit ``refine=p``
-forces p IR passes.  The residual warning weighs numerics against
-statistics: ``info["resid_abs"]`` (the field-error bound) vs
-``info["stat_norm"]`` (the posterior-std norm).  The averaging-kernel
-diagonal never shared the wall (Woodbury on the Nystrom factor, k x k
-algebra in host f64 — 3e-5 absolute on the production month), and the
-posterior error is a tail-closure estimate good to a small factor
-(~2x in std units).
+innovation system EXACTLY for production-size months
+(n <= REFINE_MAX_CELLS): ON DEVICE in emulated float64
+(:func:`_exact_tail_device`, ~49-bit mantissa, accepted only when the
+host-f64 row-sampled TRUE residual passes ``DEVICE_EXACT_RESID_GATE``;
+``OISAT_EXACT_DEVICE=0`` opts out), with the round-4 host f64 path
+(blocked dense kernel + dpotrf, ~9 s at n ~ 10k on this 1-core host) as
+the fallback; the increment uses the R-form ``inc = d - R x`` (error
+bounded by the TRUE residual — R A^-1 is an SPD contraction).  Beyond
+that size the f32 deflated PCG stands (huge coarse domains are mildly
+conditioned), and explicit ``refine=p`` forces p IR passes.  The
+residual warning weighs numerics against statistics:
+``info["resid_abs"]`` (the field-error bound) vs ``info["stat_norm"]``
+(the posterior-std norm).  On the direct paths the posterior diagonal —
+hence ``error`` and the averaging kernel — is EXACT too:
+``diag(Sb) = so^2 - so^4 diag(A^-1)`` from the same factor
+(:func:`_exact_sb_diag`; ``info["exact_diag"] = True``).  Only the
+beyond-REFINE_MAX PCG path keeps estimates: the Woodbury tail-closure
+diagonal (never worse than ~2x in std units; AK 3e-5 absolute on the
+production month) and colored probing on the Jacobi branch.
 """
 
 from __future__ import annotations
@@ -739,7 +745,7 @@ def _kernel_block_f64(u3_64, s, e, kappa: float, out=None, full=None):
 
 
 def _direct_solve_f64(u3_64, sb_64, so2_64, d64, kappa: float,
-                      row_block: int = 512):
+                      row_block: int = 512, want_diag: bool = False):
     """EXACT f64 innovation solve A x = d on host for production-size
     full-covariance months: build the dense kernel (row-blocked), scale to
     A = D_b G D_b + D_o^2, Cholesky-factor (OpenBLAS dpotrf measured
@@ -752,9 +758,14 @@ def _direct_solve_f64(u3_64, sb_64, so2_64, d64, kappa: float,
     is scaled IN PLACE and the factorization overwrites it (a second
     (n, n) buffer measured ~13 s of pure memory traffic on this host);
     the caller estimates the residual bound with one f32 device sweep.
-    Returns x64, or None if the f64 factorization fails (A is PD by
-    construction; failure would mean pathological inputs — callers fall
-    back to the iterative path)."""
+
+    ``want_diag``: additionally return ``diag(A^-1)`` from the same
+    factor (dtrtri in place, n^3/3 flops + one n^2/2 read — the exact
+    posterior diagonal needs nothing else, see :func:`_exact_sb_diag`).
+
+    Returns ``(x64, diag_ainv_or_None)``, or ``(None, None)`` if the f64
+    factorization fails (A is PD by construction; failure would mean
+    pathological inputs — callers fall back to the iterative path)."""
     import scipy.linalg as _sla
 
     n = u3_64.shape[0]
@@ -772,9 +783,128 @@ def _direct_solve_f64(u3_64, sb_64, so2_64, d64, kappa: float,
         # (n, n) f64 buffer + its memory traffic, verified in this env)
         c = _sla.cho_factor(g.T, lower=True, overwrite_a=True,
                             check_finite=False)
-        return _sla.cho_solve(c, d64, check_finite=False)
+        x = _sla.cho_solve(c, d64, check_finite=False)
     except np.linalg.LinAlgError:
+        return None, None
+    if not want_diag:
+        return x, None
+    return x, _diag_ainv_from_factor(c[0])
+
+
+def _diag_ainv_from_factor(l_lower):
+    """``diag(A^-1)`` from a lower Cholesky factor L of A:
+    ``diag(A^-1)_j = sum_i (L^-1)_{ij}^2`` (squared column norms of the
+    triangular inverse).  dtrtri inverts IN PLACE (n^3/3) and leaves the
+    upper triangle as factorization garbage — the column sums mask it
+    block-wise instead of materializing ``tril`` (an (n, n) f64 copy
+    costs ~13 s of memory traffic on this host).  Returns None if the
+    triangular inversion reports a singular diagonal (impossible for a
+    PD factor short of pathological input)."""
+    from scipy.linalg import lapack
+
+    linv, info = lapack.dtrtri(l_lower, lower=1, overwrite_c=1)
+    if info != 0:
         return None
+    n = linv.shape[0]
+    out = np.empty(n)
+    blk = 512
+    for j0 in range(0, n, blk):
+        j1 = min(j0 + blk, n)
+        cols = linv[j0:, j0:j1]
+        s = np.einsum("ij,ij->j", cols, cols)
+        head = np.triu(np.ascontiguousarray(linv[j0:j1, j0:j1]), 1)
+        s -= np.einsum("ij,ij->j", head, head)
+        out[j0:j1] = s
+    return out
+
+
+def _exact_sb_diag(so2_np, dainv, bd):
+    """EXACT posterior-covariance diagonal from ``diag(A^-1)``:
+
+        diag(Sb) = diag(B - B A^-1 B) = so^2 - so^4 * diag(A^-1)
+
+    (algebra: B = A - R with R = diag(so^2), so B A^-1 B expands to
+    A - 2R + R A^-1 R elementwise on the diagonal, and diag(B) cancels
+    the diag(A) - diag(R) term).  The subtraction is f64-stable in every
+    regime this path serves: cancellation grows as (so/sb)^2 * eps_f64,
+    negligible even at so/sb ~ 1e3, while the production full-covariance
+    months sit at so << sb.  Clipped to [0, diag(B)] (the mathematical
+    range) against rounding at the extremes."""
+    return np.clip(so2_np - so2_np * so2_np * dainv, 0.0, bd)
+
+
+DEVICE_EXACT_RESID_GATE = 1e-8  # acceptance bar for the device (emulated
+# f64) exact tail, measured by the host-f64 row-sampled TRUE residual: a
+# backward-stable ~49-bit-mantissa solve lands around 1e-11 at production
+# sizes, true f64 at ~1e-13, while the f32 representation wall sits at
+# ~1e-3 — anything above this gate means the emulation is not delivering
+# and the host f64 path takes over (the VERDICT-mandated fallback).
+
+
+def _exact_device_wanted() -> bool:
+    """OISAT_EXACT_DEVICE=0 opts out of the on-device exact tail (the
+    host f64 direct solve then serves, as in round 4)."""
+    import os
+
+    return os.environ.get("OISAT_EXACT_DEVICE", "1") != "0"
+
+
+@partial(jax.jit, static_argnames=("diag_block",))
+def _exact_tail_prog(u3, sb, so2, d, kappa, diag_block: int = 1024):
+    """Device exact tail, traced in float64 (TPU: emulated ~49-bit
+    mantissa; CPU: native f64): build the dense correlation kernel from
+    unit vectors, scale to A = D_b G D_b + D_o^2, Cholesky-factor, solve
+    the innovation, and accumulate ``diag(A^-1)`` as squared column norms
+    of L^-1 in identity-column blocks (the same half-solve trick as
+    :func:`oi_full_dense`'s posterior diagonal — peak memory stays at
+    two (n, n) buffers plus an (n, diag_block) block)."""
+    g = jnp.clip(u3 @ u3.T, -1.0, 1.0) - 1.0
+    g = jnp.exp(jnp.maximum(g * kappa, -60.0))
+    a = g * (sb[None, :] * sb[:, None]) + jnp.diag(so2)
+    l = jax.lax.linalg.cholesky(a)
+    w = jax.lax.linalg.triangular_solve(l, d[:, None], left_side=True,
+                                        lower=True)
+    x = jax.lax.linalg.triangular_solve(l, w, left_side=True, lower=True,
+                                        transpose_a=True)[:, 0]
+    n = a.shape[0]
+    k = min(diag_block, n)
+    nblocks = -(-n // k)
+    starts = jnp.minimum(jnp.arange(nblocks) * k, n - k)
+    rows = jnp.arange(n)
+
+    def block_diag(start):
+        cols = (rows[:, None] == (start + jnp.arange(k))[None, :]).astype(a.dtype)
+        v = jax.lax.linalg.triangular_solve(l, cols, left_side=True, lower=True)
+        return jnp.sum(v * v, axis=0)
+
+    parts = jax.lax.map(block_diag, starts)
+    col_idx = (starts[:, None] + jnp.arange(k)[None, :]).ravel()
+    dainv = jnp.zeros((n,), a.dtype).at[col_idx].set(parts.ravel())
+    return x, dainv
+
+
+def _exact_tail_device(u3_64, sb_64, so2_64, d64, kappa: float):
+    """Run :func:`_exact_tail_prog` on the default device under the
+    thread-local x64 context (the production process runs with x64 off;
+    the context keeps the f64 operands and trace without flipping the
+    global dtype policy).  Returns ``(x64, diag_ainv)`` or ``(None,
+    None)`` when the backend cannot run the f64 program (compile failure,
+    OOM) or the output is non-finite — callers fall back to the host f64
+    path, which is the round-4 behavior."""
+    try:
+        with jax.enable_x64(True):
+            x, dainv = _exact_tail_prog(
+                jnp.asarray(u3_64), jnp.asarray(sb_64), jnp.asarray(so2_64),
+                jnp.asarray(d64), jnp.float64(kappa))
+            x = np.asarray(x, np.float64)
+            dainv = np.asarray(dainv, np.float64)
+    except Exception as e:  # backend capability failure, not a math error
+        print(f"oi_full: device exact tail unavailable "
+              f"({type(e).__name__}); using the host f64 direct solve")
+        return None, None
+    if not (np.all(np.isfinite(x)) and np.all(np.isfinite(dainv))):
+        return None, None
+    return x, dainv
 
 
 def _sampled_resid_f64(u3_64, sb_64, so2_64, x64, d64, kappa: float,
@@ -1007,43 +1137,68 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
     if use_nystrom:
         k = nystrom_k or min(2048, n // 4)
         k = max(LANES, int(np.ceil(k / LANES)) * LANES)
-        nys_u, nys_lam = _nystrom_factor(u3, sigma_b, jax.random.key(0), k,
-                                         float(length_scale_km), block,
-                                         mesh=mesh)
-        so2_min = float(np.min(so2_np[valid]))
-        c2 = jnp.maximum(jnp.float32(so2_min),
-                         4.0 * jnp.float32(1.2e-7) * nys_lam[-1])
-        dcap = np.asarray(jnp.sum(nys_u * nys_u * nys_lam[None, :], axis=1),
-                          np.float64)  # diag of the sketched prior
-        dtail = np.maximum(bd - dcap, 0.0)
-        dcomp = jnp.asarray(dtail + so2_np, jnp.float32)
-        # innovation solve only — the posterior diagonal needs no probe
-        # columns here (Woodbury on the same factor, below); pad the
-        # single column to the f32 sublane count (8), NOT to LANES: zero
-        # columns start converged but still ride every CG matmul, and a
-        # 128-wide pad was measured spending 16x the flops of the solve
         f64_resid = None
         applied = 0
         solver = "pcg_f32"
         kappa = (EARTH_RADIUS_KM / float(length_scale_km)) ** 2
         direct = None
+        dainv = None
         if refine == "auto" and n <= REFINE_MAX_CELLS:
-            # Production-size months take the EXACT host f64 direct solve:
-            # at monthly-average conditioning (cond(A) ~ 1e7-1e9) any
+            # Production-size months take the EXACT direct solve: at
+            # monthly-average conditioning (cond(A) ~ 1e7-1e9) any
             # f32-matvec inner solver — PCG or iterative refinement —
             # stalls orders above the posterior-std significance line
             # (measured: IR froze at 4.6e-3 relative true residual on the
-            # bench month), while dpotrf at n ~ 10k costs ~9 s on this
-            # host and lands at the f64 backward-error floor.
+            # bench month).  The tail runs ON DEVICE in emulated f64
+            # (~49-bit mantissa) with the host-f64 row-sampled residual
+            # as the acceptance gate; the round-4 host dpotrf path
+            # (~9 s at n ~ 10k on this 1-core host) is the fallback when
+            # the backend cannot run or fails the gate.  Either factor
+            # also yields diag(A^-1), making the posterior diagonal and
+            # AK EXACT (no Nystrom sketch is built on this path at all).
             u3_64 = _sphere_points(lat, lon)
-            direct = _direct_solve_f64(u3_64, sb_f64, so2_np, d64, kappa)
+            if _exact_device_wanted():
+                direct, dainv = _exact_tail_device(u3_64, sb_f64, so2_np,
+                                                   d64, kappa)
+                if direct is not None:
+                    f64_resid = _sampled_resid_f64(u3_64, sb_f64, so2_np,
+                                                   direct, d64, kappa)
+                    if f64_resid > DEVICE_EXACT_RESID_GATE:
+                        print(f"oi_full: device exact tail failed the "
+                              f"residual gate ({f64_resid:.2e} > "
+                              f"{DEVICE_EXACT_RESID_GATE:.0e}); re-solving "
+                              f"on host")
+                        direct = dainv = None
+                    else:
+                        solver = "direct_f64_dev"
+            if direct is None:
+                direct, dainv = _direct_solve_f64(u3_64, sb_f64, so2_np,
+                                                  d64, kappa, want_diag=True)
+                if direct is not None:
+                    f64_resid = _sampled_resid_f64(u3_64, sb_f64, so2_np,
+                                                   direct, d64, kappa)
+                    solver = "direct_f64"
         if direct is not None:
             x64 = direct
-            f64_resid = _sampled_resid_f64(u3_64, sb_f64, so2_np, x64, d64,
-                                           kappa)
             resid_max = f64_resid
-            solver = "direct_f64"
         else:
+            nys_u, nys_lam = _nystrom_factor(u3, sigma_b, jax.random.key(0),
+                                             k, float(length_scale_km),
+                                             block, mesh=mesh)
+            so2_min = float(np.min(so2_np[valid]))
+            c2 = jnp.maximum(jnp.float32(so2_min),
+                             4.0 * jnp.float32(1.2e-7) * nys_lam[-1])
+            dcap = np.asarray(
+                jnp.sum(nys_u * nys_u * nys_lam[None, :], axis=1),
+                np.float64)  # diag of the sketched prior
+            dtail = np.maximum(bd - dcap, 0.0)
+            dcomp = jnp.asarray(dtail + so2_np, jnp.float32)
+            # innovation solve only — the posterior diagonal needs no probe
+            # columns here (Woodbury on the same factor, below); pad the
+            # single column to the f32 sublane count (8), NOT to LANES:
+            # zero columns start converged but still ride every CG matmul,
+            # and a 128-wide pad was measured spending 16x the flops of
+            # the solve
             rhs = jnp.zeros((n, 8), jnp.float32).at[:, 0].set(innov)
             x, iters, resid = _pcg_solve_nystrom(
                 u3, sigma_b, sigma_o2, rhs, nys_u, nys_lam, c2, dcomp,
@@ -1100,51 +1255,67 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
         # sweep and adds no f32 matvec noise of its own.
         increment = d64 - so2_np * x64
 
-        # Posterior diagonal from the Nystrom factor itself, exact for
-        # the sketched prior B^ = U diag(lam) U^T in EVERY noise regime
-        # (the B - B A^-1 B probing form loses all significance when
-        # sigma_o << sigma_b — Sb ~ so^2 emerges as the difference of two
-        # O(diag B) quantities; the R - R A^-1 R form cancels in the
-        # opposite regime; diag(U S U^T) with S = (lam^-1 + U^T R^-1 U)^-1
-        # cancels in neither, and carries no probe cross-term noise):
-        #   S = lam^1/2 (I + lam^1/2 W lam^1/2)^-1 lam^1/2,  W = U^T R^-1 U
-        # The k x k Cholesky runs in float64 on the host — the inner
-        # matrix conditioning tracks cond(A) ~ 1e7, past f32's reach.
-        # Prior variance the k modes miss (dtail = diag B - diag B^) is
-        # closed per-cell as an independent scalar-OI remainder: those
-        # tail modes are nearly unfiltered by the analysis, contributing
-        # dtail * so^2 / (dtail + so^2) each.
-        w_small = np.asarray(
-            jax.lax.dot_general(nys_u, nys_u / sigma_o2[:, None],
-                                (((0,), (0,)), ((), ())),
-                                precision=jax.lax.Precision.HIGHEST),
-            np.float64)
-        w_small = 0.5 * (w_small + w_small.T)  # f32 matmul asymmetry
-        lam64 = np.asarray(nys_lam, np.float64)
-        lam_sqrt = np.sqrt(lam64)
-        t_mat = np.eye(k) + lam_sqrt[:, None] * w_small * lam_sqrt[None, :]
-        import scipy.linalg as _sla
-        try:
-            lt = _sla.cholesky(t_mat, lower=True)
-            m_right = _sla.solve_triangular(
-                lt, np.diag(lam_sqrt), lower=True).T  # lam^1/2 Lt^-T (k, k)
-        except np.linalg.LinAlgError:
-            # t_mat = I + PSD is PD in exact arithmetic; f32 noise in W can
-            # in principle tip a near-null direction negative.  Eigen-clip
-            # fallback: S^1/2 = lam^1/2 Q max(th, 1)^-1/2 (eigenvalues of
-            # I + PSD are >= 1 exactly, so 1 is the clip floor — NOT 0,
-            # which would divide by zero on a clipped direction) keeps the
-            # production month alive instead of crashing it.
-            th, q = np.linalg.eigh(t_mat)
-            m_right = (lam_sqrt[:, None] * q) / np.sqrt(np.maximum(th, 1.0))
-        v_cols = jax.lax.dot_general(
-            nys_u, jnp.asarray(m_right, jnp.float32),
-            (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST)
-        sb_diag = np.asarray(jnp.sum(v_cols * v_cols, axis=1), np.float64)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            sb_diag = sb_diag + np.where(dtail > 0,
-                                         dtail * so2_np / (dtail + so2_np),
-                                         0.0)
+        if dainv is not None:
+            # EXACT posterior diagonal from the direct factor (device or
+            # host): diag(Sb) = so^2 - so^4 diag(A^-1) — see
+            # :func:`_exact_sb_diag`.  AK downstream is then exact too.
+            sb_diag = _exact_sb_diag(so2_np, dainv, bd)
+        elif direct is not None:
+            # pathological corner: the host triangular inversion failed
+            # after a successful factorization.  No sketch exists on the
+            # direct path; close the diagonal with the per-cell scalar-OI
+            # value (a documented estimate, flagged via exact_diag=False).
+            sb_diag = np.where(bd + so2_np > 0,
+                               bd * so2_np / (bd + so2_np), 0.0)
+        else:
+            # Posterior diagonal from the Nystrom factor itself, exact for
+            # the sketched prior B^ = U diag(lam) U^T in EVERY noise regime
+            # (the B - B A^-1 B probing form loses all significance when
+            # sigma_o << sigma_b — Sb ~ so^2 emerges as the difference of
+            # two O(diag B) quantities; the R - R A^-1 R form cancels in
+            # the opposite regime; diag(U S U^T) with
+            # S = (lam^-1 + U^T R^-1 U)^-1 cancels in neither, and carries
+            # no probe cross-term noise):
+            #   S = lam^1/2 (I + lam^1/2 W lam^1/2)^-1 lam^1/2,
+            #   W = U^T R^-1 U
+            # The k x k Cholesky runs in float64 on the host — the inner
+            # matrix conditioning tracks cond(A) ~ 1e7, past f32's reach.
+            # Prior variance the k modes miss (dtail = diag B - diag B^)
+            # is closed per-cell as an independent scalar-OI remainder:
+            # those tail modes are nearly unfiltered by the analysis,
+            # contributing dtail * so^2 / (dtail + so^2) each.
+            w_small = np.asarray(
+                jax.lax.dot_general(nys_u, nys_u / sigma_o2[:, None],
+                                    (((0,), (0,)), ((), ())),
+                                    precision=jax.lax.Precision.HIGHEST),
+                np.float64)
+            w_small = 0.5 * (w_small + w_small.T)  # f32 matmul asymmetry
+            lam64 = np.asarray(nys_lam, np.float64)
+            lam_sqrt = np.sqrt(lam64)
+            t_mat = np.eye(k) + lam_sqrt[:, None] * w_small * lam_sqrt[None, :]
+            import scipy.linalg as _sla
+            try:
+                lt = _sla.cholesky(t_mat, lower=True)
+                m_right = _sla.solve_triangular(
+                    lt, np.diag(lam_sqrt), lower=True).T  # lam^1/2 Lt^-T
+            except np.linalg.LinAlgError:
+                # t_mat = I + PSD is PD in exact arithmetic; f32 noise in W
+                # can in principle tip a near-null direction negative.
+                # Eigen-clip fallback: S^1/2 = lam^1/2 Q max(th, 1)^-1/2
+                # (eigenvalues of I + PSD are >= 1 exactly, so 1 is the
+                # clip floor — NOT 0, which would divide by zero on a
+                # clipped direction) keeps the production month alive
+                # instead of crashing it.
+                th, q = np.linalg.eigh(t_mat)
+                m_right = (lam_sqrt[:, None] * q) / np.sqrt(np.maximum(th, 1.0))
+            v_cols = jax.lax.dot_general(
+                nys_u, jnp.asarray(m_right, jnp.float32),
+                (((1,), (0,)), ((), ())), precision=jax.lax.Precision.HIGHEST)
+            sb_diag = np.asarray(jnp.sum(v_cols * v_cols, axis=1), np.float64)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                sb_diag = sb_diag + np.where(dtail > 0,
+                                             dtail * so2_np / (dtail + so2_np),
+                                             0.0)
         ncolors = 0
         nchunks = 0
         nreps = 0
@@ -1223,12 +1394,19 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
     with np.errstate(invalid="ignore", divide="ignore"):
         ak = 1.0 - sb_diag / bd
     err = np.sqrt(np.maximum(sb_diag, 0.0))
+    direct_ran = use_nystrom and solver.startswith("direct")
     info = {"cg_iters": iters_total, "cg_resid": resid_max,
             "ncolors": ncolors, "nchunks": nchunks,
             "nreps": nreps,
-            "precond": f"nystrom(k={k})" if use_nystrom else "jacobi",
+            "precond": ("direct" if direct_ran
+                        else f"nystrom(k={k})" if use_nystrom else "jacobi"),
             "solver": (solver + ("+ir" if applied else "")) if use_nystrom
                       else "pcg_f32",
+            # True when the posterior diagonal (and hence err/AK) is the
+            # EXACT diag(B - B A^-1 B) from the direct factor, not the
+            # Nystrom tail-closure / colored-probing estimate
+            "exact_diag": bool(use_nystrom and direct_ran
+                               and dainv is not None),
             "refine_passes": applied if use_nystrom else 0,
             "f64_resid": f64_resid if use_nystrom else None,
             # absolute error bound on increment/xb: ||inc - inc_true|| =
@@ -1338,12 +1516,35 @@ def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: floa
         kappa = (EARTH_RADIUS_KM / float(length_scale_km)) ** 2
         u3_64 = _sphere_points(np.asarray(lat2d, np.float64).ravel()[idx],
                                np.asarray(lon2d, np.float64).ravel()[idx])
-        x64 = _direct_solve_f64(u3_64, sbv, sov ** 2, d64, kappa)
+        x64 = dainv = None
+        how = "direct_f64"
+        if _exact_device_wanted():
+            x64, dainv = _exact_tail_device(u3_64, sbv, sov ** 2, d64, kappa)
+            if x64 is not None:
+                rr = _sampled_resid_f64(u3_64, sbv, sov ** 2, x64, d64, kappa)
+                if rr > DEVICE_EXACT_RESID_GATE:
+                    x64 = dainv = None
+                else:
+                    how = "direct_f64_dev"
+        if x64 is None:
+            x64, dainv = _direct_solve_f64(u3_64, sbv, sov ** 2, d64, kappa,
+                                           want_diag=True)
         if x64 is not None:
             inc64 = d64 - sov ** 2 * x64
             inc_v = np.concatenate([inc64, np.zeros(npad - n)])
             xb_v = np.concatenate([xav + inc64, np.zeros(npad - n)])
-            info = {"solver": "dense+direct_f64", "reg": r_chosen}
+            info = {"solver": "dense+" + how, "reg": r_chosen,
+                    "exact_diag": dainv is not None}
+            if dainv is not None:
+                # the f32 dense diagonal shares the representation wall
+                # with the increment — replace err/AK with the exact
+                # values from the same factor (diag(Sb) in the solver's
+                # normalized units like err_v; AK is scale-invariant)
+                sbd = _exact_sb_diag(sov ** 2, dainv, sbv ** 2)
+                err_v = np.concatenate([np.sqrt(sbd), np.zeros(npad - n)])
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    akx = 1.0 - sbd / (sbv ** 2)
+                ak_v = np.concatenate([akx, np.full(npad - n, np.nan)])
 
     def scatter(v, s=1.0):
         out = np.full(xa.size, np.nan)

@@ -414,14 +414,25 @@ def test_matfree_nystrom_tight_obs_converges():
     xb, ak, inc, err, info = oi_full_matfree(
         xa, y, sb, so, lat.ravel(), lon.ravel(), 300.0, block=512,
         precond="nystrom", nystrom_k=256)
-    assert info["precond"].startswith("nystrom")
+    # production sizes route the exact direct tail (device or host f64)
+    assert info["precond"] == "direct" and info["exact_diag"]
     assert info["cg_resid"] < 1e-3
     rms = np.sqrt(np.mean((inc - inc_t) ** 2)) / np.sqrt(np.mean(inc_t ** 2))
     assert rms < 0.05
     np.testing.assert_allclose(ak, ak_t, atol=2e-4)
-    # err is the tail-closure estimate: right order, bounded by the prior
-    assert (err >= 0).all() and (err <= sb * (1 + 1e-6)).all()
-    assert np.median(err) < 5 * np.median(np.sqrt(np.maximum(sb**2 - Sb_t, 0)))
+    # the posterior diagonal is now EXACT (diag(Sb) = so2 - so4 diag(A^-1))
+    np.testing.assert_allclose(err, np.sqrt(np.maximum(sb**2 - Sb_t, 0)),
+                               rtol=1e-6, atol=1e-10)
+
+    # the PCG + Woodbury machinery (the beyond-REFINE_MAX path) must still
+    # deliver the documented estimates when refinement is pinned off
+    xb2, ak2, inc2, err2, info2 = oi_full_matfree(
+        xa, y, sb, so, lat.ravel(), lon.ravel(), 300.0, block=512,
+        precond="nystrom", nystrom_k=256, refine=0)
+    assert info2["precond"].startswith("nystrom") and not info2["exact_diag"]
+    np.testing.assert_allclose(ak2, ak_t, atol=2e-4)
+    assert (err2 >= 0).all() and (err2 <= sb * (1 + 1e-6)).all()
+    assert np.median(err2) < 5 * np.median(np.sqrt(np.maximum(sb**2 - Sb_t, 0)))
 
 
 def test_matfree_nystrom_auto_threshold():
@@ -434,10 +445,12 @@ def test_matfree_nystrom_auto_threshold():
         xa.ravel(), y.ravel(), sigb.ravel(), sigo.ravel(),
         lat.ravel(), lon.ravel(), 300.0, block=128)
     assert info["precond"] == "jacobi"
+    # refine=0 pins the iterative path so the preconditioner choice shows
+    # (refine="auto" takes the exact direct tail at this size)
     _, _, _, _, info = mod.oi_full_matfree(
         xa.ravel(), y.ravel(), sigb.ravel(), sigo.ravel(),
         lat.ravel(), lon.ravel(), 300.0, block=128, precond="nystrom",
-        nystrom_k=128)
+        nystrom_k=128, refine=0)
     assert info["precond"] == "nystrom(k=128)"
 
 
@@ -453,7 +466,9 @@ def test_matfree_nystrom_cholesky_fallback(monkeypatch):
     xa, y, sigb, sigo, lat, lon = _random_domain(H, W, seed=7)
     args = (xa.ravel(), y.ravel(), sigb.ravel(), sigo.ravel(),
             lat.ravel(), lon.ravel(), 300.0)
-    kw = dict(block=128, precond="nystrom", nystrom_k=128)
+    # refine=0 pins the PCG + Woodbury path (refine="auto" would take the
+    # exact direct tail, which never touches this Cholesky)
+    kw = dict(block=128, precond="nystrom", nystrom_k=128, refine=0)
     _, ak_ref, inc_ref, err_ref, _ = oi_full_matfree(*args, **kw)
 
     real_chol = scipy.linalg.cholesky
@@ -539,11 +554,74 @@ def test_matfree_direct_f64_exact_at_production_size():
     _, _, inc, _, info = oi_full_matfree(
         xa, y, sb, so, lat.ravel(), lon.ravel(), 300.0, block=128,
         precond="nystrom", nystrom_k=256)
-    assert info["solver"] == "direct_f64"
+    # default: the DEVICE exact tail (true f64 on the CPU backend)
+    assert info["solver"] == "direct_f64_dev" and info["exact_diag"]
     # row-sampled f64 residual estimate: f64 backward-error floor
     assert info["f64_resid"] == info["cg_resid"] < 1e-7
     rms = np.sqrt(np.mean((inc - inc_t) ** 2)) / np.sqrt(np.mean(inc_t ** 2))
     assert rms < 1e-6
+
+
+def test_matfree_direct_host_fallback_exact(monkeypatch):
+    """OISAT_EXACT_DEVICE=0 (and any device-exact failure) falls back to
+    the host f64 direct solve, which must now also deliver the EXACT
+    posterior diagonal/AK from its own factor (dtrtri route)."""
+    from oisat_tpu.ops.oi_full import oi_full_matfree
+
+    H, W = 16, 32
+    rng = np.random.default_rng(5)
+    lon, lat = np.meshgrid(np.linspace(-3, 3, W), np.linspace(38, 44, H))
+    xa = np.abs(rng.normal(0.8, 0.1, (H, W))).ravel()
+    y = (xa.reshape(H, W) * rng.uniform(0.9, 1.2, (H, W))).ravel()
+    sb = 0.5 * xa
+    so = np.full(H * W, 0.5 / 300.0 * 0.8)
+
+    latr, lonr = np.deg2rad(lat.ravel()), np.deg2rad(lon.ravel())
+    u3 = np.stack([np.cos(latr) * np.cos(lonr),
+                   np.cos(latr) * np.sin(lonr), np.sin(latr)], 1)
+    kappa = (6371.0 / 300.0) ** 2
+    B = sb[:, None] * np.exp(kappa * ((u3 @ u3.T) - 1.0)) * sb[None, :]
+    A = B + np.diag(so ** 2)
+    inc_t = B @ np.linalg.solve(A, y - xa)
+    Sb_t = np.einsum("ij,ji->i", B, np.linalg.solve(A, B))
+    err_t = np.sqrt(np.maximum(sb ** 2 - Sb_t, 0.0))
+
+    monkeypatch.setenv("OISAT_EXACT_DEVICE", "0")
+    _, ak, inc, err, info = oi_full_matfree(
+        xa, y, sb, so, lat.ravel(), lon.ravel(), 300.0, block=128,
+        precond="nystrom", nystrom_k=256)
+    assert info["solver"] == "direct_f64" and info["exact_diag"]
+    rms = np.sqrt(np.mean((inc - inc_t) ** 2)) / np.sqrt(np.mean(inc_t ** 2))
+    assert rms < 1e-6
+    np.testing.assert_allclose(err, err_t, rtol=1e-6, atol=1e-10)
+    np.testing.assert_allclose(ak, 1.0 - (sb**2 - Sb_t) / sb**2,
+                               rtol=1e-6, atol=1e-8)
+
+
+def test_matfree_device_exact_gate_falls_back(monkeypatch):
+    """A device exact tail that fails the host-f64 row-sampled residual
+    gate must be DISCARDED in favor of the host direct solve (the
+    VERDICT-mandated acceptance bar for emulated-f64 precision)."""
+    import oisat_tpu.ops.oi_full as mod
+
+    H, W = 16, 32
+    rng = np.random.default_rng(5)
+    lon, lat = np.meshgrid(np.linspace(-3, 3, W), np.linspace(38, 44, H))
+    xa = np.abs(rng.normal(0.8, 0.1, (H, W))).ravel()
+    y = (xa.reshape(H, W) * rng.uniform(0.9, 1.2, (H, W))).ravel()
+    sb = 0.5 * xa
+    so = np.full(H * W, 0.5 / 300.0 * 0.8)
+
+    def corrupted(u3_64, sb_64, so2_64, d64, kappa):
+        n = u3_64.shape[0]
+        return np.ones(n), np.ones(n)  # garbage "solution"
+
+    monkeypatch.setattr(mod, "_exact_tail_device", corrupted)
+    _, _, inc, err, info = mod.oi_full_matfree(
+        xa, y, sb, so, lat.ravel(), lon.ravel(), 300.0, block=128,
+        precond="nystrom", nystrom_k=256)
+    assert info["solver"] == "direct_f64"  # gate rejected the device x
+    assert info["exact_diag"] and info["f64_resid"] < 1e-7
 
 
 def test_dense_path_exact_recompute_at_tight_conditioning():
@@ -571,10 +649,21 @@ def test_dense_path_exact_recompute_at_tight_conditioning():
                                 (y - xa).ravel())
 
     res = oi_full(xa, y, sb, so, lat2, lon2, 300.0, regularization_on=False)
-    assert res.info is not None and res.info["solver"] == "dense+direct_f64"
+    assert res.info is not None
+    assert res.info["solver"].startswith("dense+direct_f64")
+    assert res.info["exact_diag"]
     rms = (np.sqrt(np.mean((res.increment.ravel() - inc_t) ** 2))
            / np.sqrt(np.mean(inc_t ** 2)))
     assert rms < 1e-6
+    # err/AK replaced with the EXACT values from the same factor
+    Sb_t = np.einsum("ij,ji->i", B,
+                     np.linalg.solve(B + np.diag(so.ravel() ** 2), B))
+    err_t = np.sqrt(np.maximum(sb.ravel() ** 2 - Sb_t, 0.0))
+    np.testing.assert_allclose(res.error.ravel(), err_t, rtol=1e-6,
+                               atol=1e-10)
+    np.testing.assert_allclose(res.averaging_kernel.ravel(),
+                               1.0 - (sb.ravel() ** 2 - Sb_t) / sb.ravel() ** 2,
+                               rtol=1e-6, atol=1e-8)
 
     # mild conditioning keeps the pure device path (no host recompute)
     res2 = oi_full(xa, y, sb, np.full((H, W), 0.4), lat2, lon2, 300.0)
