@@ -18,27 +18,68 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
-from job import load_control, run_month  # noqa: E402
+from job import load_control, read_month, run_month  # noqa: E402
 from job_submitter import month_list  # noqa: E402
 
 from oisat_tpu.utils.profiling import log, report, stage  # noqa: E402
 
 
-def run_campaign(ctrl, retries: int = 1):
+def run_campaign(ctrl, retries: int = 1, prefetch=None):
+    """Sweep months; with ``prefetch`` (control key ``campaign_prefetch``,
+    default on for non-TEMPO sensors) month k+1's ``read_data`` — file IO,
+    granule regrid dispatches and their H2D submits — runs in ONE
+    background thread while month k's host tail (report + nc write)
+    executes, via run_month's ``before_tail`` hook.  Months are
+    independent (the reference fans them out as separate scheduler jobs),
+    so the overlap cannot change results; reads never overlap each other
+    (at most one prefetch thread), preserving ``num_job`` semantics
+    within each read.  A failed prefetch falls back to an inline read on
+    the month's own attempt (and its retry path always reads inline)."""
     months = month_list(ctrl["start_date"], ctrl["end_date"])
+    if prefetch is None:
+        prefetch = bool(ctrl.get("campaign_prefetch", True))
+    prefetch = prefetch and ctrl.get("sensor") != "TEMPO"
+    ex = None
+    pending = {}
+    if prefetch and len(months) > 1:
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=1)
+
+    def _kick(ym):
+        def kick():
+            if ex is not None and ym is not None and ym not in pending:
+                pending[ym] = ex.submit(read_month, ctrl, *ym)
+        return kick
+
     failed = []
-    for year, month in months:
-        for attempt in range(retries + 1):
-            try:
-                with stage("month", year=year, month=month):
-                    run_month(ctrl, year, month)
-                log("month done", year=year, month=month)
-                break
-            except Exception:
-                traceback.print_exc()
-                if attempt == retries:
-                    failed.append((year, month))
-                    log("month FAILED after retries", year=year, month=month)
+    try:
+        for i, (year, month) in enumerate(months):
+            nxt = months[i + 1] if i + 1 < len(months) else None
+            for attempt in range(retries + 1):
+                try:
+                    pre = None
+                    fut = pending.pop((year, month), None)
+                    if fut is not None and attempt == 0:
+                        try:
+                            pre = fut.result()
+                        except Exception:
+                            traceback.print_exc()
+                            log("prefetch failed; reading inline",
+                                year=year, month=month)
+                    with stage("month", year=year, month=month):
+                        run_month(ctrl, year, month, pre_read=pre,
+                                  before_tail=_kick(nxt))
+                    log("month done", year=year, month=month)
+                    break
+                except Exception:
+                    traceback.print_exc()
+                    if attempt == retries:
+                        failed.append((year, month))
+                        log("month FAILED after retries", year=year, month=month)
+    finally:
+        if ex is not None:
+            ex.shutdown(wait=True)
     log("campaign finished", months=len(months), failed=failed)
     print(report())
     return failed

@@ -59,11 +59,13 @@ def month_window(year: int, month: int):
     return start, end
 
 
-def run_month(ctrl, year: int, month: int):
-    # explicit off-switch for the default-on native fast-swath weight
-    # builder: bit-match the reference's qhull/cKDTree regrid path.  Set
-    # both ways so a parity month cannot leak into later months of a
-    # long-lived process.
+def _month_env_setup(ctrl):
+    """Process-wide pins shared by run_month and the campaign prefetch:
+    parity / device-granule env switches (deliberately process-wide so a
+    parity month cannot leak into later months of a long-lived process)
+    and the ambient regrid mesh.  Idempotent for a fixed ctrl — the
+    campaign prefetch relies on that (it re-pins for month k+1 while
+    month k's tail still runs under the SAME control file)."""
     import os
 
     os.environ["OISAT_PARITY"] = "1" if ctrl.get("parity") else "0"
@@ -78,6 +80,43 @@ def run_month(ctrl, year: int, month: int):
     from oisat_tpu.regridder import set_regrid_mesh
 
     set_regrid_mesh(mesh)
+    return mesh
+
+
+def read_month(ctrl, year: int, month: int):
+    """Reader construction + read_data (which regrids: granule device
+    programs dispatch and H2D submits happen here) for one non-TEMPO
+    month.  The campaign prefetch seam: calling this for month k+1 while
+    month k's host tail (report, nc write) runs overlaps the link-bound
+    submits with otherwise link-idle host work.  Returns the session
+    object ready for :func:`_analyze`."""
+    _month_env_setup(ctrl)
+    ctm_name = ctrl["ctm_name"]
+    read_ak = "False" if ctm_name == "FREE" else ctrl["read_AK"]
+    gas = ctrl["gas"]
+    sensor = ctrl["sensor"]
+    if sensor == "TEMPO":
+        raise ValueError("TEMPO months read per-hour inside run_month; "
+                         "prefetch is not applicable")
+    common = dict(
+        averaging=ctrl["ctm_avg"], read_ak=read_ak, trop=ctrl["troposphere_only"],
+        num_job=int(ctrl["num_job"]), mcip_dir=Path(ctrl.get("mcip_dir") or "."),
+    )
+    obj = oisatgmi()
+    obj.read_data(ctm_name, Path(ctrl["ctm_dir"]), gas, ctrl["ctm_freq"],
+                  sensor + "_" + gas, Path(ctrl["sat_dir"]), f"{year}{month:02}",
+                  **common)
+    return obj
+
+
+def run_month(ctrl, year: int, month: int, pre_read=None, before_tail=None):
+    """One month end-to-end.  ``pre_read``: a session object from
+    :func:`read_month` (campaign prefetch) — skips the read.
+    ``before_tail``: zero-arg callable invoked after the analysis, before
+    the host tail (report + nc write) — the campaign uses it to launch
+    month k+1's read in its prefetch thread so the tail and the next
+    read overlap."""
+    mesh = _month_env_setup(ctrl)
     ctm_name = ctrl["ctm_name"]
     read_ak = "False" if ctm_name == "FREE" else ctrl["read_AK"]
     gas = ctrl["gas"]
@@ -106,11 +145,16 @@ def run_month(ctrl, year: int, month: int):
                 print(f"Error processing hour {hour}: {e}")
         return
 
-    obj = oisatgmi()
-    obj.read_data(ctm_name, Path(ctrl["ctm_dir"]), gas, ctrl["ctm_freq"],
-                  sensor + "_" + gas, Path(ctrl["sat_dir"]), f"{year}{month:02}", **common)
+    if pre_read is not None:
+        obj = pre_read
+    else:
+        obj = oisatgmi()
+        obj.read_data(ctm_name, Path(ctrl["ctm_dir"]), gas, ctrl["ctm_freq"],
+                      sensor + "_" + gas, Path(ctrl["sat_dir"]), f"{year}{month:02}", **common)
     _analyze(obj, ctrl, sensor, gas, start, end,
              savedaily=(ctrl["output_nc_dir"], f"{year}_{month:02}"), mesh=mesh)
+    if before_tail is not None:
+        before_tail()
     tag = f"{gas}_{year}{month:02}"
     obj.reporting(tag, gas, ctrl["output_pdf_dir"])
     obj.write_to_nc(tag, ctrl["output_nc_dir"])

@@ -422,3 +422,50 @@ def test_run_campaign_sweeps_months_with_retry(tmp_path, monkeypatch):
     assert failed == [(2019, 8)]
     assert (tmp_path / "diag" / "NO2_201907.nc").exists()
     assert not (tmp_path / "diag" / "NO2_201908.nc").exists()
+
+
+def test_run_campaign_prefetch_mechanism(monkeypatch):
+    """With campaign_prefetch (default on), month k+1's read runs in the
+    background thread during month k's tail and arrives as pre_read;
+    prefetch=False and TEMPO keep every read inline."""
+    import importlib.util
+    import threading
+
+    spec = importlib.util.spec_from_file_location(
+        "run_campaign_mod2",
+        os.path.join(os.path.dirname(__file__), "..", "run", "campaign.py"))
+    camp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(camp)
+
+    ctrl = {"start_date": "2019-07", "end_date": "2019-09", "sensor": "OMI"}
+    events = []
+
+    def fake_read(c, y, m):
+        events.append(("read", y, m,
+                       threading.current_thread() is not threading.main_thread()))
+        return f"obj-{y}{m:02}"
+
+    def fake_run(c, y, m, pre_read=None, before_tail=None):
+        events.append(("run", y, m, pre_read))
+        if before_tail is not None:
+            before_tail()
+
+    monkeypatch.setattr(camp, "read_month", fake_read)
+    monkeypatch.setattr(camp, "run_month", fake_run)
+    assert camp.run_campaign(dict(ctrl)) == []
+    runs = [e for e in events if e[0] == "run"]
+    assert [r[1:] for r in runs] == [
+        (2019, 7, None), (2019, 8, "obj-201908"), (2019, 9, "obj-201909")]
+    # every prefetched read happened off the main thread
+    reads = [e for e in events if e[0] == "read"]
+    assert len(reads) == 2 and all(bg for (_, _, _, bg) in reads)
+
+    events.clear()
+    assert camp.run_campaign(dict(ctrl), prefetch=False) == []
+    assert all(e[3] is None for e in events if e[0] == "run")
+    assert not [e for e in events if e[0] == "read"]
+
+    events.clear()
+    tempo = dict(ctrl, sensor="TEMPO", campaign_prefetch=True)
+    assert camp.run_campaign(tempo) == []
+    assert all(e[3] is None for e in events if e[0] == "run")
