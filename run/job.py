@@ -109,13 +109,16 @@ def read_month(ctrl, year: int, month: int):
     return obj
 
 
-def run_month(ctrl, year: int, month: int, pre_read=None, before_tail=None):
+def run_month(ctrl, year: int, month: int, pre_read=None, before_tail=None,
+              on_hour=None):
     """One month end-to-end.  ``pre_read``: a session object from
     :func:`read_month` (campaign prefetch) — skips the read.
     ``before_tail``: zero-arg callable invoked after the analysis, before
     the host tail (report + nc write) — the campaign uses it to launch
     month k+1's read in its prefetch thread so the tail and the next
-    read overlap."""
+    read overlap.  ``on_hour``: TEMPO only — called with each UTC hour
+    before that hour's sub-pipeline (bench.py's compile-census phase
+    marker)."""
     mesh = _month_env_setup(ctrl)
     ctm_name = ctrl["ctm_name"]
     read_ak = "False" if ctm_name == "FREE" else ctrl["read_AK"]
@@ -129,6 +132,8 @@ def run_month(ctrl, year: int, month: int, pre_read=None, before_tail=None):
 
     if sensor == "TEMPO":
         for hour in range(0, 24):
+            if on_hour is not None:
+                on_hour(hour)  # bench/census seam: phase marker per hour
             try:
                 obj = oisatgmi()
                 obj.read_data(ctm_name, Path(ctrl["ctm_dir"]), gas, ctrl["ctm_freq"],
