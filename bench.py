@@ -647,7 +647,13 @@ def bench_oi_bandwidth(H=6144, W=12288):
 
     fields = make_dev(jax.random.key(0))
     np.asarray(fields[0][0, :8])  # settle the generator program
-    step = jax.jit(lambda a, b, c, d: oi(a, b, c, d))
+    # regularization OFF: the pure Kalman update genuinely moves ~32 B/cell
+    # (one read of each input, one write of each output); the 99-factor
+    # curve scan would re-stream sa/so from HBM per factor at this size
+    # (they cannot stay VMEM-resident at 300 MB each), making the traffic
+    # model — and hence pct_of_hbm_peak — wrong by ~50x
+    step = jax.jit(lambda a, b, c, d: oi(a, b, c, d,
+                                         regularization_on=False))
     out = step(*fields)
     np.asarray(out.xb[0, :8])  # compile + settle (slice pull: 300 MB field)
 
@@ -663,8 +669,11 @@ def bench_oi_bandwidth(H=6144, W=12288):
               "tpu_ms_spread": [round(t * 1e3, 2) for t in ts],
               "roofline": {"model": "32 B/cell minimal HBM traffic",
                            "achieved_gbps": gbps, "pct_of_hbm_peak": pct},
-              "note": "fields generated on device; dispatch floor ~1.8 ms "
-                      "(see the 4.1M-cell headline row) is minor here"})
+              "note": "regularization off (pure Kalman update; the "
+                      "99-factor scan would re-stream inputs per factor "
+                      "at this size, breaking the 32 B/cell model); "
+                      "fields generated on device; dispatch floor "
+                      "~1.8 ms is minor here"})
 
 
 # ---- job-level sensor-family rows (VERDICT r4 item 5) ----------------------
@@ -694,9 +703,7 @@ def _write_bench_gmi_pair(met_path, gas_path, yyyymm, day, nt=8, nz=20,
             (nt, 1, nlat, nlon))
         f["PL"] = (eta_a[None, :, None, None]
                    + eta_b[None, :, None, None] * ps).astype(np.float32)
-    import h5py as _h
-
-    with _h.File(gas_path, "w") as f:
+    with h5py.File(gas_path, "w") as f:
         f[gas] = np.full((nt, nz, nlat, nlon), 2e-9, np.float32)
 
 

@@ -791,49 +791,107 @@ def _direct_solve_f64(u3_64, sb_64, so2_64, d64, kappa: float,
         return None, None
     if not want_diag:
         return x, None
-    return x, _diag_ainv_from_factor(c[0])
+    return x, _diag_pack_from_factor(c[0], so2_64)
 
 
-def _diag_ainv_from_factor(l_lower):
-    """``diag(A^-1)`` from a lower Cholesky factor L of A:
-    ``diag(A^-1)_j = sum_i (L^-1)_{ij}^2`` (squared column norms of the
-    triangular inverse).  dtrtri inverts IN PLACE (n^3/3) and leaves the
-    upper triangle as factorization garbage — the column sums mask it
-    block-wise instead of materializing ``tril`` (an (n, n) f64 copy
-    costs ~13 s of memory traffic on this host).  Returns None if the
-    triangular inversion reports a singular diagonal (impossible for a
-    PD factor short of pathological input)."""
+def _diag_pack_from_factor(l_lower, so2_64, blk: int = 512):
+    """``(diag(A^-1), diag(B A^-1 B))`` from a lower Cholesky factor L.
+
+    ``diag(A^-1)_j = sum_i (L^-1)_{ij}^2`` — dtrtri inverts IN PLACE
+    (n^3/3); the column sums mask the upper-triangle factorization
+    garbage block-wise instead of materializing ``tril`` (an (n, n) f64
+    copy costs ~13 s of memory traffic on this host).
+
+    ``q_j = diag(B A^-1 B)_j = ||L^-1 B e_j||^2`` decomposes over
+    ``L^-1 B = L^T - so^2-scaled L^-1`` into three CANCELLATION-FREE
+    pieces (k<j, k=j, k>j):
+
+        q_j = sum_{k<j} L[j,k]^2 + (L[j,j] - so2_j/L[j,j])^2
+              + so2_j^2 * sum_{k>j} Linv[k,j]^2
+
+    Every sum is a direct sum of squares (the strict row sums come off
+    the factor BEFORE inversion; diag(A^-1) is assembled as
+    off-diagonal-sum + diag^2 by ADDITION) so both returned diagonals
+    are eps-relative-accurate in every noise regime — the caller picks
+    the stable posterior form per cell (:func:`_exact_sb_diag`).
+    Returns (None, None) if the triangular inversion reports a singular
+    diagonal (impossible for a PD factor short of pathological input)."""
     from scipy.linalg import lapack
 
+    n = l_lower.shape[0]
+    d_l = np.ascontiguousarray(np.diagonal(l_lower)).copy()
+    rowsq = np.zeros(n)  # sum_{k<j} L[j,k]^2, accumulated by column block
+    for j0 in range(0, n, blk):
+        j1 = min(j0 + blk, n)
+        head = np.tril(np.ascontiguousarray(l_lower[j0:j1, j0:j1]), -1)
+        rowsq[j0:j1] += np.einsum("ij,ij->i", head, head)
+        below = l_lower[j1:, j0:j1]
+        if below.size:
+            rowsq[j1:] += np.einsum("ij,ij->i", below, below)
     linv, info = lapack.dtrtri(l_lower, lower=1, overwrite_c=1)
     if info != 0:
         return None
-    n = linv.shape[0]
-    out = np.empty(n)
-    blk = 512
+    dainv = np.empty(n)
+    off = np.empty(n)  # sum_{k>j} Linv[k,j]^2 (no diagonal subtraction)
     for j0 in range(0, n, blk):
         j1 = min(j0 + blk, n)
-        cols = linv[j0:, j0:j1]
-        s = np.einsum("ij,ij->j", cols, cols)
-        head = np.triu(np.ascontiguousarray(linv[j0:j1, j0:j1]), 1)
-        s -= np.einsum("ij,ij->j", head, head)
-        out[j0:j1] = s
-    return out
+        head = np.tril(np.ascontiguousarray(linv[j0:j1, j0:j1]), -1)
+        s = np.einsum("ij,ij->j", head, head)
+        below = linv[j1:, j0:j1]
+        if below.size:
+            s += np.einsum("ij,ij->j", below, below)
+        off[j0:j1] = s
+        dainv[j0:j1] = s + 1.0 / d_l[j0:j1] ** 2
+    so2 = np.asarray(so2_64, np.float64)
+    q = rowsq + (d_l - so2 / d_l) ** 2 + so2 * so2 * off
+    return dainv, q
 
 
-def _exact_sb_diag(so2_np, dainv, bd):
-    """EXACT posterior-covariance diagonal from ``diag(A^-1)``:
+def _exact_tail_device(u3_64, sb_64, so2_64, d64, kappa: float):
+    """Run :func:`_exact_tail_prog` on the default device under the
+    thread-local x64 context (the production process runs with x64 off;
+    the context keeps the f64 operands and trace without flipping the
+    global dtype policy).  Returns ``(x64, (diag_ainv, q))`` or
+    ``(None, None)`` when the backend cannot run the f64 program
+    (compile failure, OOM) or any output is non-finite — callers fall
+    back to the host f64 path, which is the round-4 behavior."""
+    try:
+        with jax.enable_x64(True):
+            x, dainv, q = _exact_tail_prog(
+                jnp.asarray(u3_64), jnp.asarray(sb_64), jnp.asarray(so2_64),
+                jnp.asarray(d64), jnp.float64(kappa))
+            x = np.asarray(x, np.float64)
+            dainv = np.asarray(dainv, np.float64)
+            q = np.asarray(q, np.float64)
+    except Exception as e:  # backend capability failure, not a math error
+        print(f"oi_full: device exact tail unavailable "
+              f"({type(e).__name__}); using the host f64 direct solve")
+        return None, None
+    if not (np.all(np.isfinite(x)) and np.all(np.isfinite(dainv))
+            and np.all(np.isfinite(q))):
+        return None, None
+    return x, (dainv, q)
 
-        diag(Sb) = diag(B - B A^-1 B) = so^2 - so^4 * diag(A^-1)
 
-    (algebra: B = A - R with R = diag(so^2), so B A^-1 B expands to
-    A - 2R + R A^-1 R elementwise on the diagonal, and diag(B) cancels
-    the diag(A) - diag(R) term).  The subtraction is f64-stable in every
-    regime this path serves: cancellation grows as (so/sb)^2 * eps_f64,
-    negligible even at so/sb ~ 1e3, while the production full-covariance
-    months sit at so << sb.  Clipped to [0, diag(B)] (the mathematical
-    range) against rounding at the extremes."""
-    return np.clip(so2_np - so2_np * so2_np * dainv, 0.0, bd)
+def _exact_sb_diag(so2_np, pack, bd):
+    """EXACT posterior-covariance diagonal from the factor diagonals
+    ``pack = (diag(A^-1), diag(B A^-1 B))``, via two algebraically
+    identical forms picked per cell for numerical stability:
+
+        diag(Sb) = so^2 - so^4 * diag(A^-1)     (tight cells, so <= sb)
+        diag(Sb) = diag(B) - diag(B A^-1 B)     (loose cells, so > sb)
+
+    The first form cancels when so >> sb (relative error grows as
+    (so/sb)^2 * eps — ruinous under the device tail's emulated-f64 eps
+    ~1e-6 on data-poor cells), the second cancels in the opposite
+    regime; each is eps-stable where it is used because its subtrahend
+    is then small relative to the minuend.  Clipped to [0, diag(B)]
+    (the mathematical range) against rounding at the extremes."""
+    dainv, q = pack
+    form1 = so2_np - so2_np * so2_np * dainv
+    if q is not None:
+        form1 = np.where(so2_np > bd, bd - q, form1)
+    return np.clip(form1, 0.0, bd)
 
 
 DEVICE_EXACT_RESID_GATE = 1e-5  # acceptance bar for the device (emulated
@@ -864,10 +922,16 @@ def _exact_tail_prog(u3, sb, so2, d, kappa, diag_block: int = 1024):
     """Device exact tail, traced in float64 (TPU: emulated ~49-bit
     mantissa; CPU: native f64): build the dense correlation kernel from
     unit vectors, scale to A = D_b G D_b + D_o^2, Cholesky-factor, solve
-    the innovation, and accumulate ``diag(A^-1)`` as squared column norms
-    of L^-1 in identity-column blocks (the same half-solve trick as
-    :func:`oi_full_dense`'s posterior diagonal — peak memory stays at
-    two (n, n) buffers plus an (n, diag_block) block)."""
+    the innovation, and accumulate per-cell ``diag(A^-1)`` AND
+    ``q = diag(B A^-1 B)`` in identity-column blocks (the same
+    half-solve trick as :func:`oi_full_dense`'s posterior diagonal —
+    peak memory stays at two (n, n) buffers plus (n, diag_block)
+    blocks).  The q columns come free of an extra solve:
+    ``L^-1 B[:, blk] = L^-1 (A - R)[:, blk] = L^T[:, blk] - so2 * V``
+    with ``V = L^-1 I[:, blk]``.  Both diagonals are PURE sums of
+    squares, so each is accurate to the arithmetic's eps relative to
+    ITSELF — the caller picks the cancellation-free posterior form per
+    cell (see :func:`_exact_sb_diag`)."""
     g = jnp.clip(u3 @ u3.T, -1.0, 1.0) - 1.0
     g = jnp.exp(jnp.maximum(g * kappa, -60.0))
     a = g * (sb[None, :] * sb[:, None]) + jnp.diag(so2)
@@ -885,36 +949,18 @@ def _exact_tail_prog(u3, sb, so2, d, kappa, diag_block: int = 1024):
     def block_diag(start):
         cols = (rows[:, None] == (start + jnp.arange(k))[None, :]).astype(a.dtype)
         v = jax.lax.linalg.triangular_solve(l, cols, left_side=True, lower=True)
-        return jnp.sum(v * v, axis=0)
+        lt_cols = jax.lax.dynamic_slice(l, (start, 0), (k, n)).T
+        so2_blk = jax.lax.dynamic_slice(so2, (start,), (k,))
+        vb = lt_cols - v * so2_blk[None, :]
+        return jnp.sum(v * v, axis=0), jnp.sum(vb * vb, axis=0)
 
-    parts = jax.lax.map(block_diag, starts)
+    parts, parts_q = jax.lax.map(block_diag, starts)
     col_idx = (starts[:, None] + jnp.arange(k)[None, :]).ravel()
     dainv = jnp.zeros((n,), a.dtype).at[col_idx].set(parts.ravel())
-    return x, dainv
+    q = jnp.zeros((n,), a.dtype).at[col_idx].set(parts_q.ravel())
+    return x, dainv, q
 
 
-def _exact_tail_device(u3_64, sb_64, so2_64, d64, kappa: float):
-    """Run :func:`_exact_tail_prog` on the default device under the
-    thread-local x64 context (the production process runs with x64 off;
-    the context keeps the f64 operands and trace without flipping the
-    global dtype policy).  Returns ``(x64, diag_ainv)`` or ``(None,
-    None)`` when the backend cannot run the f64 program (compile failure,
-    OOM) or the output is non-finite — callers fall back to the host f64
-    path, which is the round-4 behavior."""
-    try:
-        with jax.enable_x64(True):
-            x, dainv = _exact_tail_prog(
-                jnp.asarray(u3_64), jnp.asarray(sb_64), jnp.asarray(so2_64),
-                jnp.asarray(d64), jnp.float64(kappa))
-            x = np.asarray(x, np.float64)
-            dainv = np.asarray(dainv, np.float64)
-    except Exception as e:  # backend capability failure, not a math error
-        print(f"oi_full: device exact tail unavailable "
-              f"({type(e).__name__}); using the host f64 direct solve")
-        return None, None
-    if not (np.all(np.isfinite(x)) and np.all(np.isfinite(dainv))):
-        return None, None
-    return x, dainv
 
 
 def _sampled_resid_f64(u3_64, sb_64, so2_64, x64, d64, kappa: float,
@@ -1061,9 +1107,14 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
 
     ``refine`` (Nystrom path only — the Jacobi path serves small /
     mildly-conditioned problems where the f32 solve is already at
-    tolerance): "auto" (default) solves the innovation system EXACTLY in
-    host f64 (:func:`_direct_solve_f64`) when npad <= REFINE_MAX_CELLS
-    and keeps the f32 deflated PCG beyond; an int p forces the f32 PCG
+    tolerance): "auto" (default) takes the DIRECT exact tail when
+    npad <= REFINE_MAX_CELLS — on device in emulated f64
+    (:func:`_exact_tail_device`, accepted only under
+    ``DEVICE_EXACT_RESID_GATE`` against the host-f64 sampled residual,
+    so ``info["f64_resid"]`` then reports the emulation floor ~2e-6,
+    not the host-f64 ~1e-13; ``OISAT_EXACT_DEVICE=0`` opts out), falling
+    back to host f64 (:func:`_direct_solve_f64`) — and keeps the f32
+    deflated PCG beyond that size; an int p forces the f32 PCG
     followed by exactly p mixed-precision iterative-refinement passes
     (f64 host residual with the TRUE kernel + f32 device correction
     solves — removes the f32 kernel REPRESENTATION error, which an
@@ -1152,7 +1203,7 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
         solver = "pcg_f32"
         kappa = (EARTH_RADIUS_KM / float(length_scale_km)) ** 2
         direct = None
-        dainv = None
+        diag_pack = None
         if refine == "auto" and n <= REFINE_MAX_CELLS:
             # Production-size months take the EXACT direct solve: at
             # monthly-average conditioning (cond(A) ~ 1e7-1e9) any
@@ -1168,7 +1219,7 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
             # AK EXACT (no Nystrom sketch is built on this path at all).
             u3_64 = _sphere_points(lat, lon)
             if _exact_device_wanted():
-                direct, dainv = _exact_tail_device(u3_64, sb_f64, so2_np,
+                direct, diag_pack = _exact_tail_device(u3_64, sb_f64, so2_np,
                                                    d64, kappa)
                 if direct is not None:
                     f64_resid = _sampled_resid_f64(u3_64, sb_f64, so2_np,
@@ -1178,11 +1229,11 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
                               f"residual gate ({f64_resid:.2e} > "
                               f"{DEVICE_EXACT_RESID_GATE:.0e}); re-solving "
                               f"on host")
-                        direct = dainv = None
+                        direct = diag_pack = None
                     else:
                         solver = "direct_f64_dev"
             if direct is None:
-                direct, dainv = _direct_solve_f64(u3_64, sb_f64, so2_np,
+                direct, diag_pack = _direct_solve_f64(u3_64, sb_f64, so2_np,
                                                   d64, kappa, want_diag=True)
                 if direct is not None:
                     f64_resid = _sampled_resid_f64(u3_64, sb_f64, so2_np,
@@ -1265,11 +1316,11 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
         # sweep and adds no f32 matvec noise of its own.
         increment = d64 - so2_np * x64
 
-        if dainv is not None:
+        if diag_pack is not None:
             # EXACT posterior diagonal from the direct factor (device or
             # host): diag(Sb) = so^2 - so^4 diag(A^-1) — see
             # :func:`_exact_sb_diag`.  AK downstream is then exact too.
-            sb_diag = _exact_sb_diag(so2_np, dainv, bd)
+            sb_diag = _exact_sb_diag(so2_np, diag_pack, bd)
         elif direct is not None:
             # pathological corner: the host triangular inversion failed
             # after a successful factorization.  No sketch exists on the
@@ -1416,7 +1467,7 @@ def oi_full_matfree(xa, y, sigma_b, sigma_o, lat, lon, length_scale_km: float,
             # EXACT diag(B - B A^-1 B) from the direct factor, not the
             # Nystrom tail-closure / colored-probing estimate
             "exact_diag": bool(use_nystrom and direct_ran
-                               and dainv is not None),
+                               and diag_pack is not None),
             "refine_passes": applied if use_nystrom else 0,
             "f64_resid": f64_resid if use_nystrom else None,
             # absolute error bound on increment/xb: ||inc - inc_true|| =
@@ -1526,31 +1577,35 @@ def oi_full(xa2d, y2d, sigma_b2d, sigma_o2d, lat2d, lon2d, length_scale_km: floa
         kappa = (EARTH_RADIUS_KM / float(length_scale_km)) ** 2
         u3_64 = _sphere_points(np.asarray(lat2d, np.float64).ravel()[idx],
                                np.asarray(lon2d, np.float64).ravel()[idx])
-        x64 = dainv = None
+        x64 = diag_pack = None
+        rr = None
         how = "direct_f64"
         if _exact_device_wanted():
-            x64, dainv = _exact_tail_device(u3_64, sbv, sov ** 2, d64, kappa)
+            x64, diag_pack = _exact_tail_device(u3_64, sbv, sov ** 2, d64, kappa)
             if x64 is not None:
                 rr = _sampled_resid_f64(u3_64, sbv, sov ** 2, x64, d64, kappa)
                 if rr > DEVICE_EXACT_RESID_GATE:
-                    x64 = dainv = None
+                    x64 = diag_pack = rr = None
                 else:
                     how = "direct_f64_dev"
         if x64 is None:
-            x64, dainv = _direct_solve_f64(u3_64, sbv, sov ** 2, d64, kappa,
+            x64, diag_pack = _direct_solve_f64(u3_64, sbv, sov ** 2, d64, kappa,
                                            want_diag=True)
+            if x64 is not None:
+                rr = _sampled_resid_f64(u3_64, sbv, sov ** 2, x64, d64, kappa)
         if x64 is not None:
             inc64 = d64 - sov ** 2 * x64
             inc_v = np.concatenate([inc64, np.zeros(npad - n)])
             xb_v = np.concatenate([xav + inc64, np.zeros(npad - n)])
             info = {"solver": "dense+" + how, "reg": r_chosen,
-                    "exact_diag": dainv is not None}
-            if dainv is not None:
+                    "f64_resid": rr,
+                    "exact_diag": diag_pack is not None}
+            if diag_pack is not None:
                 # the f32 dense diagonal shares the representation wall
                 # with the increment — replace err/AK with the exact
                 # values from the same factor (diag(Sb) in the solver's
                 # normalized units like err_v; AK is scale-invariant)
-                sbd = _exact_sb_diag(sov ** 2, dainv, sbv ** 2)
+                sbd = _exact_sb_diag(sov ** 2, diag_pack, sbv ** 2)
                 err_v = np.concatenate([np.sqrt(sbd), np.zeros(npad - n)])
                 with np.errstate(invalid="ignore", divide="ignore"):
                     akx = 1.0 - sbd / (sbv ** 2)

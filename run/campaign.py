@@ -59,6 +59,18 @@ def run_campaign(ctrl, retries: int = 1, prefetch=None):
             for attempt in range(retries + 1):
                 try:
                     pre = None
+                    if attempt > 0 and pending:
+                        # the retry reads inline; drain any in-flight
+                        # prefetch first so the 'reads never overlap'
+                        # invariant holds on this 1-core host (GIL
+                        # contention between two regrid pipelines
+                        # measured strictly worse in round 3).  Results
+                        # stay cached in their futures for their months.
+                        for f in pending.values():
+                            try:
+                                f.result()
+                            except Exception:
+                                pass  # its month will read inline
                     fut = pending.pop((year, month), None)
                     if fut is not None and attempt == 0:
                         try:

@@ -150,12 +150,7 @@ def run_month(ctrl, year: int, month: int, pre_read=None, before_tail=None,
                 print(f"Error processing hour {hour}: {e}")
         return
 
-    if pre_read is not None:
-        obj = pre_read
-    else:
-        obj = oisatgmi()
-        obj.read_data(ctm_name, Path(ctrl["ctm_dir"]), gas, ctrl["ctm_freq"],
-                      sensor + "_" + gas, Path(ctrl["sat_dir"]), f"{year}{month:02}", **common)
+    obj = pre_read if pre_read is not None else read_month(ctrl, year, month)
     _analyze(obj, ctrl, sensor, gas, start, end,
              savedaily=(ctrl["output_nc_dir"], f"{year}_{month:02}"), mesh=mesh)
     if before_tail is not None:

@@ -614,7 +614,7 @@ def test_matfree_device_exact_gate_falls_back(monkeypatch):
 
     def corrupted(u3_64, sb_64, so2_64, d64, kappa):
         n = u3_64.shape[0]
-        return np.ones(n), np.ones(n)  # garbage "solution"
+        return np.ones(n), (np.ones(n), np.ones(n))  # garbage "solution"
 
     monkeypatch.setattr(mod, "_exact_tail_device", corrupted)
     _, _, inc, err, info = mod.oi_full_matfree(
@@ -703,3 +703,37 @@ def test_matfree_info_scaled_to_physical_units(monkeypatch):
     assert res.info["resid_abs"] / 2.0 == res.info["stat_norm"] / 3.0
     assert res.info["resid_abs"] / 2.0 >= scale
     assert res.info["f64_resid"] is None          # None passes through
+
+
+def test_exact_sb_diag_blended_forms_stable_under_emulation_noise():
+    """The device tail's diagonals carry ~1e-6 relative (emulated-f64)
+    error.  diag(Sb) = so2 - so4*diag(A^-1) amplifies that by (so/sb)^2
+    on loose cells; the blended form must switch to bd - q there and stay
+    ~eps-accurate in BOTH regimes (review finding, round 5)."""
+    from oisat_tpu.ops.oi_full import _exact_sb_diag
+
+    rng = np.random.default_rng(3)
+    n = 512
+    sb = np.abs(rng.normal(1.0, 0.2, n))
+    # so/sb spanning 1e-3 .. 1e3: tight production cells to data-poor ones
+    ratio = 10.0 ** rng.uniform(-3, 3, n)
+    so2 = (sb * ratio) ** 2
+    bd = sb ** 2
+    # scalar ground truth (diagonal B): Sb = bd*so2/(bd+so2),
+    # diag(A^-1) = 1/(bd+so2), q = bd^2/(bd+so2)
+    dainv_t = 1.0 / (bd + so2)
+    q_t = bd * bd / (bd + so2)
+    sb_diag_t = bd * so2 / (bd + so2)
+    # inject 1e-6 relative noise (the emulation's representation floor)
+    eps = 1e-6
+    dainv = dainv_t * (1.0 + eps * rng.standard_normal(n))
+    q = q_t * (1.0 + eps * rng.standard_normal(n))
+
+    blended = _exact_sb_diag(so2, (dainv, q), bd)
+    np.testing.assert_allclose(blended, sb_diag_t, rtol=1e-4)
+
+    # form1 alone demonstrably fails on the loose cells
+    form1 = np.clip(so2 - so2 * so2 * dainv, 0.0, bd)
+    loose = ratio > 30
+    rel1 = np.abs(form1[loose] - sb_diag_t[loose]) / sb_diag_t[loose]
+    assert np.max(rel1) > 1e-3  # the failure the blend exists to fix

@@ -57,9 +57,18 @@ def _ref(name):
 
         interpnd._ndim_coords_from_arrays = _ndim_coords_from_arrays
     if "kneed" not in sys.modules:
+        # NOTE: a plain `import importlib.machinery` here would bind
+        # `importlib` as a function-local and shadow the module-level
+        # import for the whole function body
+        from importlib.machinery import ModuleSpec
+
         from oisat_tpu.ops.knee import kneedle_index_np
 
         kneed = types.ModuleType("kneed")
+        # a bare ModuleType has __spec__ = None, which makes a later
+        # importlib.util.find_spec("kneed") RAISE ValueError instead of
+        # reporting the module — give the stub a real (loader-less) spec
+        kneed.__spec__ = ModuleSpec("kneed", None)
 
         class KneeLocator:
             def __init__(self, x, y, S=1.0, curve="concave",
