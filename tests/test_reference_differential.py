@@ -636,3 +636,34 @@ def test_filler_gosat_matches_reference():
     np.testing.assert_allclose(np.asarray(out.uncertainty, np.float64),
                                ref_out.uncertainty, rtol=1e-8, atol=1e-12,
                                equal_nan=True)
+
+
+@pytest.mark.parametrize("method", [2, 4])
+def test_regrid_fast_nearest_matches_reference(method, monkeypatch):
+    """The NATIVE fast-swath builder's nearest modes (hash ring search)
+    make the same pixel picks as the reference's cKDTree — differential
+    against the actual reference interpolator, not our scipy path.
+    (Linear method 1 is excluded by design: the fast path's quad
+    triangulation differs from qhull in the in-quad diagonal choice.)"""
+    monkeypatch.setenv("OISAT_PARITY", "0")  # fast builder ON
+    ref_interp = _ref("interpolator")
+    ref_cfg = _ref("config")
+    clon, clat = _ctm_grid()
+    g = _amf_granule(seed=9)
+    ref_g = _as_ref(g, ref_cfg.satellite_amf)
+
+    out_ref = ref_interp.interpolator(
+        method, 0.25, ref_g, {"Longitude": clon, "Latitude": clat},
+        flag_thresh=0.5)
+    assert out_ref is not None
+
+    from oisat_tpu.regridder import regrid_granule
+
+    out = regrid_granule(method, 0.25, copy.deepcopy(g), clon, clat,
+                         flag_thresh=0.5, dtype=np.float64, fast_swath=True)
+    assert out is not None
+    for name in ("vcd", "amf", "uncertainty"):
+        ours = np.asarray(getattr(out, name), np.float64)
+        ref = np.asarray(getattr(out_ref, name), np.float64)
+        np.testing.assert_allclose(ours, ref, rtol=1e-8, atol=1e-12,
+                                   equal_nan=True, err_msg=name)
