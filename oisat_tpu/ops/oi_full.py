@@ -847,22 +847,46 @@ def _diag_pack_from_factor(l_lower, so2_64, blk: int = 512):
     return dainv, q
 
 
+EXACT_TAIL_BUCKET = 2048  # the emulated-f64 program costs ~10 min on the
+# remote compile service PER SHAPE; months in one campaign land on a
+# handful of valid-cell counts, so the tail pads its n up to a coarse
+# bucket (decoupled identity rows: sb = 0, so = 1, d = 0) — at most 8
+# shapes ever exist below REFINE_MAX_CELLS, and the padded flops cost
+# <(9/8)^3 ~ 1.4x worst-case of a few seconds vs minutes of compile.
+
+
 def _exact_tail_device(u3_64, sb_64, so2_64, d64, kappa: float):
     """Run :func:`_exact_tail_prog` on the default device under the
     thread-local x64 context (the production process runs with x64 off;
     the context keeps the f64 operands and trace without flipping the
-    global dtype policy).  Returns ``(x64, (diag_ainv, q))`` or
+    global dtype policy).  Inputs are padded to ``EXACT_TAIL_BUCKET``
+    multiples with decoupled rows (A acts as the identity there: the
+    solve, diag(A^-1) and diag(B A^-1 B) of the real cells are exactly
+    unchanged) so campaigns reuse one compiled program across months.
+    Returns ``(x64, (diag_ainv, q))`` trimmed to the input length, or
     ``(None, None)`` when the backend cannot run the f64 program
     (compile failure, OOM) or any output is non-finite — callers fall
     back to the host f64 path, which is the round-4 behavior."""
+    n = int(u3_64.shape[0])
+    npad = -(-n // EXACT_TAIL_BUCKET) * EXACT_TAIL_BUCKET
+    if npad != n:
+        pad = npad - n
+        # pad points at the north pole with sigma_b = 0: their kernel
+        # column is multiplied by 0, so A rows reduce to so2 = 1 identity
+        u3p = np.concatenate([u3_64, np.tile([[0.0, 0.0, 1.0]], (pad, 1))])
+        sbp = np.concatenate([sb_64, np.zeros(pad)])
+        so2p = np.concatenate([so2_64, np.ones(pad)])
+        dp = np.concatenate([d64, np.zeros(pad)])
+    else:
+        u3p, sbp, so2p, dp = u3_64, sb_64, so2_64, d64
     try:
         with jax.enable_x64(True):
             x, dainv, q = _exact_tail_prog(
-                jnp.asarray(u3_64), jnp.asarray(sb_64), jnp.asarray(so2_64),
-                jnp.asarray(d64), jnp.float64(kappa))
-            x = np.asarray(x, np.float64)
-            dainv = np.asarray(dainv, np.float64)
-            q = np.asarray(q, np.float64)
+                jnp.asarray(u3p), jnp.asarray(sbp), jnp.asarray(so2p),
+                jnp.asarray(dp), jnp.float64(kappa))
+            x = np.asarray(x, np.float64)[:n]
+            dainv = np.asarray(dainv, np.float64)[:n]
+            q = np.asarray(q, np.float64)[:n]
     except Exception as e:  # backend capability failure, not a math error
         print(f"oi_full: device exact tail unavailable "
               f"({type(e).__name__}); using the host f64 direct solve")
