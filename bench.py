@@ -741,7 +741,7 @@ def _write_bench_tempo(path, hour, ny=360, nx=240, nl=26, seed=0):
         s["tropopause_pressure"] = np.full((ny, nx), 140.0, np.float32)
 
 
-def _write_bench_tropomi(path, day, ny=600, nx=300, nl=34, seed=0):
+def _write_bench_tropomi(path, day, ny=600, nx=300, nl=34, seed=0, month=7):
     """One TROPOMI L2 NO2 orbit file (PRODUCT group layout: tm5 a/b
     tables, per-pixel averaging_kernel, tm5_tropopause_layer_index — the
     reader's trop-index gather + SW = AK * AMF path)."""
@@ -754,7 +754,7 @@ def _write_bench_tropomi(path, day, ny=600, nx=300, nl=34, seed=0):
     lon = np.ones((ny, 1)) * np.linspace(-19.0, 9.0, nx)[None, :]
     with h5py.File(path, "w") as f:
         p = f.create_group("PRODUCT")
-        p["time"] = np.array([(_dt.datetime(2019, 7, day)
+        p["time"] = np.array([(_dt.datetime(2019, month, day)
                                - _dt.datetime(2010, 1, 1)).total_seconds()])
         p["delta_time"] = np.full(ny, 3_600_000.0)
         p["latitude"] = lat
@@ -886,6 +886,58 @@ def bench_tropomi(orbits=8):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def bench_campaign_prefetch(months=3, orbits=6):
+    """Measures the campaign prefetch overlap (VERDICT r4 item 6): the
+    SAME multi-month TROPOMI campaign through run/campaign.py with
+    prefetch off vs on, after a warmup sweep that absorbs every compile.
+    The prefetch thread starts month k+1's read_data (file IO + regrid
+    dispatches + H2D submits) during month k's report/nc tail."""
+    import shutil
+    import sys
+    import tempfile
+    from pathlib import Path
+
+    sys.path.insert(0, ".")
+    sys.path.insert(0, "./run")
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "bench_campaign_mod", "./run/campaign.py")
+    camp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(camp)
+
+    tmp = Path(tempfile.mkdtemp(prefix="bench_campaign_"))
+    try:
+        (tmp / "ctm").mkdir()
+        (tmp / "sat").mkdir()
+        for m in range(7, 7 + months):
+            _write_bench_gmi_pair(
+                tmp / "ctm" / f"MERRA2_GMI.tavg3_3d_met_Nv.2019{m:02}15.nc4",
+                tmp / "ctm" / f"MERRA2_GMI.tavg3_3d_tac_Nv.2019{m:02}15.nc4",
+                201900 + m, 15)
+            for k in range(orbits):
+                _write_bench_tropomi(
+                    tmp / "sat" / f"S5P_OFFL_L2__NO2____2019{m:02}{1 + k:02}.nc",
+                    1 + k, seed=100 * m + k, month=m)
+        ctrl = _bench_job_ctrl(tmp, "TROPOMI", 201907)
+        ctrl["start_date"] = "2019-07"
+        ctrl["end_date"] = f"2019-{6 + months:02}"
+        camp.run_campaign(dict(ctrl), prefetch=False)  # warmup: compiles
+        t0 = time.perf_counter()
+        failed_off = camp.run_campaign(dict(ctrl), prefetch=False)
+        t_off = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        failed_on = camp.run_campaign(dict(ctrl), prefetch=True)
+        t_on = time.perf_counter() - t0
+        assert not failed_off and not failed_on
+        _emit("campaign_prefetch", round(t_off / t_on, 3), "x", None, {
+            "months": months, "orbits_per_month": orbits,
+            "prefetch_off_s": round(t_off, 1), "prefetch_on_s": round(t_on, 1),
+            "tunnel_mbps": tunnel_mbps()})
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def run_all():
     main()  # headline: auto curve engine
     main(curve_impl="xla", metric_name="oi_analysis_throughput_xla")
@@ -903,6 +955,7 @@ def run_all():
     bench_oi_bandwidth()
     bench_tempo()
     bench_tropomi()
+    bench_campaign_prefetch()
 
 
 if __name__ == "__main__":
@@ -926,5 +979,7 @@ if __name__ == "__main__":
         bench_tempo()
     elif "--tropomi" in sys.argv:
         bench_tropomi()
+    elif "--campaign" in sys.argv:
+        bench_campaign_prefetch()
     else:
         main()

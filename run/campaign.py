@@ -28,8 +28,9 @@ def run_campaign(ctrl, retries: int = 1, prefetch=None):
     """Sweep months; with ``prefetch`` (control key ``campaign_prefetch``,
     default on for non-TEMPO sensors) month k+1's ``read_data`` — file IO,
     granule regrid dispatches and their H2D submits — runs in ONE
-    background thread while month k's host tail (report + nc write)
-    executes, via run_month's ``before_tail`` hook.  Months are
+    background thread while month k's device-bound analysis leg and its
+    host tail (report + nc write) execute, via run_month's
+    ``prefetch_hook``.  Months are
     independent (the reference fans them out as separate scheduler jobs),
     so the overlap cannot change results; reads never overlap each other
     (at most one prefetch thread), preserving ``num_job`` semantics
@@ -81,7 +82,7 @@ def run_campaign(ctrl, retries: int = 1, prefetch=None):
                                 year=year, month=month)
                     with stage("month", year=year, month=month):
                         run_month(ctrl, year, month, pre_read=pre,
-                                  before_tail=_kick(nxt))
+                                  prefetch_hook=_kick(nxt))
                     log("month done", year=year, month=month)
                     break
                 except Exception:

@@ -87,9 +87,9 @@ def read_month(ctrl, year: int, month: int):
     """Reader construction + read_data (which regrids: granule device
     programs dispatch and H2D submits happen here) for one non-TEMPO
     month.  The campaign prefetch seam: calling this for month k+1 while
-    month k's host tail (report, nc write) runs overlaps the link-bound
-    submits with otherwise link-idle host work.  Returns the session
-    object ready for :func:`_analyze`."""
+    month k's device-bound analysis leg + report/nc tail run overlaps the
+    link-bound submits with otherwise link-idle time.  Returns the
+    session object ready for :func:`_analyze`."""
     _month_env_setup(ctrl)
     ctm_name = ctrl["ctm_name"]
     read_ak = "False" if ctm_name == "FREE" else ctrl["read_AK"]
@@ -109,16 +109,20 @@ def read_month(ctrl, year: int, month: int):
     return obj
 
 
-def run_month(ctrl, year: int, month: int, pre_read=None, before_tail=None,
+def run_month(ctrl, year: int, month: int, pre_read=None, prefetch_hook=None,
               on_hour=None):
     """One month end-to-end.  ``pre_read``: a session object from
     :func:`read_month` (campaign prefetch) — skips the read.
-    ``before_tail``: zero-arg callable invoked after the analysis, before
-    the host tail (report + nc write) — the campaign uses it to launch
-    month k+1's read in its prefetch thread so the tail and the next
-    read overlap.  ``on_hour``: TEMPO only — called with each UTC hour
-    before that hour's sub-pipeline (bench.py's compile-census phase
-    marker)."""
+    ``prefetch_hook``: zero-arg callable invoked after THIS month's
+    analysis, before the report/nc host tail — the campaign uses it to
+    launch month k+1's read in its prefetch thread.  (Kicking it right
+    after the read — overlapping the next read with the analysis leg —
+    measured 0.80x on this 1-core host: the prefetch thread's host work
+    contends for the GIL with the analysis leg's device pulls, the
+    round-3 threading lesson; the post-analysis point measured 1.02x.
+    On a multi-core deployment the earlier kick is the one to revisit.)  ``on_hour``: TEMPO only —
+    called with each UTC hour before that hour's sub-pipeline (bench.py's
+    compile-census phase marker)."""
     mesh = _month_env_setup(ctrl)
     ctm_name = ctrl["ctm_name"]
     read_ak = "False" if ctm_name == "FREE" else ctrl["read_AK"]
@@ -153,8 +157,8 @@ def run_month(ctrl, year: int, month: int, pre_read=None, before_tail=None,
     obj = pre_read if pre_read is not None else read_month(ctrl, year, month)
     _analyze(obj, ctrl, sensor, gas, start, end,
              savedaily=(ctrl["output_nc_dir"], f"{year}_{month:02}"), mesh=mesh)
-    if before_tail is not None:
-        before_tail()
+    if prefetch_hook is not None:
+        prefetch_hook()
     tag = f"{gas}_{year}{month:02}"
     obj.reporting(tag, gas, ctrl["output_pdf_dir"])
     obj.write_to_nc(tag, ctrl["output_nc_dir"])

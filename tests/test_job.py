@@ -445,10 +445,10 @@ def test_run_campaign_prefetch_mechanism(monkeypatch):
                        threading.current_thread() is not threading.main_thread()))
         return f"obj-{y}{m:02}"
 
-    def fake_run(c, y, m, pre_read=None, before_tail=None):
+    def fake_run(c, y, m, pre_read=None, prefetch_hook=None):
         events.append(("run", y, m, pre_read))
-        if before_tail is not None:
-            before_tail()
+        if prefetch_hook is not None:
+            prefetch_hook()
 
     monkeypatch.setattr(camp, "read_month", fake_read)
     monkeypatch.setattr(camp, "run_month", fake_run)
