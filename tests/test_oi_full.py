@@ -737,3 +737,42 @@ def test_exact_sb_diag_blended_forms_stable_under_emulation_noise():
     loose = ratio > 30
     rel1 = np.abs(form1[loose] - sb_diag_t[loose]) / sb_diag_t[loose]
     assert np.max(rel1) > 1e-3  # the failure the blend exists to fix
+
+
+@pytest.mark.parametrize("device_exact", [True, False])
+def test_matfree_exact_diag_mixed_noise_regimes(device_exact, monkeypatch):
+    """End-to-end validation of the blended posterior diagonal's q piece
+    (diag(B A^-1 B)) on BOTH exact-tail paths: a month mixing tight
+    (so << sb) and loose (so >> sb) cells must match the dense f64 golden
+    on every cell — a wrong q would corrupt the loose cells outright."""
+    from oisat_tpu.ops.oi_full import oi_full_matfree
+
+    if not device_exact:
+        monkeypatch.setenv("OISAT_EXACT_DEVICE", "0")
+    H, W = 16, 32
+    rng = np.random.default_rng(13)
+    lon, lat = np.meshgrid(np.linspace(-3, 3, W), np.linspace(38, 44, H))
+    xa = np.abs(rng.normal(0.8, 0.1, (H, W))).ravel()
+    y = (xa.reshape(H, W) * rng.uniform(0.9, 1.2, (H, W))).ravel()
+    sb = 0.5 * xa
+    # so/sb spanning 1e-3 .. 1e2 across cells
+    so = sb * 10.0 ** rng.uniform(-3, 2, H * W)
+
+    latr, lonr = np.deg2rad(lat.ravel()), np.deg2rad(lon.ravel())
+    u3 = np.stack([np.cos(latr) * np.cos(lonr),
+                   np.cos(latr) * np.sin(lonr), np.sin(latr)], 1)
+    kappa = (6371.0 / 300.0) ** 2
+    B = sb[:, None] * np.exp(kappa * ((u3 @ u3.T) - 1.0)) * sb[None, :]
+    A = B + np.diag(so ** 2)
+    Sb_t = np.einsum("ij,ji->i", B, np.linalg.solve(A, B))
+    err_t = np.sqrt(np.maximum(sb ** 2 - Sb_t, 0.0))
+
+    _, ak, _, err, info = oi_full_matfree(
+        xa, y, sb, so, lat.ravel(), lon.ravel(), 300.0, block=128,
+        precond="nystrom", nystrom_k=256)
+    assert info["exact_diag"]
+    assert info["solver"] == ("direct_f64_dev" if device_exact
+                              else "direct_f64")
+    np.testing.assert_allclose(err, err_t, rtol=1e-6, atol=1e-10)
+    ak_t = 1.0 - (sb ** 2 - Sb_t) / sb ** 2
+    np.testing.assert_allclose(ak, ak_t, rtol=1e-6, atol=1e-8)
