@@ -847,12 +847,15 @@ def _diag_pack_from_factor(l_lower, so2_64, blk: int = 512):
     return dainv, q
 
 
-EXACT_TAIL_BUCKET = 2048  # the emulated-f64 program costs ~10 min on the
-# remote compile service PER SHAPE; months in one campaign land on a
+EXACT_TAIL_BUCKET = 2048  # the emulated-f64 program's remote compile
+# costs ~45-50 s per 1024 rows PER SHAPE (chip-measured: 86 s @2048,
+# 291 s @6144, ~10+ min @10240); months in one campaign land on a
 # handful of valid-cell counts, so the tail pads its n up to a coarse
 # bucket (decoupled identity rows: sb = 0, so = 1, d = 0) — at most 8
-# shapes ever exist below REFINE_MAX_CELLS, and the padded flops cost
-# <(9/8)^3 ~ 1.4x worst-case of a few seconds vs minutes of compile.
+# shapes ever exist below REFINE_MAX_CELLS.  The padded-flops ratio
+# ((npad/n)^3) is worst for TINY months just past a bucket edge (n =
+# 2049 -> ~8x) but the absolute cost there is under a second (warm runs:
+# 0.3 s @2048, 0.8 s @4096, 5.1 s @10240) vs minutes of compile saved.
 
 
 def _exact_tail_device(u3_64, sb_64, so2_64, d64, kappa: float):

@@ -28,17 +28,27 @@ def run_campaign(ctrl, retries: int = 1, prefetch=None):
     """Sweep months; with ``prefetch`` (control key ``campaign_prefetch``,
     default on for non-TEMPO sensors) month k+1's ``read_data`` — file IO,
     granule regrid dispatches and their H2D submits — runs in ONE
-    background thread while month k's device-bound analysis leg and its
-    host tail (report + nc write) execute, via run_month's
-    ``prefetch_hook``.  Months are
+    background thread while month k's report + nc host tail executes
+    (run_month fires ``prefetch_hook`` AFTER the analysis: overlapping
+    the read with the analysis leg itself measured 0.80x on this 1-core
+    host — see run_month's docstring).  Months are
     independent (the reference fans them out as separate scheduler jobs),
     so the overlap cannot change results; reads never overlap each other
     (at most one prefetch thread), preserving ``num_job`` semantics
     within each read.  A failed prefetch falls back to an inline read on
-    the month's own attempt (and its retry path always reads inline)."""
+    the month's own attempt (and its retry path always reads inline).
+
+    Default: ON only on multi-core hosts.  Chip-measured on the 1-core
+    bench host (``bench --campaign``, alternating off/on pairs): median
+    0.836x — the prefetch thread's host-side read/regrid work contends
+    with the report leg's matplotlib CPU time for the one core, so the
+    overlap LOSES there; the control key forces either way."""
+    import os
+
     months = month_list(ctrl["start_date"], ctrl["end_date"])
     if prefetch is None:
-        prefetch = bool(ctrl.get("campaign_prefetch", True))
+        prefetch = bool(ctrl.get("campaign_prefetch",
+                                 (os.cpu_count() or 1) > 1))
     prefetch = prefetch and ctrl.get("sensor") != "TEMPO"
     ex = None
     pending = {}

@@ -452,7 +452,9 @@ def test_run_campaign_prefetch_mechanism(monkeypatch):
 
     monkeypatch.setattr(camp, "read_month", fake_read)
     monkeypatch.setattr(camp, "run_month", fake_run)
-    assert camp.run_campaign(dict(ctrl)) == []
+    # prefetch=True explicitly: the default is host-core-count dependent
+    # (off on this 1-core box)
+    assert camp.run_campaign(dict(ctrl), prefetch=True) == []
     runs = [e for e in events if e[0] == "run"]
     assert [r[1:] for r in runs] == [
         (2019, 7, None), (2019, 8, "obj-201908"), (2019, 9, "obj-201909")]

@@ -747,8 +747,7 @@ def test_matfree_exact_diag_mixed_noise_regimes(device_exact, monkeypatch):
     on every cell — a wrong q would corrupt the loose cells outright."""
     from oisat_tpu.ops.oi_full import oi_full_matfree
 
-    if not device_exact:
-        monkeypatch.setenv("OISAT_EXACT_DEVICE", "0")
+    monkeypatch.setenv("OISAT_EXACT_DEVICE", "1" if device_exact else "0")
     H, W = 16, 32
     rng = np.random.default_rng(13)
     lon, lat = np.meshgrid(np.linspace(-3, 3, W), np.linspace(38, 44, H))

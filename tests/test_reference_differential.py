@@ -645,6 +645,11 @@ def test_regrid_fast_nearest_matches_reference(method, monkeypatch):
     against the actual reference interpolator, not our scipy path.
     (Linear method 1 is excluded by design: the fast path's quad
     triangulation differs from qhull in the in-quad diagonal choice.)"""
+    from oisat_tpu import native
+
+    if not native.available():
+        pytest.skip("native builder unavailable: fast_swath would fall "
+                    "back to scipy and this differential would be vacuous")
     monkeypatch.setenv("OISAT_PARITY", "0")  # fast builder ON
     ref_interp = _ref("interpolator")
     ref_cfg = _ref("config")
