@@ -471,3 +471,35 @@ def test_run_campaign_prefetch_mechanism(monkeypatch):
     tempo = dict(ctrl, sensor="TEMPO", campaign_prefetch=True)
     assert camp.run_campaign(tempo) == []
     assert all(e[3] is None for e in events if e[0] == "run")
+
+
+def test_run_campaign_prefetch_default_follows_core_count(monkeypatch):
+    """The prefetch default is host-aware: off on 1-core hosts (measured
+    net-negative — the background read contends with the report leg for
+    the core), on for multi-core."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "run_campaign_mod3",
+        os.path.join(os.path.dirname(__file__), "..", "run", "campaign.py"))
+    camp = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(camp)
+    ctrl = {"start_date": "2019-07", "end_date": "2019-08", "sensor": "OMI"}
+    reads = []
+    monkeypatch.setattr(camp, "read_month",
+                        lambda c, y, m: reads.append((y, m)) or "obj")
+
+    def fake_run(c, y, m, pre_read=None, prefetch_hook=None):
+        if prefetch_hook is not None:
+            prefetch_hook()
+
+    monkeypatch.setattr(camp, "run_month", fake_run)
+    import os as _os
+
+    monkeypatch.setattr(_os, "cpu_count", lambda: 1)
+    assert camp.run_campaign(dict(ctrl)) == []
+    assert reads == []  # 1 core: no background read
+
+    monkeypatch.setattr(_os, "cpu_count", lambda: 8)
+    assert camp.run_campaign(dict(ctrl)) == []
+    assert reads == [(2019, 8)]  # multi-core default: prefetch active
