@@ -848,14 +848,16 @@ def _diag_pack_from_factor(l_lower, so2_64, blk: int = 512):
 
 
 EXACT_TAIL_BUCKET = 2048  # the emulated-f64 program's remote compile
-# costs ~45-50 s per 1024 rows PER SHAPE (chip-measured: 86 s @2048,
-# 291 s @6144, ~10+ min @10240); months in one campaign land on a
-# handful of valid-cell counts, so the tail pads its n up to a coarse
-# bucket (decoupled identity rows: sb = 0, so = 1, d = 0) — at most 8
-# shapes ever exist below REFINE_MAX_CELLS.  The padded-flops ratio
-# ((npad/n)^3) is worst for TINY months just past a bucket edge (n =
-# 2049 -> ~8x) but the absolute cost there is under a second (warm runs:
-# 0.3 s @2048, 0.8 s @4096, 5.1 s @10240) vs minutes of compile saved.
+# costs roughly a minute per 2048 rows PER SHAPE (chip-measured with the
+# trailing-solve diagonal: 93 s @2048, 846 s @10240 on a degraded link;
+# earlier full-solve variant: 86/182/291 s @2048/4096/6144); months in
+# one campaign land on a handful of valid-cell counts, so the tail pads
+# its n up to a coarse bucket (decoupled identity rows: sb = 0, so = 1,
+# d = 0) — at most 8 shapes ever exist below REFINE_MAX_CELLS.  The
+# padded-flops ratio ((npad/n)^3) is worst for TINY months just past a
+# bucket edge (n = 2049 -> ~8x) but the absolute cost there is under a
+# second (warm runs: 0.33 s @2048, 3.23 s @10240) vs minutes of compile
+# saved.
 
 
 def _exact_tail_device(u3_64, sb_64, so2_64, d64, kappa: float):
@@ -945,7 +947,7 @@ def _exact_device_wanted() -> bool:
 
 
 @partial(jax.jit, static_argnames=("diag_block",))
-def _exact_tail_prog(u3, sb, so2, d, kappa, diag_block: int = 1024):
+def _exact_tail_prog(u3, sb, so2, d, kappa, diag_block: int = 2048):
     """Device exact tail, traced in float64 (TPU: emulated ~49-bit
     mantissa; CPU: native f64): build the dense correlation kernel from
     unit vectors, scale to A = D_b G D_b + D_o^2, Cholesky-factor, solve
@@ -969,22 +971,29 @@ def _exact_tail_prog(u3, sb, so2, d, kappa, diag_block: int = 1024):
                                         transpose_a=True)[:, 0]
     n = a.shape[0]
     k = min(diag_block, n)
-    nblocks = -(-n // k)
-    starts = jnp.minimum(jnp.arange(nblocks) * k, n - k)
-    rows = jnp.arange(n)
-
-    def block_diag(start):
-        cols = (rows[:, None] == (start + jnp.arange(k))[None, :]).astype(a.dtype)
-        v = jax.lax.linalg.triangular_solve(l, cols, left_side=True, lower=True)
-        lt_cols = jax.lax.dynamic_slice(l, (start, 0), (k, n)).T
-        so2_blk = jax.lax.dynamic_slice(so2, (start,), (k,))
-        vb = lt_cols - v * so2_blk[None, :]
-        return jnp.sum(v * v, axis=0), jnp.sum(vb * vb, axis=0)
-
-    parts, parts_q = jax.lax.map(block_diag, starts)
-    col_idx = (starts[:, None] + jnp.arange(k)[None, :]).ravel()
-    dainv = jnp.zeros((n,), a.dtype).at[col_idx].set(parts.ravel())
-    q = jnp.zeros((n,), a.dtype).at[col_idx].set(parts_q.ravel())
+    # L^-1 e_j is zero above row j, so block j0's identity columns only
+    # need the TRAILING (n-j0) sub-triangle — an unrolled loop over
+    # shrinking solves costs n^3/3 total instead of the full-solve n^3
+    # (the dominant term of the whole tail).  The q columns' L^T part
+    # has entries ABOVE j0 too; those contribute a plain row-sum of
+    # squares of L[blk, :j0] (no solve).
+    dainv_parts = []
+    q_parts = []
+    for j0 in range(0, n, k):
+        m = n - j0
+        sub = l[j0:, j0:]
+        v = jax.lax.linalg.triangular_solve(
+            sub, jnp.eye(m, k, dtype=a.dtype), left_side=True, lower=True)
+        so2_blk = so2[j0:j0 + k]
+        ltc = l[j0:j0 + k, j0:].T  # L^T[j0:, blk] in sub coordinates
+        vb = ltc - v * so2_blk[None, :]
+        head = l[j0:j0 + k, :j0]  # rows of L left of the sub-triangle
+        q_head = (jnp.sum(head * head, axis=1) if j0
+                  else jnp.zeros((k,), a.dtype))
+        dainv_parts.append(jnp.sum(v * v, axis=0))
+        q_parts.append(q_head + jnp.sum(vb * vb, axis=0))
+    dainv = jnp.concatenate(dainv_parts)
+    q = jnp.concatenate(q_parts)
     return x, dainv, q
 
 
