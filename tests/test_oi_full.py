@@ -775,3 +775,42 @@ def test_matfree_exact_diag_mixed_noise_regimes(device_exact, monkeypatch):
     np.testing.assert_allclose(err, err_t, rtol=1e-6, atol=1e-10)
     ak_t = 1.0 - (sb ** 2 - Sb_t) / sb ** 2
     np.testing.assert_allclose(ak, ak_t, rtol=1e-6, atol=1e-8)
+
+
+def test_exact_tail_prog_multiblock_matches_numpy():
+    """Direct validation of _exact_tail_prog at n > diag_block so the
+    trailing-sub-triangle loop's j0 > 0 branch (shrinking solves + the
+    q_head row-sums left of the block) actually executes — the e2e tests
+    run at a few hundred cells and never leave block 0."""
+    import jax
+
+    from oisat_tpu.ops import oi_full as M
+
+    n = 4096  # two 2048 blocks
+    rng = np.random.default_rng(21)
+    lat = rng.uniform(20, 60, n)
+    lon = rng.uniform(-20, 10, n)
+    u3 = M._sphere_points(lat, lon)
+    sb = np.abs(rng.normal(0.4, 0.05, n))
+    so2 = (sb * 10.0 ** rng.uniform(-2, 2, n)) ** 2  # mixed regimes
+    d = rng.normal(0, 0.1, n)
+    kappa = (6371.0 / 300.0) ** 2
+
+    with jax.enable_x64(True):
+        x, dainv, q = M._exact_tail_prog(
+            jnp.asarray(u3), jnp.asarray(sb), jnp.asarray(so2),
+            jnp.asarray(d), jnp.float64(kappa))
+    x, dainv, q = (np.asarray(v, np.float64) for v in (x, dainv, q))
+
+    B = sb[:, None] * np.exp(
+        np.maximum(kappa * (np.clip(u3 @ u3.T, -1, 1) - 1.0), -60.0)) * sb[None, :]
+    A = B + np.diag(so2)
+    # BLAS-backed references (a bare 3-operand einsum falls into pure-C
+    # n^3 loops and takes minutes at this size); rtol 1e-6: random points
+    # can land near-duplicate, locally ill-conditioning the solve a few
+    # orders above the f64 floor
+    AinvB = np.linalg.solve(A, B)
+    np.testing.assert_allclose(x, np.linalg.solve(A, d), rtol=1e-6, atol=1e-12)
+    np.testing.assert_allclose(dainv, np.diag(np.linalg.inv(A)), rtol=1e-6)
+    np.testing.assert_allclose(q, np.einsum("ij,ji->i", B, AinvB),
+                               rtol=1e-6, atol=1e-12)
