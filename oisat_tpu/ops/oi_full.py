@@ -947,7 +947,10 @@ def _exact_device_wanted() -> bool:
 
 
 @partial(jax.jit, static_argnames=("diag_block",))
-def _exact_tail_prog(u3, sb, so2, d, kappa, diag_block: int = 2048):
+def _exact_tail_prog(u3, sb, so2, d, kappa,
+                     diag_block: int = EXACT_TAIL_BUCKET):
+    # the default block tracks the bucket so retuning EXACT_TAIL_BUCKET
+    # cannot break the k | n precondition below
     """Device exact tail, traced in float64 (TPU: emulated ~49-bit
     mantissa; CPU: native f64): build the dense correlation kernel from
     unit vectors, scale to A = D_b G D_b + D_o^2, Cholesky-factor, solve
@@ -971,6 +974,16 @@ def _exact_tail_prog(u3, sb, so2, d, kappa, diag_block: int = 2048):
                                         transpose_a=True)[:, 0]
     n = a.shape[0]
     k = min(diag_block, n)
+    # the trailing-block loop requires k | n (every block is exactly k
+    # columns); callers reach here through _exact_tail_device's bucket
+    # padding, whose multiple the default diag_block tracks.  A
+    # non-divisible combination would silently emit wrong-length
+    # diagonals — fail the TRACE instead.
+    if n % k != 0:
+        raise ValueError(
+            f"_exact_tail_prog: n={n} must be a multiple of "
+            f"diag_block={k} (pad with decoupled rows like "
+            f"_exact_tail_device, or pass a divisor diag_block)")
     # L^-1 e_j is zero above row j, so block j0's identity columns only
     # need the TRAILING (n-j0) sub-triangle — an unrolled loop over
     # shrinking solves costs n^3/3 total instead of the full-solve n^3
@@ -979,11 +992,18 @@ def _exact_tail_prog(u3, sb, so2, d, kappa, diag_block: int = 2048):
     # squares of L[blk, :j0] (no solve).
     dainv_parts = []
     q_parts = []
+    seq = jnp.zeros((), a.dtype)  # data-dependency token: the blocks are
+    # mutually independent, so without it XLA may co-schedule several
+    # (m, k) f64 solve workspaces and exceed HBM at the top bucket —
+    # chaining each block's eye on the previous block's first output
+    # element pins them sequential (0.0 * x is NOT constant-foldable in
+    # floating point, so the dependency survives optimization)
     for j0 in range(0, n, k):
         m = n - j0
         sub = l[j0:, j0:]
+        cols = jnp.eye(m, k, dtype=a.dtype) * (1.0 + 0.0 * seq)
         v = jax.lax.linalg.triangular_solve(
-            sub, jnp.eye(m, k, dtype=a.dtype), left_side=True, lower=True)
+            sub, cols, left_side=True, lower=True)
         so2_blk = so2[j0:j0 + k]
         ltc = l[j0:j0 + k, j0:].T  # L^T[j0:, blk] in sub coordinates
         vb = ltc - v * so2_blk[None, :]
@@ -992,6 +1012,7 @@ def _exact_tail_prog(u3, sb, so2, d, kappa, diag_block: int = 2048):
                   else jnp.zeros((k,), a.dtype))
         dainv_parts.append(jnp.sum(v * v, axis=0))
         q_parts.append(q_head + jnp.sum(vb * vb, axis=0))
+        seq = dainv_parts[-1][0]
     dainv = jnp.concatenate(dainv_parts)
     q = jnp.concatenate(q_parts)
     return x, dainv, q
